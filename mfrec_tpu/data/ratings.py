@@ -1,0 +1,261 @@
+'''
+Host-side ratings containers.
+
+The reference stores ratings in a ``scipy.sparse.lil_matrix`` and converts
+per-call via python iterators (``base.py:266,284,1115`` in /root/reference).
+Here the canonical representation is a flat COO triple of numpy arrays —
+the layout the TPU kernels consume directly — with CSR/CSC row pointers and
+padded-bucket layouts derived (and cached) on demand.
+
+Native fast paths for sorting/bincount/CSR assembly live in
+``mfrec_tpu.native`` (C++); everything falls back to numpy.
+'''
+from __future__ import annotations
+
+import numpy as np
+
+
+class Vocab:
+    '''Bidirectional label<->index map (reference: ``base.py:101-105,839-851``).
+
+    Labels default to ``prefix0..prefixN-1`` like the reference's
+    ``initialize_relationship_matrix`` (``base.py:275-281``).
+    '''
+
+    def __init__(self, n=0, prefix='id'):
+        self.prefix = prefix
+        self.labels = [prefix + str(i) for i in range(n)]
+        self.index = {lbl: i for i, lbl in enumerate(self.labels)}
+
+    def __len__(self):
+        return len(self.labels)
+
+    def __contains__(self, label):
+        return label in self.index
+
+    def add(self, label=None):
+        '''Append a new id; returns the new index.'''
+        new_id = len(self.labels)
+        if label is None:
+            label = self.prefix + str(new_id)
+        self.labels.append(label)
+        self.index[label] = new_id
+        return new_id
+
+    def set_label(self, idx, label):
+        '''Rename an existing index (reference: ``base.py:1097-1112``).'''
+        old = self.labels[idx]
+        if old in self.index:
+            del self.index[old]
+        self.labels[idx] = label
+        self.index[label] = idx
+
+    def rebuild(self):
+        self.index = {lbl: i for i, lbl in enumerate(self.labels)}
+
+    def to_list(self):
+        return list(self.labels)
+
+
+class Ratings:
+    '''Mutable COO ratings store with cached derived layouts.
+
+    Mutation (``set``) invalidates caches; all bulk consumers
+    (``coo``/``csr``/``csc``/``padded_rows``) operate on the deduplicated,
+    user-major sorted snapshot.
+    '''
+
+    def __init__(self, nbr_users, nbr_items):
+        self.nbr_users = int(nbr_users)
+        self.nbr_items = int(nbr_items)
+        self._users = []          # pending python-side appends
+        self._items = []
+        self._values = []
+        self._u = np.zeros(0, np.int32)   # consolidated arrays
+        self._i = np.zeros(0, np.int32)
+        self._v = np.zeros(0, np.float32)
+        self._dirty = False
+        self._cache = {}
+
+    # ------------------------------------------------------------- mutation
+    def set(self, user_index, item_index, value):
+        self._users.append(int(user_index))
+        self._items.append(int(item_index))
+        self._values.append(float(value))
+        self._dirty = True
+
+    def set_many(self, users, items, values):
+        users = np.asarray(users, np.int32)
+        items = np.asarray(items, np.int32)
+        values = np.asarray(values, np.float32)
+        if not (users.shape == items.shape == values.shape):
+            raise ValueError('users/items/values must have identical shapes')
+        self._users.extend(users.tolist())
+        self._items.extend(items.tolist())
+        self._values.extend(values.tolist())
+        self._dirty = True
+
+    def grow(self, nbr_users=None, nbr_items=None):
+        if nbr_users is not None:
+            self.nbr_users = max(self.nbr_users, int(nbr_users))
+        if nbr_items is not None:
+            self.nbr_items = max(self.nbr_items, int(nbr_items))
+        self._cache = {}
+
+    def _consolidate(self):
+        if not self._dirty:
+            return
+        u = np.concatenate([self._u, np.asarray(self._users, np.int32)])
+        i = np.concatenate([self._i, np.asarray(self._items, np.int32)])
+        v = np.concatenate([self._v, np.asarray(self._values, np.float32)])
+        # Deduplicate: last write wins (lil_matrix assignment semantics).
+        key = u.astype(np.int64) * self.nbr_items + i.astype(np.int64)
+        order = np.argsort(key, kind='stable')
+        key, u, i, v = key[order], u[order], i[order], v[order]
+        keep = np.ones(key.shape[0], bool)
+        keep[:-1] = key[:-1] != key[1:]
+        # An explicit zero deletes the entry (sparse-store semantics).
+        keep &= v != 0.0
+        self._u, self._i, self._v = u[keep], i[keep], v[keep]
+        self._users, self._items, self._values = [], [], []
+        self._dirty = False
+        self._cache = {}
+
+    # ------------------------------------------------------------ accessors
+    @property
+    def nnz(self):
+        self._consolidate()
+        return int(self._v.shape[0])
+
+    def coo(self):
+        '''User-major sorted (user_idx[N], item_idx[N], value[N]).'''
+        self._consolidate()
+        return self._u, self._i, self._v
+
+    def get(self, user_index, item_index):
+        self._consolidate()
+        sel = (self._u == user_index) & (self._i == item_index)
+        hit = np.nonzero(sel)[0]
+        return float(self._v[hit[0]]) if hit.size else 0.0
+
+    def shuffled(self, seed=0):
+        '''COO triple in a deterministic shuffled order (explicit seed —
+        replaces the reference's global ``np.random.shuffle`` at
+        ``base.py:1128-1129``).'''
+        u, i, v = self.coo()
+        perm = np.random.default_rng(seed).permutation(u.shape[0])
+        return u[perm], i[perm], v[perm]
+
+    def csr(self):
+        '''(row_ptr[U+1], item_idx[nnz], value[nnz]) sorted by user.'''
+        self._consolidate()
+        if 'csr' not in self._cache:
+            counts = np.bincount(self._u, minlength=self.nbr_users)
+            ptr = np.zeros(self.nbr_users + 1, np.int64)
+            np.cumsum(counts, out=ptr[1:])
+            self._cache['csr'] = (ptr, self._i.copy(), self._v.copy())
+        return self._cache['csr']
+
+    def csc(self):
+        '''(col_ptr[I+1], user_idx[nnz], value[nnz]) sorted by item.'''
+        self._consolidate()
+        if 'csc' not in self._cache:
+            order = np.argsort(self._i, kind='stable')
+            items = self._i[order]
+            counts = np.bincount(items, minlength=self.nbr_items)
+            ptr = np.zeros(self.nbr_items + 1, np.int64)
+            np.cumsum(counts, out=ptr[1:])
+            self._cache['csc'] = (ptr, self._u[order], self._v[order])
+        return self._cache['csc']
+
+    def user_counts(self):
+        self._consolidate()
+        return np.bincount(self._u, minlength=self.nbr_users)
+
+    def item_counts(self):
+        self._consolidate()
+        return np.bincount(self._i, minlength=self.nbr_items)
+
+    def to_dense(self):
+        self._consolidate()
+        m = np.zeros((self.nbr_users, self.nbr_items), np.float32)
+        m[self._u, self._i] = self._v
+        return m
+
+    def rated_mask_for_user(self, user_index):
+        ptr, items, _ = self.csr()
+        mask = np.zeros(self.nbr_items, bool)
+        mask[items[ptr[user_index]:ptr[user_index + 1]]] = True
+        return mask
+
+    # --------------------------------------------------------- statistics
+    def overall_avg(self):
+        self._consolidate()
+        return float(self._v.mean()) if self._v.size else 0.0
+
+    def user_means(self, default=0.0):
+        self._consolidate()
+        counts = self.user_counts()
+        sums = np.bincount(self._u, weights=self._v, minlength=self.nbr_users)
+        with np.errstate(invalid='ignore', divide='ignore'):
+            means = sums / counts
+        means[counts == 0] = default
+        return means.astype(np.float32)
+
+    def item_means(self, default=0.0):
+        self._consolidate()
+        counts = self.item_counts()
+        sums = np.bincount(self._i, weights=self._v, minlength=self.nbr_items)
+        with np.errstate(invalid='ignore', divide='ignore'):
+            means = sums / counts
+        means[counts == 0] = default
+        return means.astype(np.float32)
+
+    # ----------------------------------------------------- padded layouts
+    def padded_rows(self, axis='user', buckets=(8, 16, 32, 64, 128, 256, 512,
+                                                1024, 2048, 4096, 8192)):
+        '''Bucketed padded neighbor lists for batched ALS normal equations.
+
+        Groups rows (users if axis='user', items if axis='item') by nnz into
+        power-of-two buckets; each bucket yields
+        ``(row_ids[R], nbr_idx[R, L], nbr_val[R, L], mask[R, L])``.
+        Replaces the reference's serial CSR walk in ``als_implicit.pyx:264-302``
+        with a layout that maps to batched MXU matmuls.
+        '''
+        key = ('padded', axis, buckets)
+        if key in self._cache:
+            return self._cache[key]
+        if axis == 'user':
+            ptr, nbr, val = self.csr()
+            nrows = self.nbr_users
+        else:
+            ptr, nbr, val = self.csc()
+            nrows = self.nbr_items
+        counts = np.diff(ptr)
+        out = []
+        max_needed = int(counts.max()) if nrows and counts.size else 0
+        blist = [b for b in buckets if b <= max_needed] or [buckets[0]]
+        if blist[-1] < max_needed:
+            blist.append(int(2 ** np.ceil(np.log2(max(max_needed, 1)))))
+        prev = 0
+        for L in blist:
+            if L == blist[-1]:
+                rows = np.nonzero((counts > prev))[0]
+            else:
+                rows = np.nonzero((counts > prev) & (counts <= L))[0]
+            prev = L
+            if rows.size == 0:
+                continue
+            R = rows.shape[0]
+            idx = np.zeros((R, L), np.int32)
+            vals = np.zeros((R, L), np.float32)
+            mask = np.zeros((R, L), np.float32)
+            for r, row in enumerate(rows):
+                s, e = ptr[row], ptr[row + 1]
+                n = e - s
+                idx[r, :n] = nbr[s:e]
+                vals[r, :n] = val[s:e]
+                mask[r, :n] = 1.0
+            out.append((rows.astype(np.int32), idx, vals, mask))
+        self._cache[key] = out
+        return out

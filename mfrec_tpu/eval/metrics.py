@@ -1,0 +1,179 @@
+'''
+Evaluation: rating-prediction accuracy and top-N retrieval quality.
+
+Re-design of reference ``mfrec/recommendation/metrics.py``: same metric
+definitions (RMSE / MAE / NMAE on held-out [user, item, rating] rows;
+P@N / R@N / F1 over per-user recommended-set intersections; fold-in
+validation), but vectorized — pair scoring uses the model's batch
+predictor when available instead of a per-pair python loop
+(metrics.py:58-66).
+'''
+from __future__ import annotations
+
+import numpy as np
+
+from mfrec_tpu.models.base import Error
+
+
+def shannon_entropy(recommender, recommendations):
+    '''Shannon entropy of the recommended-item distribution — item-space
+    coverage (reference stub metrics.py:13-17, implemented).'''
+    flat = np.concatenate([np.asarray(r) for r in recommendations])
+    counts = np.bincount(flat.astype(int), minlength=recommender.nbr_items)
+    p = counts / max(counts.sum(), 1)
+    p = p[p > 0]
+    return float(-(p * np.log2(p)).sum())
+
+
+def test_predict_rating(recommender, u_test, nbr_samples=10, verbose=False,
+                        predictor='predict_rating', quiet=False):
+    '''RMSE/MAE/NMAE over held-out ratings (reference metrics.py:51-82).
+    u_test: [n, 3] array of (user, item, rating).  Returns (rmse, errors).'''
+    rows = np.asarray(u_test)[0:nbr_samples]
+    users = rows[:, 0].astype(int)
+    items = rows[:, 1].astype(int)
+    real = rows[:, 2].astype(np.float64)
+
+    if hasattr(recommender, 'predict_batch'):
+        try:
+            pred = np.asarray(
+                recommender.predict_batch(items, users, predictor),
+                np.float64)
+        except KeyError:
+            pred = None
+    else:
+        pred = None
+    if pred is None:
+        pred_list, real_list = [], []
+        fn = getattr(recommender, predictor)
+        for u, i, r in zip(users, items, real):
+            try:
+                pred_list.append(float(fn(int(i), int(u))))
+                real_list.append(r)
+            except Error:
+                pass
+        pred = np.asarray(pred_list)
+        real = np.asarray(real_list)
+
+    errors = real - pred
+    errors = errors[~np.isnan(errors)]
+    abs_errors = np.abs(errors)
+    rmse = float(np.sqrt((abs_errors ** 2).mean()))
+    if not quiet:
+        print('Number of succesful rating: %d/%d'
+              % (len(abs_errors), nbr_samples))
+        print('Mean abs. error: %s' % abs_errors.mean())
+        print('Variance of the error: %s' % abs_errors.var())
+        print('Mean root mean square error (RMSE): %s' % rmse)
+        print('NMAE: %s' % (abs_errors.mean() / 1.6))
+        print('MAE: %s' % abs_errors.mean())
+    return rmse, errors
+
+
+def test_predict_rating2(recommender, u_test, item_map, nbr_samples=10,
+                         predictor='predict_rating', verbose=False):
+    '''Variant with an item-id remap dict (reference metrics.py:19-48).'''
+    rows = np.asarray(u_test)[0:nbr_samples]
+    remapped = rows.copy()
+    keep = []
+    for j, row in enumerate(rows):
+        try:
+            remapped[j, 1] = item_map[int(row[1])]
+            keep.append(j)
+        except KeyError:
+            pass
+    return test_predict_rating(recommender, remapped[keep],
+                               nbr_samples=len(keep), predictor=predictor,
+                               verbose=verbose, quiet=not verbose)
+
+
+def precision_recall(recommender, u_test, nbr_recommendations=5,
+                     predictor='predict', verbose=False):
+    '''P@N / R@N / F1 over per-user recommendations vs. held-out positives
+    (reference metrics.py:85-130).'''
+    test_sample_dict = {}
+    for rating in np.asarray(u_test):
+        test_sample_dict.setdefault(int(rating[0]), []).append(int(rating[1]))
+
+    precision = recall = 0.0
+    users_count = 0
+    for user_index in test_sample_dict.keys():
+        if user_index >= recommender.nbr_users:
+            continue
+        try:
+            recommended = recommender.find_recommended_items(
+                user_index=user_index,
+                nbr_recommendations=nbr_recommendations,
+                output_label=False, predictor=predictor)[0]
+            recommended_set = set(recommended)
+            users_count += 1
+        except (KeyError, Error):
+            continue
+        already_rated = set(test_sample_dict[user_index])
+        inter = float(len(recommended_set.intersection(already_rated)))
+        precision += inter / nbr_recommendations
+        recall += inter / len(already_rated)
+
+    precision /= max(users_count, 1)
+    recall /= max(users_count, 1)
+    denom = precision + recall
+    f_measure = 2 * precision * recall / denom if denom else 0.0
+    if verbose:
+        print('Precision @ %d : %s' % (nbr_recommendations, precision))
+        print('Recall @ %d : %s' % (nbr_recommendations, recall))
+        print('F-Measure : %s' % f_measure)
+    return precision, recall, f_measure
+
+
+def folding_in_test(recommender_factory, u, u_test, ratio=0.10,
+                    predictor='predict_rating', nbr_samples=20000, seed=0):
+    '''Fold-in validation (reference metrics.py:133-208, completed): remove
+    `ratio` of users, retrain from scratch, fold the removed users back in
+    via add_user, and report RMSE on the full and pruned test sets at each
+    stage.  `recommender_factory()` must build a fresh configured model.
+    Returns a dict of stage -> rmse.'''
+    u = np.asarray(u)
+    u_test = np.asarray(u_test)
+    rng = np.random.default_rng(seed)
+    all_users = np.unique(u[:, 0].astype(int))
+    n_remove = max(int(len(all_users) * ratio), 1)
+    removed = set(rng.permutation(all_users)[:n_remove].tolist())
+
+    in_removed_train = np.isin(u[:, 0].astype(int), list(removed))
+    in_removed_test = np.isin(u_test[:, 0].astype(int), list(removed))
+    prune_train = u[~in_removed_train]
+    prune_test = u_test[in_removed_test]
+
+    results = {}
+    model = recommender_factory()
+    for row in prune_train:
+        model.set_item_by_id(int(row[0]), int(row[1]), float(row[2]))
+    model.train()
+    results['pruned_model_full_test'] = test_predict_rating(
+        model, u_test, nbr_samples, predictor=predictor, quiet=True)[0]
+    results['pruned_model_pruned_test'] = test_predict_rating(
+        model, prune_test, nbr_samples, predictor=predictor, quiet=True)[0]
+
+    for user_index in removed:
+        rows = u[u[:, 0].astype(int) == user_index]
+        if rows.shape[0] == 0:
+            continue
+        model.add_user('newuser%d' % user_index,
+                       rows[:, 1].astype(np.int32),
+                       rows[:, 2].astype(np.float32))
+        # map the original user id onto the folded-in row for eval
+        model.users.index['user%d' % user_index] = \
+            model.users.index['newuser%d' % user_index]
+
+    # Rebuild test arrays against folded-in ids
+    folded_test = u_test.copy()
+    for j in range(folded_test.shape[0]):
+        uid = int(folded_test[j, 0])
+        if uid in removed:
+            folded_test[j, 0] = model.users.index['newuser%d' % uid]
+    results['folded_model_full_test'] = test_predict_rating(
+        model, folded_test, nbr_samples, predictor=predictor, quiet=True)[0]
+    results['folded_model_pruned_test'] = test_predict_rating(
+        model, folded_test[in_removed_test], nbr_samples,
+        predictor=predictor, quiet=True)[0]
+    return results

@@ -1,0 +1,786 @@
+'''
+BaseRecommender — data management, biases, SVD, similarity, persistence.
+
+The TPU-native re-design of the reference's ``mfrec/recommendation/base.py``
+(class ``BaseRecommender``, base.py:68-1578).  The public surface (method
+names, parameter-dict keys, factor-array naming) mirrors the reference so a
+user can port call sites directly; the internals are numpy on the host and
+JAX/XLA kernels on device.
+
+Factor-layout note: the reference stores ``svd_u`` = item factors with shape
+[dimensionality, nbr_items] and ``svd_v`` = user factors with shape
+[dimensionality, nbr_users] (base.py:144-146 — u=items, v=users).  We store
+row-major ``Q`` [items, k] / ``P`` [users, k] internally (TPU-friendly) and
+expose ``svd_u``/``svd_v`` as transposed properties for API parity.
+'''
+from __future__ import annotations
+
+import json
+import logging
+
+import numpy as np
+import jax.numpy as jnp
+
+from mfrec_tpu.data.ratings import Ratings, Vocab
+from mfrec_tpu.engine import checkpoint as ckpt
+from mfrec_tpu.ops import similarity as sim_ops
+from mfrec_tpu.ops import svd as svd_ops
+
+
+class Error(Exception):
+    '''Library-wide exception (reference base.py:23).'''
+
+
+class BaseRecommender(object):
+    '''Recommendation engine core: sparse ratings store, label<->index maps,
+    bias computation, truncated SVD, similarity search, save/load.'''
+
+    PARAMETERS_INDEX = {}
+
+    _logger_name = 'mfrec_tpu.recommender'
+
+    def __init__(self, nbr_users=4, nbr_items=6, parameters=None):
+        self.logger = logging.getLogger(self._logger_name)
+
+        self.dimensionality = 40
+        self.min_rating = 1.0
+        self.max_rating = 5.0
+
+        self.ratings = Ratings(int(nbr_users), int(nbr_items))
+        self.users = Vocab(int(nbr_users), 'user')
+        self.items = Vocab(int(nbr_items), 'item')
+
+        # Factors, row-major: P=[users,k], Q=[items,k]; svd_s for SVD models.
+        self.P = None
+        self.Q = None
+        self.svd_s = None
+        self.Y = None                      # SVD++ implicit item factors
+
+        self.users_bias = None
+        self.items_bias = None
+        self.overall_bias = None
+        self.items_avg = None
+        self.data_normalized = False
+        self.warmedup = False
+
+        self.items_similarities_sorted_id = None
+        self.items_similarities_values = None
+        self.users_similarities_sorted_id = None
+        self.users_similarities_values = None
+        self.sorted_items_by_count = None
+
+        self.metadata = {}
+        self.rng = np.random.default_rng(0)
+
+        if parameters:
+            self.set_parameters(parameters)
+
+    # ------------------------------------------------------------ plumbing
+    def __repr__(self):
+        return ('%s\nNumber of users: %d\nNumber of items: %d\n'
+                'Dimensionality: %d\n'
+                % (self.__class__.__doc__.strip().splitlines()[0]
+                   if self.__class__.__doc__ else 'Recommendation Engine',
+                   self.nbr_users, self.nbr_items, self.dimensionality))
+
+    @property
+    def nbr_users(self):
+        return len(self.users)
+
+    @property
+    def nbr_items(self):
+        return len(self.items)
+
+    # Reference-compatible index/label attributes
+    @property
+    def users_index(self):
+        return self.users.index
+
+    @property
+    def users_label(self):
+        return self.users.labels
+
+    @property
+    def items_index(self):
+        return self.items.index
+
+    @property
+    def items_label(self):
+        return self.items.labels
+
+    # Reference-compatible factor views ([dim, n] transposed)
+    @property
+    def svd_u(self):
+        return None if self.Q is None else np.asarray(self.Q).T
+
+    @svd_u.setter
+    def svd_u(self, value):
+        self.Q = None if value is None else np.asarray(value, np.float32).T
+
+    @property
+    def svd_v(self):
+        return None if self.P is None else np.asarray(self.P).T
+
+    @svd_v.setter
+    def svd_v(self, value):
+        self.P = None if value is None else np.asarray(value, np.float32).T
+
+    @property
+    def items_feedback(self):
+        return None if self.Y is None else np.asarray(self.Y).T
+
+    @items_feedback.setter
+    def items_feedback(self, value):
+        self.Y = None if value is None else np.asarray(value, np.float32).T
+
+    def set_name(self, name):
+        self.metadata['model_name'] = name
+
+    def set_parameters(self, parameters):
+        '''Map public parameter names to attributes (reference
+        base.py:180-199); unknown key -> Error.'''
+        for k, v in parameters.items():
+            try:
+                setattr(self, self.PARAMETERS_INDEX[k], v)
+            except KeyError:
+                raise Error('Wrong parameters')
+
+    def set_dimensionality(self, new_dim_value):
+        self.dimensionality = int(new_dim_value)
+
+    def seed(self, seed):
+        '''Deterministic seeding for shuffles/initializers (replaces the
+        reference's reliance on the global numpy RNG).'''
+        self.rng = np.random.default_rng(seed)
+
+    # ----------------------------------------------------------- ingestion
+    def initialize_model(self):
+        self.Q = np.zeros((self.nbr_items, self.dimensionality), np.float32)
+        self.P = np.zeros((self.nbr_users, self.dimensionality), np.float32)
+
+    def initialize_bias(self):
+        self.items_bias = np.zeros(self.nbr_items, np.float32)
+        self.users_bias = np.zeros(self.nbr_users, np.float32)
+
+    def get_nbr_ratings(self):
+        return self.ratings.nnz
+
+    def set_item_by_id(self, user_index, item_index, value):
+        self.ratings.set(int(user_index), int(item_index), float(value))
+
+    def set_item_by_label(self, user, item, value):
+        self.ratings.set(self.users.index[user], self.items.index[item],
+                         float(value))
+
+    def set_item(self, user, items_list):
+        for item in items_list:
+            self.ratings.set(self.users.index[user],
+                             self.items.index[item['label']],
+                             float(item['value']))
+
+    def set_item_raw(self, user_index, items_array):
+        if not isinstance(items_array, np.ndarray):
+            raise Error('set_item_raw expects a numpy array')
+        nz = np.nonzero(items_array)[0]
+        self.ratings.set_many(np.full(nz.shape[0], user_index, np.int32),
+                              nz.astype(np.int32),
+                              items_array[nz].astype(np.float32))
+
+    def set_ratings(self, users, items, values):
+        '''Bulk ingest (the TPU-native replacement for the per-rating loop
+        in the reference example, example1b:40-41).'''
+        self.ratings.set_many(users, items, values)
+
+    def set_user_label(self, user_index, label):
+        self.users.set_label(int(user_index), label)
+
+    def set_item_label(self, item_index, label):
+        if int(item_index) >= len(self.items):
+            raise KeyError(item_index)
+        self.items.set_label(int(item_index), label)
+
+    def build_index(self):
+        self.users.rebuild()
+        self.items.rebuild()
+
+    def add_user(self, label):
+        new_id = self.users.add(label)
+        self.ratings.grow(nbr_users=new_id + 1)
+        return new_id
+
+    def add_item(self, label):
+        new_id = self.items.add(label)
+        self.ratings.grow(nbr_items=new_id + 1)
+        return new_id
+
+    def ratings_iterator(self):
+        u, i, v = self.ratings.coo()
+        return zip(u.tolist(), i.tolist(), v.tolist())
+
+    def get_ratings(self, randomize_order=False, seed=None):
+        '''Dense (ratings_index [N,2] int32, ratings [N]) arrays —
+        the kernel feed format (reference base.py:1115-1131).'''
+        if randomize_order:
+            if seed is None:
+                seed = int(self.rng.integers(2 ** 31))
+            u, i, v = self.ratings.shuffled(seed)
+        else:
+            u, i, v = self.ratings.coo()
+        idx = np.stack([u, i], axis=1).astype(np.int32)
+        return idx, v.astype(np.float64)
+
+    def get_ratings_dense(self, randomize_order=False, seed=None):
+        idx, v = self.get_ratings(randomize_order, seed)
+        return np.concatenate([idx, v[:, None].astype(np.int32)], axis=1)
+
+    def get_items_subset(self, count=100, method='random'):
+        ids = self.rng.permutation(self.nbr_items)
+        return ids[0:count]
+
+    # --------------------------------------------------- implicit feedback
+    def initialize_rated_feedback(self):
+        '''Build the (rated [N,2], per-user (seek, span)) arrays consumed by
+        the SVD++ path (reference base.py:228-263).'''
+        u, i, _ = self.ratings.coo()
+        self.feedback_rated = np.stack([u, i], 1).astype(np.int32)
+        ptr = self.ratings.csr()[0]
+        seek = ptr[:-1].astype(np.int32)
+        span = np.diff(ptr).astype(np.int32)
+        empty = span == 0
+        seek[empty] = -1
+        span[empty] = -1
+        self.feedback_hash = np.stack([seek, span], 1)
+
+    def N_iterator(self):
+        u, i, _ = self.ratings.coo()
+        return zip(u.tolist(), i.tolist())
+
+    def get_feedback(self):
+        self.initialize_rated_feedback()
+        return self.feedback_rated, self.feedback_hash
+
+    # -------------------------------------------------------------- biases
+    def compute_overall_avg(self):
+        self.overall_bias = self.ratings.overall_avg()
+
+    def compute_items_bias(self):
+        if not self.overall_bias:
+            self.compute_overall_avg()
+        self.items_avg = self.ratings.item_means(default=0.0)
+        counts = self.ratings.item_counts()
+        self.items_bias = np.where(counts > 0,
+                                   self.items_avg - self.overall_bias,
+                                   0.0).astype(np.float32)
+
+    def compute_users_bias(self):
+        if not self.overall_bias:
+            self.compute_overall_avg()
+        means = self.ratings.user_means(default=0.0)
+        counts = self.ratings.user_counts()
+        self.users_bias = np.where(counts > 0, means - self.overall_bias,
+                                   0.0).astype(np.float32)
+
+    def compute_items_avg(self):
+        if not self.overall_bias:
+            self.compute_overall_avg()
+        self.items_avg = self.ratings.item_means(default=0.0)
+
+    def compute_item_pseudo_avg(self, variance_ratio=25.0):
+        '''Shrunk item average baseline (reference base.py:404-417).'''
+        self.overall_avg = self.ratings.overall_avg()
+        counts = self.ratings.item_counts()
+        sums = np.bincount(self.ratings.coo()[1],
+                           weights=self.ratings.coo()[2],
+                           minlength=self.nbr_items)
+        self.items_avg = ((self.overall_avg * variance_ratio + sums)
+                          / (variance_ratio + counts)).astype(np.float32)
+
+    def users_average(self, user_label):
+        u = self.users.index[user_label]
+        ptr, _, vals = self.ratings.csr()
+        seg = vals[ptr[u]:ptr[u + 1]]
+        return float(seg.mean())
+
+    def items_average(self, item_label):
+        i = self.items.index[item_label]
+        ptr, _, vals = self.ratings.csc()
+        seg = vals[ptr[i]:ptr[i + 1]]
+        return float(seg.mean())
+
+    def baseline_predictor(self, user_label, item_label):
+        '''Item mean, falling back to user mean (base.py:444-458).'''
+        try:
+            return self.items_average(item_label)
+        except (KeyError, ValueError):
+            return self.users_average(user_label)
+
+    def baseline_predictor2(self, item_index, user_index):
+        return (self.overall_bias + self.items_bias[item_index]
+                + self.users_bias[user_index])
+
+    def baseline_predictor3(self, item_index, user_index):
+        return int(self.rng.integers(1, 5))
+
+    def baseline_predictor4(self, item_index, user_index):
+        return self.items_avg[item_index] + self.users_bias[user_index]
+
+    # ------------------------------------------------------- normalization
+    def data_normalization(self, users_based=True, items_based=False):
+        '''In-place per-user mean centering; stores the removed means in
+        ``users_bias`` (reference base.py:324-351).'''
+        means = self.ratings.user_means(default=0.0)
+        self.users_bias = means.astype(np.float32)
+        u, i, v = self.ratings.coo()
+        self.ratings._v = (v - means[u]).astype(np.float32)
+        self.ratings._cache = {}
+        self.data_normalized = True
+
+    def data_normalization_item(self):
+        means = self.ratings.item_means(default=0.0)
+        self.items_bias = means.astype(np.float32)
+        u, i, v = self.ratings.coo()
+        self.ratings._v = (v - means[i]).astype(np.float32)
+        self.ratings._cache = {}
+        self.data_normalized = True
+
+    def prune_rating_pre_training(self, nbr_min_rating=20):
+        '''Drop ratings of users/items with < nbr_min_rating ratings
+        (reference base.py:371-379).'''
+        u, i, v = self.ratings.coo()
+        uc = self.ratings.user_counts()
+        ic = self.ratings.item_counts()
+        keep = (uc[u] >= nbr_min_rating) & (ic[i] >= nbr_min_rating)
+        self.ratings._u, self.ratings._i, self.ratings._v = \
+            u[keep], i[keep], v[keep]
+        self.ratings._cache = {}
+
+    def prune_rating_post_training(self, nbr_min_rating=20):
+        uc = self.ratings.user_counts()
+        ic = self.ratings.item_counts()
+        if self.Q is not None:
+            self.Q[ic < nbr_min_rating] = np.nan
+        if self.P is not None:
+            self.P[uc < nbr_min_rating] = np.nan
+
+    # ----------------------------------------------------------------- SVD
+    @property
+    def svd_full_s(self):
+        if self.svd_s is None:
+            return None
+        return np.diag(self.svd_s)
+
+    def _compute_svd(self, normalize_data=False):
+        '''Truncated SVD of the (optionally user-centered) ratings matrix,
+        transposed to [items, users] like the reference (base.py:1181-1189),
+        so svd_u = item side, svd_v = user side.'''
+        if normalize_data:
+            self.data_normalization()
+        u, i, v = self.ratings.coo()
+        U, s, Vt = svd_ops.randomized_svd(
+            jnp.asarray(i), jnp.asarray(u), jnp.asarray(v),
+            self.nbr_items, self.nbr_users, int(self.dimensionality))
+        self.Q = np.asarray(U)                       # [items, k]
+        self.svd_s = np.asarray(s)
+        self.P = np.asarray(Vt).T                    # [users, k]
+
+    def change_dimensionality(self, new_dim_value):
+        self.dimensionality = int(new_dim_value)
+        self._compute_svd(normalize_data=False)
+
+    # ---------------------------------------------------------- similarity
+    def _similarity_factors(self, kind):
+        if kind == 'items':
+            if self.Q is None:
+                raise Error('No item factors: train the model first')
+            return np.asarray(self.Q, np.float32)
+        if self.P is None:
+            raise Error('No user factors: train the model first')
+        return np.asarray(self.P, np.float32)[:, :self.dimensionality]
+
+    @staticmethod
+    def _apply_threshold(ids, sims, similarity_threshold):
+        if similarity_threshold is False or similarity_threshold is None:
+            return ids, sims
+        keep = sims > similarity_threshold
+        return ids[keep], sims[keep]
+
+    def _similar_topk(self, F, index, nbr, similarity_threshold,
+                      similarities_output, method, exclude_self=True):
+        F = jnp.asarray(F)
+        n = F.shape[0]
+        if nbr == 'All':
+            nbr = n - 1 if exclude_self else n
+        k = min(int(nbr) + 0, n - 1 if exclude_self else n)
+        idx, sims = sim_ops.similar_topk(F, jnp.asarray([index]), max(k, 1),
+                                         method=method,
+                                         exclude_self=exclude_self)
+        ids = np.asarray(idx[0])
+        sims = np.asarray(sims[0], np.float64)
+        ids, sims = self._apply_threshold(ids, sims, similarity_threshold)
+        ids, sims = ids[:nbr], sims[:nbr]
+        if not similarities_output:
+            return [int(x) for x in ids]
+        return [int(x) for x in ids], [float(x) for x in sims]
+
+    def similar_users(self, user_index, nbr_recommendations=2,
+                      similarity_threshold=False, similarities_output=False,
+                      method='pearson'):
+        '''Nearest users in factor space (reference base.py:1294-1347;
+        one matmul instead of the per-row python scan).'''
+        F = self._similarity_factors('users')
+        return self._similar_topk(F, int(user_index), nbr_recommendations,
+                                  similarity_threshold, similarities_output,
+                                  method)
+
+    def similar_items(self, item_index, nbr_recommendations=2,
+                      similarity_threshold=False, similarities_output=False,
+                      method='cosine'):
+        '''Nearest items in factor space (reference base.py:1420-1466).'''
+        F = np.asarray(self.Q, np.float32)
+        return self._similar_topk(F, int(item_index), nbr_recommendations,
+                                  similarity_threshold, similarities_output,
+                                  method)
+
+    def similar_items_by_label(self, item_label, nbr_recommendations=2,
+                               similarity_threshold=False,
+                               similarities_output=False, method='cosine'):
+        item_index = self.items.index[item_label]
+        res = self.similar_items(item_index, nbr_recommendations,
+                                 similarity_threshold, similarities_output,
+                                 method)
+        if not similarities_output:
+            return [self.items.labels[i] for i in res]
+        ids, sims = res
+        return [self.items.labels[i] for i in ids], sims
+
+    def similar_items_full(self, item_index, nbr_recommendations=2,
+                           similarity_threshold=False,
+                           similarities_output=False, method='cosine'):
+        '''Similarity in the full (raw ratings-column) space
+        (reference base.py:1350-1400).'''
+        dense = self.ratings.to_dense().T          # [items, users]
+        return self._similar_topk(dense, int(item_index), nbr_recommendations,
+                                  similarity_threshold, similarities_output,
+                                  method)
+
+    def similar_items_knn(self, item_index, nbr_recommendations=2,
+                          label=False):
+        '''Raw-space euclidean item kNN (reference base.py:1469-1492).'''
+        dense = self.ratings.to_dense().T
+        ids = self._similar_topk(dense, int(item_index), nbr_recommendations,
+                                 False, False, 'euclidean')
+        if label:
+            return [self.items.labels[i] for i in ids]
+        return np.asarray(ids)
+
+    def similar_user_knn(self, user_index, nbr_recommendations=2,
+                         similarity_threshold=0.25,
+                         similarities_output=False):
+        '''Raw-space euclidean user kNN (reference base.py:1495-1514).'''
+        dense = self.ratings.to_dense()
+        return self._similar_topk(dense, int(user_index),
+                                  nbr_recommendations, similarity_threshold,
+                                  similarities_output, 'euclidean')
+
+    def similar_users_new(self, items_array, nbr_recommendations=2):
+        '''Users nearest to an external ratings vector folded into factor
+        space (reference base.py:1277-1291).'''
+        coord = self.new_user_coordinates(np.asarray(items_array, np.float32))
+        sims = np.asarray(sim_ops.similarity_to_queries(
+            jnp.asarray(self._similarity_factors('users')),
+            jnp.asarray(coord[None, :self.dimensionality]),
+            method='cosine'))[0]
+        return np.argsort(sims)[-nbr_recommendations:]
+
+    def _compute_items_similarities(self, k):
+        F = jnp.asarray(self.Q, jnp.float32)
+        idx, sims = sim_ops.all_pairs_topk(F, min(k, F.shape[0] - 1),
+                                           method='cosine')
+        self.items_similarities_sorted_id = np.asarray(idx)
+        self.items_similarities_values = np.asarray(sims)
+
+    def _compute_users_similarities(self, k, method='cosine'):
+        F = jnp.asarray(self._similarity_factors('users'))
+        idx, sims = sim_ops.all_pairs_topk(F, min(k, F.shape[0] - 1),
+                                           method=method)
+        self.users_similarities_sorted_id = np.asarray(idx)
+        self.users_similarities_values = np.asarray(sims)
+
+    def similar_users_cached(self, user_index, nbr_recommendations=2,
+                             similarity_threshold=False,
+                             similarities_output=False):
+        ids = self.users_similarities_sorted_id[user_index]
+        sims = self.users_similarities_values[user_index]
+        ids, sims = self._apply_threshold(ids, sims, similarity_threshold)
+        if nbr_recommendations == 'All':
+            nbr_recommendations = len(ids) - 1
+        ids = ids[0:nbr_recommendations].astype(int)
+        if not similarities_output:
+            return ids
+        return ids, sims
+
+    def warmup(self, k=False, normalize_data=True):
+        '''Precompute SVD + the all-pairs user-similarity cache
+        (reference base.py:1223-1233).'''
+        if not k:
+            k = self.nbr_users - 1
+        self._compute_svd(normalize_data)
+        self._compute_users_similarities(k)
+        self.warmedup = True
+
+    # ----------------------------------------------- scalar similarity fns
+    def _euclidean_distance(self, A, B):
+        return float(np.linalg.norm(np.asarray(A) - np.asarray(B)))
+
+    def _cosine_similarity(self, A, B):
+        return sim_ops.numpy_reference_similarity(np.asarray(A),
+                                                  np.asarray(B), 'cosine')
+
+    def _cosine_similarity_log(self, A, B):
+        s = self._cosine_similarity(A, B)
+        return np.log(1.0 + s) if s != 0.0 else 0.0
+
+    def _pearson_similarity(self, A, B):
+        return sim_ops.numpy_reference_similarity(np.asarray(A),
+                                                  np.asarray(B), 'pearson')
+
+    def _user_coordinates(self, user_index):
+        return self.P[user_index]
+
+    # ----------------------------------------------------------- prediction
+    def predict_rating_userbased(self, user_index, item_index, k=20, k_min=5,
+                                 max_iterations='All',
+                                 similarity_threshold=False,
+                                 rating_normalisation=True):
+        '''Weighted k-NN vote over similar users (reference base.py:940-984).'''
+        rating = self.ratings.get(user_index, item_index)
+        if not rating:
+            if self.warmedup:
+                ids, sims = self.similar_users_cached(
+                    user_index, max_iterations, similarity_threshold, True)
+            else:
+                ids, sims = self.similar_users(
+                    user_index, max_iterations, similarity_threshold, True)
+            ids = np.asarray(ids, int)
+            sims = np.asarray(sims, np.float64)
+            cptr, cu, cv = self.ratings.csc()
+            col_users = cu[cptr[item_index]:cptr[item_index + 1]]
+            col_vals = cv[cptr[item_index]:cptr[item_index + 1]]
+            col = dict(zip(col_users.tolist(), col_vals.tolist()))
+            rated_pos = [j for j, uid in enumerate(ids) if uid in col][:k]
+            if len(rated_pos) == 0 or len(rated_pos) < k_min:
+                raise Error("No rated neighbors found: can't make a prediction")
+            norm = sims[rated_pos].sum() if rating_normalisation else 1.0
+            for j in rated_pos:
+                rating += sims[j] * col[int(ids[j])] / norm
+        if self.data_normalized:
+            rating = rating + self.users_bias[user_index]
+        return float(rating)
+
+    def predict_rating_itembased(self, user_index, item_index, k=20, k_min=5,
+                                 max_iterations=250):
+        '''Weighted k-NN vote over similar items (reference base.py:1002-1040).'''
+        rating = self.ratings.get(user_index, item_index)
+        if not rating:
+            if (self.warmedup
+                    and self.items_similarities_sorted_id is not None):
+                ids = self.items_similarities_sorted_id[item_index]
+                sims = self.items_similarities_values[item_index]
+            else:
+                ids, sims = self.similar_items(item_index, max_iterations,
+                                               False, True)
+            ids = np.asarray(ids, int)
+            sims = np.asarray(sims, np.float64)
+            rptr, ri, rv = self.ratings.csr()
+            row_items = ri[rptr[user_index]:rptr[user_index + 1]]
+            row_vals = rv[rptr[user_index]:rptr[user_index + 1]]
+            row = dict(zip(row_items.tolist(), row_vals.tolist()))
+            rated_pos = [j for j, iid in enumerate(ids) if iid in row][:k]
+            if len(rated_pos) == 0 or len(rated_pos) < k_min:
+                raise Error("No rated neighbors found: can't make a prediction")
+            norm = sims[rated_pos].sum()
+            for j in rated_pos:
+                rating += sims[j] * row[int(ids[j])] / norm
+        return float(rating)
+
+    def predict_rating_prototype(self, user_index, item_index):
+        rating = self.ratings.get(user_index, item_index)
+        if not rating:
+            rating = float(self.P[user_index] @ self.Q[item_index])
+        if self.data_normalized:
+            rating = rating + self.users_bias[user_index]
+        return rating
+
+    def find_user_top_match(self, user_index, nbr_recommendations=5, k=20,
+                            k_min=10, sim=0.15, rating_normalisation=True):
+        '''Score all items for one user via the kNN vote, mask rated, sort
+        (reference base.py:899-927).'''
+        scores = np.zeros(self.nbr_items)
+        rated = self.ratings.rated_mask_for_user(user_index)
+        for i in range(self.nbr_items):
+            if rated[i] or i == user_index:
+                continue
+            try:
+                scores[i] = self.predict_rating_userbased(
+                    user_index, i, k, k_min, 'All', sim,
+                    rating_normalisation)
+            except Error:
+                scores[i] = 0.0
+        nz = np.nonzero(scores)[0]
+        order = nz[np.argsort(-scores[nz], kind='stable')]
+        return [int(i) for i in order], [float(scores[i]) for i in order]
+
+    def most_popular_items(self, n=10):
+        if self.sorted_items_by_count is None:
+            counts = self.ratings.item_counts()
+            self.sorted_items_by_count = np.argsort(-counts,
+                                                    kind='stable').tolist()
+        return self.sorted_items_by_count[0:n]
+
+    def recommend_item_to_user(self, user_index, nbr_recommendations=2,
+                               label=False):
+        '''Items nearest (cosine) to the user's factor vector
+        (reference base.py:1517-1537).'''
+        user_coord = self.P[user_index, :self.dimensionality]
+        sims = np.asarray(sim_ops.similarity_to_queries(
+            jnp.asarray(self.Q, jnp.float32),
+            jnp.asarray(user_coord[None, :], jnp.float32), 'cosine'))[0]
+        result = np.argsort(-sims, kind='stable')[:nbr_recommendations]
+        if label:
+            return [self.items.labels[i] for i in result]
+        return result
+
+    def recommend_item_to_external(self, ratings, nbr_recommendations=2,
+                                   label=False):
+        '''Cold-start: fold an external ratings vector into factor space and
+        return the nearest items (reference base.py:1540-1564).'''
+        feature_array = np.zeros(self.nbr_items, np.float32)
+        for rating in ratings:
+            feature_array[rating['feature_id']] = rating['rating']
+        coord = self.new_user_coordinates(feature_array)
+        sims = np.asarray(sim_ops.similarity_to_queries(
+            jnp.asarray(self.Q, jnp.float32),
+            jnp.asarray(coord[None, :], jnp.float32), 'cosine'))[0]
+        result = np.argsort(-sims, kind='stable')[:nbr_recommendations]
+        if label:
+            return [self.items.labels[i] for i in result]
+        return result
+
+    def new_user_coordinates(self, items_array):
+        '''LSI-style fold-in projection r . U . S^-1
+        (reference base.py:1567-1578).'''
+        if self.Q is None:
+            self._compute_svd()
+        a = np.asarray(items_array) @ np.asarray(self.Q)     # [k]
+        k = self.dimensionality
+        s = np.asarray(self.svd_s)[:k]
+        return (a[:k] / np.where(s == 0, 1.0, s)).astype(np.float32)
+
+    # ----------------------------------------------------------- persistence
+    def save_state(self, filename):
+        '''Full state: ratings + factors + label maps
+        (reference base.py:557-574, minus the 5 pickle files).'''
+        u, i, v = self.ratings.coo()
+        ckpt.save_state(
+            filename,
+            arrays={'ratings_u': u, 'ratings_i': i, 'ratings_v': v,
+                    'svd_u': self.svd_u, 'svd_v': self.svd_v,
+                    'svd_s': self.svd_s, 'users_bias': self.users_bias,
+                    'items_bias': self.items_bias,
+                    'items_feedback': self.items_feedback},
+            labels={'users': self.users.to_list(),
+                    'items': self.items.to_list()},
+            metadata={**self.metadata,
+                      'nbr_users': self.nbr_users,
+                      'nbr_items': self.nbr_items,
+                      'dimensionality': self.dimensionality,
+                      'overall_bias': self.overall_bias,
+                      'data_normalized': self.data_normalized})
+
+    def load_state(self, filename):
+        arrays, labels, metadata = ckpt.load_state(filename)
+        nbr_users = int(metadata['nbr_users'])
+        nbr_items = int(metadata['nbr_items'])
+        self.users = Vocab(0, 'user')
+        self.items = Vocab(0, 'item')
+        self.users.labels = list(labels['users'])
+        self.items.labels = list(labels['items'])
+        self.users.rebuild()
+        self.items.rebuild()
+        self.ratings = Ratings(nbr_users, nbr_items)
+        self.ratings.set_many(arrays['ratings_u'], arrays['ratings_i'],
+                              arrays['ratings_v'])
+        for name in ('svd_u', 'svd_v', 'svd_s', 'users_bias', 'items_bias',
+                     'items_feedback'):
+            if name in arrays:
+                setattr(self, name, arrays[name])
+        self.dimensionality = int(metadata.get('dimensionality', 40))
+        self.overall_bias = metadata.get('overall_bias')
+        self.data_normalized = bool(metadata.get('data_normalized', False))
+
+    def initialize_from_file(self, filename):
+        self.load_state(filename)
+
+    def save_model_snapshot(self, filename):
+        ckpt.save_model_snapshot(filename, self.svd_u, self.svd_v)
+
+    def load_model_snapshot(self, filename):
+        svd_u, svd_v = ckpt.load_model_snapshot(filename)
+        self.svd_u, self.svd_v = svd_u, svd_v
+
+    # ------------------------------------------------------------- export
+    def export_items(self, fileobj):
+        '''Write item model documents as JSON lines (the store-agnostic
+        replacement for the reference's MongoDB writers, base.py:599-616).'''
+        for label in self.items.labels:
+            idx = self.items.index[label]
+            doc = {'lbl': label, 'w': np.asarray(self.Q[idx]).tolist()}
+            if self.items_bias is not None:
+                doc['bi'] = float(self.items_bias[idx])
+            fileobj.write(json.dumps(doc) + '\n')
+
+    def export_users(self, fileobj):
+        for label in self.users.labels:
+            idx = self.users.index[label]
+            doc = {'lbl': label, 'w': np.asarray(self.P[idx]).tolist()}
+            if self.users_bias is not None:
+                doc['bu'] = float(self.users_bias[idx])
+            fileobj.write(json.dumps(doc) + '\n')
+
+    def export_ratings(self, fileobj):
+        for u, i, v in self.ratings_iterator():
+            fileobj.write(json.dumps(
+                {'u_lbl': self.users.labels[u],
+                 'i_lbl': self.items.labels[i], 'val': float(v)}) + '\n')
+
+    def import_users(self, docs):
+        '''Set user factors from an iterator of {'lbl', 'w', 'bu'} docs
+        (reference set_users_from_db, base.py:751-761).'''
+        for idx, doc in enumerate(docs):
+            self.P[idx] = np.asarray(doc['w'], np.float32)
+            if 'bu' in doc and self.users_bias is not None:
+                self.users_bias[idx] = doc['bu']
+            self.users.set_label(idx, doc['lbl'])
+
+    def import_items(self, docs):
+        for idx, doc in enumerate(docs):
+            self.Q[idx] = np.asarray(doc['w'], np.float32)
+            if 'bi' in doc and self.items_bias is not None:
+                self.items_bias[idx] = doc['bi']
+            self.items.set_label(idx, doc['lbl'])
+
+    def import_ratings(self, docs):
+        for doc in docs:
+            try:
+                u = self.users.index[doc['u_lbl']]
+                i = self.items.index[doc['i_lbl']]
+            except KeyError:
+                continue
+            self.ratings.set(u, i, float(doc['val']))
+
+    # --------------------------------------------------------------- stubs
+    def train(self):
+        pass
+
+    def predict(self):
+        pass

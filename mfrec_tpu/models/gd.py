@@ -1,0 +1,563 @@
+'''
+GDRecommender — Funk/BellKor SGD matrix factorization.
+
+Re-design of reference ``mfrec/recommendation/gradient_descent.py:27-954``
+plus its Cython inner loops (``gd_estimator.pyx``).  Two training engines:
+
+* ``engine='fused'`` (default, the TPU path): all-features mini-batch SGD
+  epochs via ``ops.sgd_mf.make_fused_epoch`` — conflict-free scatter-add
+  updates, one jitted scan per epoch, convergence checked on host with the
+  reference's improvement rule.
+
+* ``engine='funk'``: the reference's feature-by-feature semantics (cached
+  partial dot, trailing term, per-feature convergence, rating-cache freeze)
+  via ``ops.sgd_mf.serial_feature_epoch`` — order-faithful, sequential, the
+  exactness oracle and the fold-in retrain path.
+
+Public surface mirrors the reference: ``train``/``feature_training`` (+
+``_bias``, ``_implicit``, ``_batch``, ``_online_prototype``, ``2``,
+prototypes), predictors (plain/bias/implicit/by-label), fold-in
+(``retrain_user``/``retrain_item``/``add_user``/``add_item``/
+``folding_in_new_user``/``folding_in_new_item``), binary-cosine user
+similarity, parameter names in ``PARAMETERS_INDEX``.
+'''
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from mfrec_tpu.models.base import Error
+from mfrec_tpu.models.mf import MFRecommender
+from mfrec_tpu.ops import sgd_mf
+from mfrec_tpu.ops import similarity as sim_ops
+from mfrec_tpu.engine.trainer import ConvergenceDriver
+
+
+class GDRecommender(MFRecommender):
+    '''Gradient Descent based Recommendation Engine (regularized MF via SGD;
+    Funk 2006 / Koren KDD'08 — see reference gradient_descent.py:27-56).'''
+
+    PARAMETERS_INDEX = {'min_epochs': 'min_epochs',
+                        'max_epochs': 'max_epochs',
+                        'min_improvement': 'min_improvement',
+                        'feature_init': 'feature_init',
+                        'learning_rate': 'learning_rate',
+                        'learning_rate_users': 'learning_rate_users',
+                        'learning_rate_items': 'learning_rate_items',
+                        'regularization_model': 'K',
+                        'regularization_users_bias': 'K2',
+                        'regularization_items_bias': 'K3',
+                        'nbr_features': 'dimensionality',
+                        'batch_size': 'batch_size',
+                        'engine': 'engine'}
+
+    _default_predictor_mode = 'dot_plus_one'
+
+    def __init__(self, nbr_users=4, nbr_items=6, parameters=None,
+                 filename=False):
+        MFRecommender.__init__(self, nbr_users, nbr_items, None)
+
+        # Reference defaults (gradient_descent.py:77-87)
+        self.min_epochs = 275
+        self.max_epochs = 275
+        self.min_improvement = 0.0001
+        self.feature_init = 0.1
+        self.learning_rate = 0.001
+        self.learning_rate_users = 0.001
+        self.learning_rate_items = 0.001
+        self.K = 0.05
+        self.K2 = 0.01
+        self.K3 = 0.01
+        self.dimensionality = 40
+
+        self.engine = 'fused'
+        self.batch_size = 8192
+        self.feedback_cap = 128          # max padded |N(u)| for SVD++
+
+        if parameters:
+            self.set_parameters(parameters)
+
+        self.rmse_history = []
+        self.feedback_rated = None
+        self.feedback_hash = None
+        self.components_mean = None
+
+    # --------------------------------------------------------------- utils
+    def get_rmse_history(self):
+        return np.asarray(self.rmse_history)
+
+    def _init_factors(self, initialize_model):
+        if initialize_model or self.P is None or self.Q is None:
+            k = self.dimensionality
+            self.P = np.full((self.nbr_users, k), self.feature_init,
+                             np.float32)
+            self.Q = np.full((self.nbr_items, k), self.feature_init,
+                             np.float32)
+
+    def _zero_biases(self):
+        return (np.zeros(self.nbr_users, np.float32),
+                np.zeros(self.nbr_items, np.float32))
+
+    def _state(self, with_bias, mu=None):
+        bu = self.users_bias if (with_bias and self.users_bias is not None) \
+            else np.zeros(self.nbr_users, np.float32)
+        bi = self.items_bias if (with_bias and self.items_bias is not None) \
+            else np.zeros(self.nbr_items, np.float32)
+        Y = self.Y if self.Y is not None \
+            else np.zeros_like(self.Q)
+        return sgd_mf.MFState(
+            P=jnp.asarray(self.P, jnp.float32),
+            Q=jnp.asarray(self.Q, jnp.float32),
+            bu=jnp.asarray(bu, jnp.float32),
+            bi=jnp.asarray(bi, jnp.float32),
+            mu=jnp.float32(mu if mu is not None else (self.overall_bias or 0.0)),
+            Y=jnp.asarray(Y, jnp.float32))
+
+    def _writeback(self, state, with_bias=False, with_y=False):
+        self.P = np.asarray(state.P)
+        self.Q = np.asarray(state.Q)
+        if with_bias:
+            self.users_bias = np.asarray(state.bu)
+            self.items_bias = np.asarray(state.bi)
+        if with_y:
+            self.Y = np.asarray(state.Y)
+
+    # ------------------------------------------------------- fused engine
+    def _run_fused(self, bias_mode, implicit=False, verbose=False,
+                   ratings=None, seed=None):
+        if ratings is None:
+            (uidx, iidx, vals) = self.ratings.coo()
+        else:
+            uidx, iidx, vals = ratings
+        ub, ib, rb, mb = sgd_mf.batch_ratings(
+            uidx, iidx, vals, self.batch_size,
+            seed=seed if seed is not None else int(self.rng.integers(2**31)))
+        ub, ib = jnp.asarray(ub), jnp.asarray(ib)
+        rb, mb = jnp.asarray(rb), jnp.asarray(mb)
+        epoch = sgd_mf.make_fused_epoch(
+            self.batch_size, self.learning_rate, self.K,
+            lr_bu=self.learning_rate_users, lr_bi=self.learning_rate_items,
+            K_bias=self.K2, bias_mode=bias_mode,
+            lo=self.min_rating, hi=self.max_rating, implicit=implicit)
+        flists = fmask = None
+        if implicit:
+            flists, fmask = self._padded_feedback_lists()
+            flists, fmask = jnp.asarray(flists), jnp.asarray(fmask)
+        state = self._state(with_bias=(bias_mode != 'none'))
+        driver = ConvergenceDriver(self.min_epochs, self.max_epochs,
+                                   self.min_improvement)
+        state = driver.run(
+            lambda s: epoch(s, ub, ib, rb, mb, flists, fmask), state)
+        self.rmse_history = driver.history
+        if verbose:
+            for e, r in enumerate(driver.history):
+                self.logger.info('epoch %d rmse %.5f', e, r)
+        self._writeback(state, with_bias=(bias_mode == 'learned'),
+                        with_y=implicit)
+
+    def _padded_feedback_lists(self):
+        ptr, items, _ = self.ratings.csr()
+        counts = np.diff(ptr)
+        L = int(min(max(counts.max(), 1), self.feedback_cap))
+        U = self.nbr_users
+        fl = np.zeros((U, L), np.int32)
+        fm = np.zeros((U, L), np.float32)
+        for u in range(U):
+            n = min(int(counts[u]), L)
+            fl[u, :n] = items[ptr[u]:ptr[u] + n]
+            fm[u, :n] = 1.0
+        return fl, fm
+
+    # -------------------------------------------------------- funk engine
+    def _run_funk(self, bias_mode, verbose=False, update_users=True,
+                  update_items=True, ratings=None):
+        '''Feature-by-feature training with exact reference semantics
+        (gd_estimator.pyx:489-582 / :691-779 / :401-483).'''
+        if ratings is None:
+            uidx, iidx, vals = self.ratings.shuffled(
+                int(self.rng.integers(2**31)))
+        else:
+            uidx, iidx, vals = ratings
+        uidx = jnp.asarray(uidx, jnp.int32)
+        iidx = jnp.asarray(iidx, jnp.int32)
+        r = jnp.asarray(vals, jnp.float32)
+        n = int(r.shape[0])
+        k = self.dimensionality
+        P = jnp.asarray(self.P, jnp.float32)
+        Q = jnp.asarray(self.Q, jnp.float32)
+        bu, bi = self._zero_biases()
+        if bias_mode != 'none':
+            bu = self.users_bias if self.users_bias is not None else bu
+            bi = self.items_bias if self.items_bias is not None else bi
+        bu, bi = jnp.asarray(bu, jnp.float32), jnp.asarray(bi, jnp.float32)
+        mu = jnp.float32(self.overall_bias or 0.0)
+        cache = jnp.zeros((n,), jnp.float32)
+        self.rmse_history = []
+
+        for f in range(k):
+            pf, qf = P[:, f], Q[:, f]
+            rmse, epoch = 2.0, 0
+            while (epoch < self.min_epochs
+                   or rmse <= rmse_last - self.min_improvement):
+                if epoch >= self.max_epochs:
+                    break
+                rmse_last = rmse
+                pf, qf, bu, bi, rmse_dev = sgd_mf.serial_feature_epoch(
+                    pf, qf, cache, uidx, iidx, r, f, k, self.feature_init,
+                    self.learning_rate, self.K, mu, bu, bi,
+                    self.learning_rate_users, self.learning_rate_items,
+                    self.K2, bias_mode=bias_mode,
+                    lo=self.min_rating, hi=self.max_rating,
+                    update_users=update_users, update_items=update_items,
+                    P=P, Q=Q)
+                rmse = float(rmse_dev)
+                self.rmse_history.append(rmse)
+                epoch += 1
+            P = P.at[:, f].set(pf)
+            Q = Q.at[:, f].set(qf)
+            if bias_mode != 'learned':
+                cache = sgd_mf.update_cache(pf, qf, cache, uidx, iidx, mu,
+                                            bu, bi, bias_mode=bias_mode,
+                                            lo=self.min_rating,
+                                            hi=self.max_rating)
+            if verbose:
+                self.logger.info('feature %d epochs %d rmse %.5f',
+                                 f, epoch, rmse)
+        self.P, self.Q = np.asarray(P), np.asarray(Q)
+        if bias_mode == 'learned':
+            self.users_bias = np.asarray(bu)
+            self.items_bias = np.asarray(bi)
+
+    # ------------------------------------------------------------ training
+    def feature_training(self, initialize_model=True, handle_bias=False,
+                         verbose=False):
+        '''Main SGD training (reference gradient_descent.py:506-542).
+        handle_bias=False -> baseline 1.0 (estimator_loop_without_bias);
+        handle_bias=True -> fixed BellKor biases precomputed then held
+        (estimator_loop_with_bias).'''
+        self._init_factors(initialize_model)
+        if handle_bias:
+            self.compute_overall_avg()
+            self.compute_items_bias_bk()
+            self.compute_users_bias_bk()
+            mode = 'fixed'
+        else:
+            mode = 'none'
+        if self.engine == 'funk':
+            self._run_funk(mode, verbose=verbose)
+        else:
+            self._run_fused(mode, verbose=verbose)
+
+    train = feature_training
+
+    def feature_training_bias(self, initialize_model=True, handle_bias=False,
+                              verbose=False):
+        '''SGD with *learned* biases (reference gradient_descent.py:472-503
+        -> estimator_loop_with_learned_bias).'''
+        self._init_factors(initialize_model)
+        self.compute_overall_avg()
+        self.compute_items_bias_bk()
+        self.compute_users_bias_bk()
+        if self.engine == 'funk':
+            self._run_funk('learned', verbose=verbose)
+        else:
+            self._run_fused('learned', verbose=verbose)
+
+    def feature_training_implicit(self, initialize_model=True, verbose=False):
+        '''SVD++-style training with implicit feedback factors
+        (reference gradient_descent.py:547-574).  Fused engine only; the
+        reference's serial loop is defective (SURVEY.md §2.6) so there is no
+        order-faithful oracle to honor.'''
+        self._init_factors(initialize_model)
+        self.compute_overall_avg()
+        self.compute_items_bias_bk()
+        self.compute_users_bias_bk()
+        self.initialize_rated_feedback()
+        self.Y = np.zeros_like(self.Q)
+        self._run_fused('fixed', implicit=True, verbose=verbose)
+
+    def feature_training2(self, initialize_model=True, verbose=False):
+        '''Caller-controlled funk subloops (reference
+        gradient_descent.py:299-328) — same semantics as engine='funk'.'''
+        self._init_factors(initialize_model)
+        self._run_funk('none', verbose=verbose)
+
+    def feature_training_folding(self, initialize_model=False,
+                                 handle_bias=False, verbose=False):
+        '''Warm-start continuation (reference gradient_descent.py:450-469).'''
+        self.feature_training(initialize_model=initialize_model,
+                              handle_bias=handle_bias, verbose=verbose)
+        self.compute_components_mean()
+
+    def feature_training_batch(self, batch_size=10000, probeset=None,
+                               verbose=False):
+        '''Sequential mini-batch / online training over rating chunks
+        (reference gradient_descent.py:331-355).'''
+        from mfrec_tpu.eval.metrics import test_predict_rating
+        idx, vals = self.get_ratings(randomize_order=False)
+        n = idx.shape[0]
+        nbr_batchs = max(n // batch_size, 1)
+        bounds = np.linspace(0, n, nbr_batchs + 1).astype(int)
+        rmse_probe = np.zeros(nbr_batchs)
+        self._init_factors(True)
+        for b in range(nbr_batchs):
+            chunk = (idx[bounds[b]:bounds[b + 1], 0],
+                     idx[bounds[b]:bounds[b + 1], 1],
+                     vals[bounds[b]:bounds[b + 1]].astype(np.float32))
+            self._run_fused('none', ratings=chunk, verbose=verbose)
+            if probeset is not None:
+                rmse_probe[b] = test_predict_rating(
+                    self, probeset, nbr_samples=20000, quiet=True)[0]
+        return rmse_probe
+
+    def feature_training_online_prototype(self, ratings_index, ratings,
+                                          initialize_cache=True,
+                                          initialize_model=True,
+                                          verbose=False):
+        '''Online training on an explicit rating-chunk (reference
+        gradient_descent.py:358-409) — funk engine on the given chunk.'''
+        self._init_factors(initialize_model)
+        chunk = (ratings_index[:, 0].astype(np.int32),
+                 ratings_index[:, 1].astype(np.int32),
+                 np.asarray(ratings, np.float32))
+        self._run_funk('none', verbose=verbose, ratings=chunk)
+
+    # --------------------------------------------------- numpy prototypes
+    def feature_training_prototype(self, verbose=False, randomize=False):
+        '''Pure-numpy oracle of the funk loop (kept, as in the reference, as
+        a slow dev twin — gradient_descent.py:214-257).'''
+        from mfrec_tpu.ops.reference_numpy import funk_train_oracle
+        idx, vals = self.get_ratings(randomize_order=False)
+        U = np.full((self.dimensionality, self.nbr_items), self.feature_init)
+        V = np.full((self.dimensionality, self.nbr_users), self.feature_init)
+        funk_train_oracle(self.min_epochs, self.max_epochs,
+                          self.min_improvement, self.dimensionality,
+                          self.feature_init, self.learning_rate, self.K,
+                          U, V, idx, vals, bias_mode='none')
+        self.svd_u, self.svd_v = U, V
+
+    def feature_training_prototype_p(self, verbose=False, randomize=False,
+                                     nbr_batch=2):
+        '''Zinkevich parameter-averaged parallel SGD (reference
+        gradient_descent.py:124-211).  The production multi-chip version is
+        ``mfrec_tpu.parallel.dsgd``; this prototype simulates the shards in
+        one process like the reference does.'''
+        idx, vals = self.get_ratings(randomize_order=False)
+        n = idx.shape[0]
+        cuts = np.linspace(0, n, nbr_batch + 1).astype(int)
+        self._init_factors(True)
+        k = self.dimensionality
+        shards_P = []
+        shards_Q = []
+        for b in range(nbr_batch):
+            sl = slice(cuts[b], cuts[b + 1])
+            chunk = (idx[sl, 0].astype(np.int32), idx[sl, 1].astype(np.int32),
+                     vals[sl].astype(np.float32))
+            model = GDRecommender.__new__(GDRecommender)
+            model.__dict__.update(self.__dict__)
+            model.P, model.Q = self.P.copy(), self.Q.copy()
+            model._run_funk('none', verbose=verbose, ratings=chunk)
+            shards_P.append(model.P)
+            shards_Q.append(model.Q)
+        self.P = np.mean(shards_P, axis=0)
+        self.Q = np.mean(shards_Q, axis=0)
+
+    # ---------------------------------------------------------- predictors
+    def estimate_rating(self, feature_index, user_index, f, cache=False,
+                        trailing=False):
+        '''Single-feature cached estimator (reference
+        gradient_descent.py:602-618).'''
+        s = cache if (cache and cache > 0) else 1.0
+        s += float(self.Q[feature_index, f] * self.P[user_index, f])
+        s = self.clamping(s, self.min_rating, self.max_rating)
+        if trailing:
+            s += ((self.dimensionality - f - 1)
+                  * self.feature_init * self.feature_init)
+            s = self.clamping(s, self.min_rating, self.max_rating)
+        return s
+
+    def predict_rating(self, item_index, user_index):
+        '''dot + 1.0 baseline (reference gradient_descent.py:621-631).'''
+        return float(self.Q[item_index] @ self.P[user_index] + 1.0)
+
+    predict = predict_rating
+
+    def predict_rating_with_bias(self, item_index, user_index):
+        '''dot + mu + b_i + b_u (reference gradient_descent.py:637-648).'''
+        return float(self.Q[item_index] @ self.P[user_index]
+                     + self.overall_bias + self.items_bias[item_index]
+                     + self.users_bias[user_index])
+
+    def predict_rating_implicit(self, item_index, user_index):
+        '''SVD++ predictor with feedback-sum user vector
+        (reference gradient_descent.py:651-667).'''
+        seek, span = self.feedback_hash[user_index]
+        if span <= 0:
+            return self.predict_rating_with_bias(item_index, user_index)
+        items_id = self.feedback_rated[seek:seek + span, 1]
+        p_u = self.P[user_index] + self.Y[items_id].sum(0) / np.sqrt(span)
+        return float(self.Q[item_index] @ p_u + self.overall_bias
+                     + self.items_bias[item_index]
+                     + self.users_bias[user_index])
+
+    def predict_rating_by_label(self, user_label, item_label):
+        try:
+            item_index = self.items.index[item_label]
+            user_index = self.users.index[user_label]
+            return self.predict_rating(item_index, user_index)
+        except KeyError:
+            return self.baseline_predictor(user_label, item_label)
+
+    def predict_batch(self, item_indices, user_indices,
+                      predictor='predict_rating'):
+        '''Vectorized pairwise prediction (the eval hot path; the reference
+        calls the scalar predictor in a python loop, metrics.py:58-66).'''
+        dots = (self.Q[np.asarray(item_indices)]
+                * self.P[np.asarray(user_indices)]).sum(-1)
+        if predictor in ('predict_rating', 'predict'):
+            return dots + 1.0
+        if predictor == 'predict_rating_with_bias':
+            return (dots + self.overall_bias
+                    + self.items_bias[np.asarray(item_indices)]
+                    + self.users_bias[np.asarray(user_indices)])
+        raise KeyError(predictor)
+
+    # --------------------------------------------------------------- fold-in
+    def folding_in_new_user(self, label, ratings):
+        '''Project a ratings vector onto the item factors
+        (reference gradient_descent.py:412-428).'''
+        Qt = self.svd_u.T          # [items, dim] in reference orientation
+        return np.asarray(ratings) @ Qt / (np.linalg.norm(Qt) ** 2)
+
+    def folding_in_new_item(self, label, ratings):
+        Pt = self.svd_v.T
+        return np.asarray(ratings) @ Pt / (np.linalg.norm(Pt) ** 2)
+
+    def retrain_user(self, user_index, ratings_index, ratings, verbose=False):
+        '''Fold-in retrain: random re-init then masked SGD touching only
+        user rows (reference gradient_descent.py:879-891 ->
+        estimator_loop_with_bias_dev update_users=1, update_items=0).'''
+        valid = np.where(ratings_index[:, 0] == user_index)[0]
+        self.init_user_features(user_index)
+        self._ensure_bias_arrays()
+        chunk = (ratings_index[valid, 0].astype(np.int32),
+                 ratings_index[valid, 1].astype(np.int32),
+                 np.asarray(ratings, np.float32)[valid])
+        self._run_funk('fixed', verbose=verbose, update_items=False,
+                       ratings=chunk)
+
+    def retrain_item(self, item_index, ratings_index, ratings, verbose=False):
+        valid = np.where(ratings_index[:, 1] == item_index)[0]
+        self.init_item_features(item_index)
+        self._ensure_bias_arrays()
+        chunk = (ratings_index[valid, 0].astype(np.int32),
+                 ratings_index[valid, 1].astype(np.int32),
+                 np.asarray(ratings, np.float32)[valid])
+        self._run_funk('fixed', verbose=verbose, update_users=False,
+                       ratings=chunk)
+
+    def _ensure_bias_arrays(self):
+        if self.overall_bias is None:
+            self.compute_overall_avg()
+        if self.items_bias is None or self.users_bias is None:
+            self.initialize_bias()
+        if self.items_bias.shape[0] < self.nbr_items:
+            self.items_bias = np.resize(self.items_bias, self.nbr_items)
+        if self.users_bias.shape[0] < self.nbr_users:
+            self.users_bias = np.resize(self.users_bias, self.nbr_users)
+
+    def add_user(self, user_label, users_ratings_index, users_ratings):
+        '''Add + fold-in a new user without touching the training matrix
+        (reference gradient_descent.py:908-930).'''
+        users_ratings_index = np.asarray(users_ratings_index)
+        users_ratings = np.asarray(users_ratings, np.float32)
+        if users_ratings_index.shape[0] != users_ratings.shape[0]:
+            raise Error('The index and the ratings array must be the same size')
+        new_id = self.users.add(user_label)
+        self.ratings.grow(nbr_users=new_id + 1)
+        self.P = np.resize(self.P, (new_id + 1, self.dimensionality))
+        ratings_index = np.zeros((users_ratings.shape[0], 2), np.int32)
+        ratings_index[:, 0] = new_id
+        ratings_index[:, 1] = users_ratings_index
+        self.retrain_user(new_id, ratings_index, users_ratings)
+        return new_id
+
+    def add_item(self, item_label, items_ratings_index, items_ratings):
+        items_ratings_index = np.asarray(items_ratings_index)
+        items_ratings = np.asarray(items_ratings, np.float32)
+        if items_ratings_index.shape[0] != items_ratings.shape[0]:
+            raise Error('The index and the ratings array must be the same size')
+        new_id = self.items.add(item_label)
+        self.ratings.grow(nbr_items=new_id + 1)
+        self.Q = np.resize(self.Q, (new_id + 1, self.dimensionality))
+        ratings_index = np.zeros((items_ratings.shape[0], 2), np.int32)
+        ratings_index[:, 1] = new_id
+        ratings_index[:, 0] = items_ratings_index
+        self.retrain_item(new_id, ratings_index, items_ratings)
+        return new_id
+
+    # ------------------------------------------------------ GD similarity
+    def _cosine_similarity_binary(self, A_set, B_set):
+        count = len(A_set.intersection(B_set))
+        denom = np.sqrt(float(len(A_set) * len(B_set)))
+        return float(count) / denom if denom else 0.0
+
+    def similar_users(self, user_index, nbr_recommendations=2,
+                      similarity_threshold=False, similarities_output=False,
+                      method='cosine_binary'):
+        '''GD override: binary rated-set cosine by default (reference
+        gradient_descent.py:712-766), one matmul on device.'''
+        if method != 'cosine_binary':
+            return MFRecommender.similar_users(
+                self, user_index, nbr_recommendations, similarity_threshold,
+                similarities_output, method)
+        B = jnp.asarray(self.ratings.to_dense() != 0, jnp.float32)
+        n = B.shape[0]
+        nbr = nbr_recommendations
+        if nbr == 'All':
+            nbr = n - 1
+        idx, sims = sim_ops.binary_cosine_topk(
+            B, jnp.asarray([int(user_index)]), min(int(nbr), n - 1))
+        ids = np.asarray(idx[0])
+        vals = np.asarray(sims[0], np.float64)
+        ids, vals = self._apply_threshold(ids, vals, similarity_threshold)
+        if not similarities_output:
+            return [int(x) for x in ids]
+        return [int(x) for x in ids], [float(v) for v in vals]
+
+    def compute_components_mean(self):
+        self.components_mean = np.asarray(self.Q).mean(axis=0)
+
+    def _normalize_cosine_similarity(self, A, B):
+        '''Component-mean-centered log-cosine (reference
+        gradient_descent.py:814-824).'''
+        An = np.asarray(A) - self.components_mean[1:self.dimensionality]
+        Bn = np.asarray(B) - self.components_mean[1:self.dimensionality]
+        ip = float(An @ Bn)
+        if ip == 0:
+            return 0.0
+        return float(np.log(1.0 + ip / (np.linalg.norm(An)
+                                        * np.linalg.norm(Bn))))
+
+    def similar_items(self, item_index, nbr_recommendations=2,
+                      similarity_threshold=False, similarities_output=False,
+                      method='pearson'):
+        '''GD override: similarity over factor components 1..dim (component
+        0 excluded) with pearson default (reference
+        gradient_descent.py:827-875).'''
+        F = np.asarray(self.Q, np.float32)[:, 1:self.dimensionality]
+        if method == 'norm_cosine':
+            self.compute_components_mean()
+            F = F - self.components_mean[None, 1:self.dimensionality]
+            method = 'cosine_log'
+        return self._similar_topk(F, int(item_index), nbr_recommendations,
+                                  similarity_threshold, similarities_output,
+                                  method)
+
+    def find_user_top_match(self, user_index, nbr_recommendations=5):
+        '''GD override: score all items with the dot predictor
+        (reference gradient_descent.py:769-802) — fused top-N kernel.'''
+        ids, scores = self.find_recommended_items(
+            user_index=user_index, nbr_recommendations=nbr_recommendations,
+            predictor='predict_rating')
+        return ids, scores

@@ -1,0 +1,235 @@
+'''
+KMFRecommender — kernel matrix factorization (logistic / linear kernels).
+
+Re-design of reference ``mfrec/recommendation/kmf.py:21-220`` over the
+fused mini-batch kernel in ``ops.kmf`` (serial tier for fold-in retrains).
+Note the reference's import of its own kernel module is broken
+(``kmf.py:18`` points at a nonexistent package — SURVEY.md §2.6); here the
+dispatch works.
+
+Rendle & Schmidt-Thieme: Online-Updating Regularized Kernel Matrix
+Factorization Models for Large-Scale Recommender Systems, RecSys 2008.
+'''
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from mfrec_tpu.models.base import Error
+from mfrec_tpu.models.mf import MFRecommender
+from mfrec_tpu.ops import kmf as kmf_ops
+from mfrec_tpu.ops import sgd_mf
+
+
+class KMFRecommender(MFRecommender):
+    '''Kernel Matrix Factorization Recommendation Engine.'''
+
+    PARAMETERS_INDEX = {'nbr_epochs': 'nbr_epochs',
+                        'min_improvement': 'min_improvement',
+                        'feature_init': 'feature_init',
+                        'learning_rate': 'learning_rate',
+                        'learning_rate_users': 'learning_rate_users',
+                        'learning_rate_items': 'learning_rate_items',
+                        'regularization_users': 'K_users',
+                        'regularization_items': 'K_items',
+                        'regularization_bias': 'K_bias',
+                        'nbr_features': 'dimensionality',
+                        'batch_size': 'batch_size',
+                        'engine': 'engine'}
+
+    _default_predictor_mode = 'logistic'
+
+    KERNELS = ('train_logistic_kernel', 'train_linear_kernel')
+
+    def __init__(self, nbr_users=4, nbr_items=6, parameters=None,
+                 filename=False):
+        MFRecommender.__init__(self, nbr_users, nbr_items, None)
+
+        # Reference defaults (kmf.py:49-57)
+        self.nbr_epochs = 200
+        self.feature_init = 0.1
+        self.learning_rate = 0.01
+        self.learning_rate_users = 0.01
+        self.learning_rate_items = 0.01
+        self.K_users = 0.1
+        self.K_items = 0.1
+        self.K_bias = 0.007
+        self.dimensionality = 40
+
+        self.engine = 'fused'
+        self.batch_size = 8192
+
+        if parameters:
+            self.set_parameters(parameters)
+
+    # ---------------------------------------------------------- predictors
+    def predict_logistic(self, item_index, user_index):
+        '''min + sigmoid(dot + biases) * range (reference kmf.py:79-85).'''
+        s = float(self.Q[item_index] @ self.P[user_index]
+                  + self.items_bias[item_index]
+                  + self.users_bias[user_index])
+        return self.min_rating + (1.0 / (1.0 + np.exp(-s))) \
+            * (self.max_rating - self.min_rating)
+
+    def predict_linear(self, item_index, user_index):
+        return float(self.Q[item_index] @ self.P[user_index]
+                     + self.items_bias[item_index]
+                     + self.users_bias[user_index])
+
+    def predict_linear_neg(self, item_index, user_index):
+        s = self.predict_linear(item_index, user_index)
+        return self.min_rating + s * (self.max_rating - self.min_rating)
+
+    predict = predict_logistic
+
+    def predict_batch(self, item_indices, user_indices,
+                      predictor='predict_logistic'):
+        dots = ((self.Q[np.asarray(item_indices)]
+                 * self.P[np.asarray(user_indices)]).sum(-1)
+                + self.items_bias[np.asarray(item_indices)]
+                + self.users_bias[np.asarray(user_indices)])
+        if predictor in ('predict_logistic', 'predict'):
+            return self.min_rating + (1.0 / (1.0 + np.exp(-dots))) \
+                * (self.max_rating - self.min_rating)
+        if predictor == 'predict_linear':
+            return dots
+        if predictor == 'predict_linear_neg':
+            return self.min_rating + dots * (self.max_rating - self.min_rating)
+        raise KeyError(predictor)
+
+    def predict_rating_by_label(self, user_label, item_label,
+                                predictor='predict_logistic'):
+        try:
+            item_index = self.items.index[item_label]
+            user_index = self.users.index[user_label]
+            return float(getattr(self, predictor)(item_index, user_index))
+        except KeyError:
+            return self.overall_bias if self.overall_bias else 0.0
+
+    # ------------------------------------------------------------ training
+    @staticmethod
+    def _kernel_name(kernel):
+        if kernel not in ('train_logistic_kernel', 'train_linear_kernel',
+                          'logistic', 'linear'):
+            raise Error('Unknown kernel: %r' % (kernel,))
+        return 'logistic' if 'logistic' in kernel else 'linear'
+
+    def train(self, initialize_model=True, verbose=False,
+              kernel='train_logistic_kernel'):
+        '''SGD training through the chosen link kernel
+        (reference kmf.py:197-220).'''
+        link = self._kernel_name(kernel)
+        if initialize_model or self.P is None:
+            self.init_feature_normal(0.0, 0.1)
+        self.compute_overall_avg()
+        self.items_bias = np.zeros(self.nbr_items, np.float32)
+        self.users_bias = np.zeros(self.nbr_users, np.float32)
+
+        if self.engine == 'serial':
+            self._train_serial(link, verbose, True, True, None)
+            return
+
+        uidx, iidx, vals = self.ratings.shuffled(int(self.rng.integers(2**31)))
+        ub, ib, rb, mb = sgd_mf.batch_ratings(uidx, iidx, vals,
+                                              self.batch_size)
+        epoch_fn = kmf_ops.make_kmf_fused_epoch(
+            kernel=link, lr=self.learning_rate, K_users=self.K_users,
+            K_items=self.K_items, K_bias=self.K_bias,
+            lo=self.min_rating, hi=self.max_rating)
+        P = jnp.asarray(self.P, jnp.float32)
+        Q = jnp.asarray(self.Q, jnp.float32)
+        bu = jnp.asarray(self.users_bias)
+        bi = jnp.asarray(self.items_bias)
+        ub, ib = jnp.asarray(ub), jnp.asarray(ib)
+        rb, mb = jnp.asarray(rb), jnp.asarray(mb)
+        for epoch in range(int(self.nbr_epochs)):
+            P, Q, bu, bi, rmse = epoch_fn(P, Q, bu, bi, ub, ib, rb, mb)
+            if verbose:
+                self.logger.info('EPOCHS: %d RMSE: %s', epoch + 1,
+                                 float(rmse))
+        self.P, self.Q = np.asarray(P), np.asarray(Q)
+        self.users_bias, self.items_bias = np.asarray(bu), np.asarray(bi)
+
+    def _train_serial(self, link, verbose, update_users, update_items,
+                      ratings):
+        '''Order-faithful serial sweep (oracle tier / fold-in retrains).'''
+        if ratings is None:
+            uidx, iidx, vals = self.ratings.shuffled(
+                int(self.rng.integers(2**31)))
+        else:
+            uidx, iidx, vals = ratings
+        P = jnp.asarray(self.P, jnp.float32)
+        Q = jnp.asarray(self.Q, jnp.float32)
+        bu = jnp.asarray(self.users_bias, jnp.float32)
+        bi = jnp.asarray(self.items_bias, jnp.float32)
+        uidx = jnp.asarray(uidx, jnp.int32)
+        iidx = jnp.asarray(iidx, jnp.int32)
+        r = jnp.asarray(vals, jnp.float32)
+        for epoch in range(int(self.nbr_epochs)):
+            P, Q, bu, bi, rmse = kmf_ops.kmf_serial_epoch(
+                P, Q, bu, bi, uidx, iidx, r, self.learning_rate,
+                self.K_users, self.K_items, self.K_bias, kernel=link,
+                lo=self.min_rating, hi=self.max_rating,
+                update_users=update_users, update_items=update_items)
+            if verbose:
+                self.logger.info('EPOCHS: %d RMSE: %s', epoch + 1,
+                                 float(rmse))
+        self.P, self.Q = np.asarray(P), np.asarray(Q)
+        self.users_bias, self.items_bias = np.asarray(bu), np.asarray(bi)
+
+    # --------------------------------------------------------------- fold-in
+    def retrain_user(self, user_index, ratings_index, ratings, verbose=False,
+                     kernel='train_logistic_kernel'):
+        '''Fold-in retrain of one user's vector (reference kmf.py:120-132;
+        the reference's retrain_item drops its ratings_index argument —
+        kmf.py:144-146, not replicated).'''
+        link = self._kernel_name(kernel)
+        valid = np.where(np.asarray(ratings_index)[:, 0] == user_index)[0]
+        self.init_user_features(user_index)
+        chunk = (np.asarray(ratings_index)[valid, 0].astype(np.int32),
+                 np.asarray(ratings_index)[valid, 1].astype(np.int32),
+                 np.asarray(ratings, np.float32)[valid])
+        self._train_serial(link, verbose, True, False, chunk)
+
+    def retrain_item(self, item_index, ratings_index, ratings, verbose=False,
+                     kernel='train_logistic_kernel'):
+        link = self._kernel_name(kernel)
+        valid = np.where(np.asarray(ratings_index)[:, 1] == item_index)[0]
+        self.init_item_features(item_index)
+        chunk = (np.asarray(ratings_index)[valid, 0].astype(np.int32),
+                 np.asarray(ratings_index)[valid, 1].astype(np.int32),
+                 np.asarray(ratings, np.float32)[valid])
+        self._train_serial(link, verbose, False, True, chunk)
+
+    def add_user(self, user_label, users_ratings_index, users_ratings):
+        '''Add + fold-in a new user (reference kmf.py:149-171).'''
+        users_ratings_index = np.asarray(users_ratings_index)
+        users_ratings = np.asarray(users_ratings, np.float32)
+        if users_ratings_index.shape[0] != users_ratings.shape[0]:
+            raise Error('The index and the ratings array must be the same size')
+        new_id = self.users.add(user_label)
+        self.ratings.grow(nbr_users=new_id + 1)
+        self.P = np.resize(self.P, (new_id + 1, self.dimensionality))
+        self.users_bias = np.resize(self.users_bias, new_id + 1)
+        self.users_bias[new_id] = 0.0
+        ratings_index = np.zeros((users_ratings.shape[0], 2), np.int32)
+        ratings_index[:, 0] = new_id
+        ratings_index[:, 1] = users_ratings_index
+        self.retrain_user(new_id, ratings_index, users_ratings)
+        return new_id
+
+    def add_item(self, item_label, items_ratings_index, items_ratings):
+        items_ratings_index = np.asarray(items_ratings_index)
+        items_ratings = np.asarray(items_ratings, np.float32)
+        if items_ratings_index.shape[0] != items_ratings.shape[0]:
+            raise Error('The index and the ratings array must be the same size')
+        new_id = self.items.add(item_label)
+        self.ratings.grow(nbr_items=new_id + 1)
+        self.Q = np.resize(self.Q, (new_id + 1, self.dimensionality))
+        self.items_bias = np.resize(self.items_bias, new_id + 1)
+        self.items_bias[new_id] = 0.0
+        ratings_index = np.zeros((items_ratings.shape[0], 2), np.int32)
+        ratings_index[:, 1] = new_id
+        ratings_index[:, 0] = items_ratings_index
+        self.retrain_item(new_id, ratings_index, items_ratings)
+        return new_id

@@ -1,0 +1,90 @@
+'''
+KNNSVDRecommender — SVD + k-NN hybrid.
+
+Re-design of reference ``mfrec/recommendation/knn_svd.py:18-492``: truncated
+SVD of the mean-centered matrix, an all-pairs user-similarity cache (one
+blocked matmul + top_k instead of the O(U^2 * dim) python scan that is the
+reference's scaling wall — SURVEY.md §3.4), and weighted-vote prediction.
+'''
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from mfrec_tpu.models.base import Error
+from mfrec_tpu.models.mf import MFRecommender
+from mfrec_tpu.ops import similarity as sim_ops
+
+
+class KNNSVDRecommender(MFRecommender):
+    '''Simple SVD-KNN Recommendation Engine.'''
+
+    PARAMETERS_INDEX = {'k': 'k',
+                        'k_min': 'k_min',
+                        'sim_threshold': 'sim_threshold',
+                        'nbr_features': 'dimensionality'}
+
+    def __init__(self, nbr_users=4, nbr_items=6, parameters=None,
+                 filename=False):
+        MFRecommender.__init__(self, nbr_users, nbr_items, None)
+
+        # Reference defaults (knn_svd.py:43-46)
+        self.k = 80
+        self.k_min = 2
+        self.sim_threshold = 0.18
+        self.dimensionality = 40
+
+        if parameters:
+            self.set_parameters(parameters)
+
+    def train(self):
+        '''warmup = SVD + precompute user similarities
+        (reference knn_svd.py:61-62,124-134).'''
+        self.warmup(k=self.k, normalize_data=True)
+
+    def warmup(self, k=False, normalize_data=True):
+        if not k:
+            k = self.k
+        self._compute_svd(normalize_data)
+        self._compute_users_similarities(k)
+        self.warmedup = True
+
+    def _compute_users_similarities(self, k, method='cosine'):
+        F = jnp.asarray(self.P[:, :self.dimensionality], jnp.float32)
+        idx, sims = sim_ops.all_pairs_topk(F, min(int(k), F.shape[0] - 1),
+                                           method=method)
+        self.users_similarities_sorted_id = np.asarray(idx)
+        self.users_similarities_values = np.asarray(sims)
+
+    def predict(self, item_index, user_index):
+        '''Weighted user-kNN vote with this model's defaults.'''
+        return self.predict_rating_userbased(
+            item_index, user_index, k=self.k, k_min=self.k_min,
+            similarity_threshold=self.sim_threshold)
+
+    def predict_rating_userbased(self, item_index, user_index, k=20, k_min=5,
+                                 max_iterations='All',
+                                 similarity_threshold=False,
+                                 rating_normalisation=True):
+        '''NOTE the reference swaps the argument order vs. base.py here
+        (item first — knn_svd.py:137); preserved for parity.'''
+        return MFRecommender.predict_rating_userbased(
+            self, user_index, item_index, k, k_min, max_iterations,
+            similarity_threshold, rating_normalisation)
+
+    def predict_batch(self, item_indices, user_indices, predictor='predict'):
+        out = np.full(len(item_indices), np.nan)
+        for j, (i, u) in enumerate(zip(np.asarray(item_indices),
+                                       np.asarray(user_indices))):
+            try:
+                out[j] = self.predict(int(i), int(u))
+            except Error:
+                pass
+        return out
+
+    def find_user_top_match(self, user_index, nbr_recommendations=5, k=20,
+                            k_min=10, sim=0.15, rating_normalisation=True):
+        '''reference knn_svd.py:463-491.'''
+        return MFRecommender.find_user_top_match(
+            self, user_index, nbr_recommendations, k, k_min, sim,
+            rating_normalisation)

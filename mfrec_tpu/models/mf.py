@@ -1,0 +1,191 @@
+'''
+MFRecommender — the matrix-factorization common layer.
+
+Re-design of reference ``mfrec/recommendation/mf.py:33-194``: clamping,
+BellKor regularized bias estimates, random-normal factor init, and top-N
+recommendation.  Top-N is a fused blocked P@Q^T + top_k device kernel
+instead of the reference's per-candidate python loop (mf.py:144-193).
+'''
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from mfrec_tpu.models.base import BaseRecommender, Error
+from mfrec_tpu.ops import topk as topk_ops
+
+
+class MFRecommender(BaseRecommender):
+    '''Base class for the matrix factorization based recommenders.'''
+
+    # predictor name -> topn_scores kernel mode
+    _PREDICTOR_MODES = {
+        'predict': None,             # resolved per class
+        'predict_rating': 'dot_plus_one',
+        'predict_rating_with_bias': 'bias',
+        'predict_logistic': 'logistic',
+        'predict_linear': 'bias',
+    }
+
+    def __init__(self, nbr_users=4, nbr_items=6, parameters=None):
+        BaseRecommender.__init__(self, nbr_users, nbr_items, parameters)
+        self.neighborhood = 500
+
+    # ------------------------------------------------------------- helpers
+    def clamping(self, value, min=1.0, max=5.0):
+        '''Clamp to [min, max].  (The reference hardcodes [1, 5] and ignores
+        its arguments — mf.py:44-53, a latent defect not replicated.)'''
+        return float(np.clip(value, min, max))
+
+    def warmyup(self):
+        '''Kept for API parity (reference mf.py:64-65); CSC/CSR recasts are
+        cached inside the Ratings store here.'''
+        self.ratings.csc()
+
+    def init_feature_normal(self, mean=0.0, std=0.1):
+        '''Random-normal factor init (reference mf.py:124-133).'''
+        k = self.dimensionality
+        self.Q = self.rng.normal(mean, std,
+                                 (self.nbr_items, k)).astype(np.float32)
+        self.P = self.rng.normal(mean, std,
+                                 (self.nbr_users, k)).astype(np.float32)
+
+    def init_user_features(self, user_index, mean=0.0, std=0.1):
+        self.P[user_index] = self.rng.normal(
+            mean, std, self.dimensionality).astype(np.float32)
+
+    def init_item_features(self, item_index, mean=0.0, std=0.1):
+        self.Q[item_index] = self.rng.normal(
+            mean, std, self.dimensionality).astype(np.float32)
+
+    # -------------------------------------------------------------- biases
+    def compute_items_bias_bk(self):
+        '''Regularized item bias, BellKor shrinkage sum/(K3+N)
+        (reference mf.py:78-97).'''
+        if not self.overall_bias:
+            self.compute_overall_avg()
+        u, i, v = self.ratings.coo()
+        counts = self.ratings.item_counts()
+        dev = np.bincount(i, weights=v - self.overall_bias,
+                          minlength=self.nbr_items)
+        K3 = getattr(self, 'K3', 0.01)
+        with np.errstate(invalid='ignore'):
+            bias = dev / (K3 + counts)
+        bias[counts == 0] = 0.0
+        self.items_bias = np.nan_to_num(bias).astype(np.float32)
+
+    def compute_users_bias_bk(self):
+        '''Regularized user bias over item-bias-adjusted residuals
+        (reference mf.py:100-121).'''
+        if not self.overall_bias:
+            self.compute_overall_avg()
+        if self.items_bias is None:
+            self.compute_items_bias_bk()
+        u, i, v = self.ratings.coo()
+        counts = self.ratings.user_counts()
+        resid = v - self.overall_bias - self.items_bias[i]
+        dev = np.bincount(u, weights=resid, minlength=self.nbr_users)
+        K2 = getattr(self, 'K2', 0.01)
+        with np.errstate(invalid='ignore'):
+            bias = dev / (K2 + counts)
+        bias[counts == 0] = 0.0
+        self.users_bias = np.nan_to_num(bias).astype(np.float32)
+
+    # ---------------------------------------------------------- prediction
+    def predict_rating_by_label(self, user_label, item_label,
+                                predictor='predict'):
+        try:
+            item_index = self.items.index[item_label]
+            user_index = self.users.index[user_label]
+            return float(getattr(self, predictor)(item_index, user_index))
+        except KeyError:
+            return self.overall_bias if self.overall_bias else 0.0
+
+    def _predictor_mode(self, predictor):
+        mode = self._PREDICTOR_MODES.get(predictor)
+        if predictor == 'predict':
+            mode = getattr(self, '_default_predictor_mode', 'dot_plus_one')
+        return mode
+
+    def find_recommended_items(self, user_index=None, user_label=None,
+                               nbr_recommendations=5, output_label=False,
+                               predictor='predict'):
+        '''Top-N recommendation for one user.
+
+        The reference samples a random `neighborhood`-size candidate subset
+        and scores it in a python loop (mf.py:144-193 — with a latent defect:
+        it actually scores item ids 0..neighborhood-1).  Here all items are
+        scored in one fused blocked matmul+top_k kernel, rated items masked
+        on-device; `neighborhood` survives as an optional candidate cap.
+        Returns ([ids], [scores]).
+        '''
+        if user_index is None:
+            user_index = self.users.index[user_label]
+        mode = self._predictor_mode(predictor)
+        if mode is None:
+            return self._find_recommended_items_host(
+                user_index, nbr_recommendations, output_label, predictor)
+        rated_idx, rated_mask = topk_ops.pad_rated_lists(self.ratings,
+                                                         [user_index])
+        bu = self.users_bias if self.users_bias is not None \
+            else np.zeros(self.nbr_users, np.float32)
+        bi = self.items_bias if self.items_bias is not None \
+            else np.zeros(self.nbr_items, np.float32)
+        mu = self.overall_bias if self.overall_bias else 0.0
+        n = min(int(nbr_recommendations), self.nbr_items)
+        idx, scores = topk_ops.topn_scores(
+            jnp.asarray(self.P[None, user_index], jnp.float32),
+            jnp.asarray(self.Q, jnp.float32),
+            jnp.asarray([bu[user_index]], jnp.float32),
+            jnp.asarray(bi, jnp.float32), jnp.float32(mu),
+            jnp.asarray(rated_idx), jnp.asarray(rated_mask),
+            n, predictor=mode,
+            lo=self.min_rating, hi=self.max_rating)
+        ids = np.asarray(idx[0])
+        vals = np.asarray(scores[0], np.float64)
+        keep = vals > topk_ops.NEG / 2
+        return [int(x) if not output_label else self.items.labels[int(x)]
+                for x in ids[keep]], [float(v) for v in vals[keep]]
+
+    def _find_recommended_items_host(self, user_index, nbr_recommendations,
+                                     output_label, predictor):
+        '''Fallback for custom per-pair predictors.'''
+        rated = self.ratings.rated_mask_for_user(user_index)
+        scores = np.zeros(self.nbr_items)
+        fn = getattr(self, predictor)
+        for i in range(self.nbr_items):
+            if rated[i]:
+                continue
+            try:
+                scores[i] = fn(i, user_index)
+            except Error:
+                scores[i] = 0.0
+        scores = np.nan_to_num(scores)
+        nz = np.nonzero(scores)[0]
+        order = nz[np.argsort(-scores[nz], kind='stable')]
+        order = order[:nbr_recommendations]
+        out = [self.items.labels[int(i)] if output_label else int(i)
+               for i in order]
+        return out, [float(scores[i]) for i in order]
+
+    def recommend_batch(self, user_indices, nbr_recommendations=5,
+                        predictor='predict'):
+        '''Batched top-N for many users in one device call — the serving
+        path (no reference equivalent; the reference loops users).'''
+        mode = self._predictor_mode(predictor) or 'dot_plus_one'
+        rated_idx, rated_mask = topk_ops.pad_rated_lists(self.ratings,
+                                                         user_indices)
+        bu = self.users_bias if self.users_bias is not None \
+            else np.zeros(self.nbr_users, np.float32)
+        bi = self.items_bias if self.items_bias is not None \
+            else np.zeros(self.nbr_items, np.float32)
+        mu = self.overall_bias if self.overall_bias else 0.0
+        idx, scores = topk_ops.topn_scores(
+            jnp.asarray(self.P[np.asarray(user_indices)], jnp.float32),
+            jnp.asarray(self.Q, jnp.float32),
+            jnp.asarray(bu[np.asarray(user_indices)], jnp.float32),
+            jnp.asarray(bi, jnp.float32), jnp.float32(mu),
+            jnp.asarray(rated_idx), jnp.asarray(rated_mask),
+            min(int(nbr_recommendations), self.nbr_items), predictor=mode,
+            lo=self.min_rating, hi=self.max_rating)
+        return np.asarray(idx), np.asarray(scores)

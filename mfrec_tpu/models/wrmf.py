@@ -1,0 +1,96 @@
+'''
+WRMFRecommender — implicit-feedback weighted ALS.
+
+Re-design of reference ``mfrec/recommendation/wrmf.py:20-110`` over the
+batched-Cholesky ALS kernel (``ops.als``), replacing the per-row
+``np.linalg.inv``-in-a-loop of ``als_implicit.pyx:211-352``.
+
+Hu, Koren, Volinsky: Collaborative Filtering for Implicit Feedback
+Datasets, ICDM 2008.
+'''
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from mfrec_tpu.models.mf import MFRecommender
+from mfrec_tpu.ops import als as als_ops
+
+
+class WRMFRecommender(MFRecommender):
+    '''Weighted Regularized Matrix Factorization Recommendation Engine.'''
+
+    PARAMETERS_INDEX = {'nbr_epochs': 'nbr_epochs',
+                        'feature_init': 'feature_init',
+                        'regularization_model': 'K',
+                        'neighborhood': 'neighborhood',
+                        'nbr_features': 'dimensionality',
+                        'c_pos': 'c_pos',
+                        'alpha': 'alpha'}
+
+    _default_predictor_mode = 'dot'
+
+    def __init__(self, nbr_users=4, nbr_items=6, parameters=None):
+        MFRecommender.__init__(self, nbr_users, nbr_items, None)
+
+        # Reference defaults (wrmf.py:39-43)
+        self.nbr_epochs = 20
+        self.feature_init = 0.1
+        self.K = 0.025
+        self.dimensionality = 20
+        self.neighborhood = 500
+        # Confidence weighting: reference hardcodes c_pos=1, reg k=0.015 at
+        # the call site and ignores self.K (wrmf.py:110 — latent defect).
+        # Here self.K is honored; c_pos keeps the reference default and
+        # alpha>0 switches to rating-scaled confidence c_ui = 1 + alpha*r.
+        self.c_pos = 1.0
+        self.alpha = 0.0
+
+        if parameters:
+            self.set_parameters(parameters)
+
+    def predict(self, item_index, user_index):
+        '''Plain dot product (reference wrmf.py:67-69).'''
+        return float(self.Q[item_index] @ self.P[user_index])
+
+    def predict_batch(self, item_indices, user_indices, predictor='predict'):
+        return (self.Q[np.asarray(item_indices)]
+                * self.P[np.asarray(user_indices)]).sum(-1)
+
+    def predict_rating_by_label(self, user_label, item_label):
+        try:
+            return self.predict(self.items.index[item_label],
+                                self.users.index[user_label])
+        except KeyError:
+            return 0.0
+
+    def train(self, initialize_model=True, handle_bias=False, verbose=False):
+        '''ALS training (reference wrmf.py:83-110): binarized implicit
+        preferences, alternating batched normal-equation solves.'''
+        if initialize_model or self.P is None:
+            self.P = np.full((self.nbr_users, self.dimensionality),
+                             self.feature_init, np.float32)
+            self.Q = np.full((self.nbr_items, self.dimensionality),
+                             self.feature_init, np.float32)
+
+        self.initialize_rated_feedback()
+        self.compute_overall_avg()
+
+        user_buckets = self.ratings.padded_rows(axis='user')
+        item_buckets = self.ratings.padded_rows(axis='item')
+
+        P, Q = als_ops.als_wrmf_train(
+            jnp.asarray(self.P, jnp.float32),
+            jnp.asarray(self.Q, jnp.float32),
+            user_buckets, item_buckets,
+            nbr_epochs=int(self.nbr_epochs),
+            c_pos=float(self.c_pos), alpha=float(self.alpha),
+            reg=float(self.K),
+            callback=(lambda e, P, Q: self.logger.info('Epoch : %d', e))
+            if verbose else None)
+        self.P = np.asarray(P)
+        self.Q = np.asarray(Q)
+        # Rows with no ratings solve to M^-1 @ 0 = 0 in the reference
+        # (als_implicit.pyx:296-302); padded buckets skip them, so zero here.
+        self.P[self.ratings.user_counts() == 0] = 0.0
+        self.Q[self.ratings.item_counts() == 0] = 0.0

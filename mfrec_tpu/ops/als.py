@@ -1,0 +1,115 @@
+'''
+Weighted-Regularized implicit ALS (WRMF) — batched normal equations.
+
+Replaces ``mfrec/lib/als_implicit.pyx:211-352`` (per-row Gram assembly via a
+serial CSR walk, with ``np.linalg.inv`` called once *per user/item row*)
+with a TPU-native formulation: per half-sweep, one Gram matmul
+``HH = F^T F`` on the MXU, then — per nnz-bucket of padded neighbor lists —
+batched rank-L corrections ``A^T A`` (an einsum that maps to batched MXU
+matmuls) and a batched Cholesky solve.
+
+Model (Hu/Koren/Volinsky ICDM'08, as the reference implements it):
+confidence c_ui = 1 + c_pos for observed pairs and 1 otherwise, preference
+p_ui = 1(observed).  Per user u:
+    M_u = HH + sum_{i in N(u)} c_pos q_i q_i^T + reg*I
+    b_u = sum_{i in N(u)} (1 + c_pos) q_i
+    p_u = M_u^{-1} b_u
+(reference: ``als_implicit.pyx:257-302``; the general rating-scaled
+confidence c_ui = 1 + alpha*r_ui is also supported via ``alpha``).
+'''
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, donate_argnums=(1,))
+def _bucket_solve(F, out, HH, rows, nbr_idx, nbr_val, mask, c_pos, alpha, reg):
+    '''Solve the normal equations for one nnz-bucket of rows.
+
+    F: [n_other, k] fixed-side factors; out: [n_this, k] factors being
+    updated; rows: [R] row ids in this bucket; nbr_idx/nbr_val/mask: [R, L]
+    padded neighbor lists.  Returns ``out`` with the bucket rows replaced.
+    '''
+    k = F.shape[1]
+    A = F[nbr_idx] * mask[..., None]                  # [R, L, k]
+    # c_ui - 1 for observed entries (zero where padded)
+    cm1 = jnp.where(alpha > 0, alpha * nbr_val, c_pos) * mask   # [R, L]
+    M = HH[None] + jnp.einsum('rlk,rlm->rkm', A * cm1[..., None], A,
+                              preferred_element_type=jnp.float32)
+    M = M + reg * jnp.eye(k, dtype=F.dtype)[None]
+    b = ((1.0 + cm1)[..., None] * A).sum(1)           # [R, k]
+    L = jnp.linalg.cholesky(M)
+    sol = jax.scipy.linalg.cho_solve((L, True), b[..., None])[..., 0]
+    return out.at[rows].set(sol.astype(out.dtype))
+
+
+def als_half_sweep(F_fixed, F_update, buckets, c_pos=1.0, alpha=0.0,
+                   reg=0.015):
+    '''One half-sweep (all users, or all items).
+
+    buckets: output of ``Ratings.padded_rows`` — list of
+    (rows, nbr_idx, nbr_val, mask) with per-bucket static shapes.
+    '''
+    HH = F_fixed.T @ F_fixed
+    for rows, nbr_idx, nbr_val, mask in buckets:
+        F_update = _bucket_solve(
+            F_fixed, F_update, HH,
+            jnp.asarray(rows), jnp.asarray(nbr_idx), jnp.asarray(nbr_val),
+            jnp.asarray(mask), jnp.float32(c_pos), jnp.float32(alpha),
+            jnp.float32(reg))
+    return F_update
+
+
+def als_wrmf_train(P, Q, user_buckets, item_buckets, nbr_epochs=20,
+                   c_pos=1.0, alpha=0.0, reg=0.015, callback=None):
+    '''Full WRMF training: alternate user and item half-sweeps
+    (reference main loop ``als_implicit.pyx:250-352``).
+
+    P: [U, k] user factors, Q: [I, k] item factors (both updated).
+    user_buckets index into Q (each user's rated items); item_buckets index
+    into P.  Returns (P, Q).
+    '''
+    for epoch in range(nbr_epochs):
+        P = als_half_sweep(Q, P, user_buckets, c_pos, alpha, reg)
+        Q = als_half_sweep(P, Q, item_buckets, c_pos, alpha, reg)
+        if callback is not None:
+            callback(epoch, P, Q)
+    return P, Q
+
+
+# --------------------------------------------------------------------------
+# Slow oracle (numpy, mirrors the Cython reference exactly)
+# --------------------------------------------------------------------------
+
+def als_wrmf_oracle(nbr_epochs, dim, u, v, users_row, users_col, items_row,
+                    items_col, nbr_users, nbr_items, c_pos=1, k=0.015):
+    '''Direct numpy re-expression of ``als_implicit.pyx:211-352`` (same
+    inputs: (row-count-with-leading-0, col-index) arrays, u=[dim, items],
+    v=[dim, users]).  Kept as the slow-oracle twin for tests — the
+    reference's own pattern (``als_wrmf_dense``, ``als_implicit.pyx:71``).'''
+    for _ in range(nbr_epochs):
+        HH = u @ u.T
+        start = 0
+        for j in range(users_row.shape[0] - 1):
+            start += users_row[j]
+            span = users_row[j + 1]
+            cols = users_col[start:start + span]
+            sub = u[:, cols]
+            M = HH + c_pos * (sub @ sub.T) + k * np.eye(dim)
+            rhs = (1 + c_pos) * sub.sum(1)
+            v[:, j] = np.linalg.inv(M) @ rhs
+        HH = v @ v.T
+        start = 0
+        for j in range(items_row.shape[0] - 1):
+            start += items_row[j]
+            span = items_row[j + 1]
+            cols = items_col[start:start + span]
+            sub = v[:, cols]
+            M = HH + c_pos * (sub @ sub.T) + k * np.eye(dim)
+            rhs = (1 + c_pos) * sub.sum(1)
+            u[:, j] = np.linalg.inv(M) @ rhs
+    return u, v

@@ -1,0 +1,132 @@
+'''Kernel-level parity: the serial JAX tier must match the numpy oracle of
+the Cython loops (near bit-parity), and the fused tier must converge to
+comparable RMSE (the documented parity definition for order-changing
+parallel schedules — SURVEY.md §7).'''
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mfrec_tpu.ops import sgd_mf
+from mfrec_tpu.ops.reference_numpy import funk_train_oracle
+
+
+def _coo(tiny_dataset):
+    (u, i, v), test = tiny_dataset
+    return u, i, v.astype(np.float32)
+
+
+@pytest.mark.parametrize('bias_mode', ['none', 'fixed', 'learned'])
+def test_serial_matches_oracle(tiny_dataset, bias_mode):
+    u, i, v = _coo(tiny_dataset)
+    U = int(u.max()) + 1
+    I = int(i.max()) + 1
+    dim, f_init, lr, K = 3, 0.1, 0.01, 0.02
+    min_epochs = max_epochs = 3
+
+    # oracle (reference layout u=[dim, items], v=[dim, users])
+    uo = np.full((dim, I), f_init)
+    vo = np.full((dim, U), f_init)
+    mu = float(v.mean())
+    bi_o = np.random.default_rng(0).normal(0, 0.05, I)
+    bu_o = np.random.default_rng(1).normal(0, 0.05, U)
+    idx = np.stack([u, i], 1)
+    funk_train_oracle(min_epochs, max_epochs, 0.0001, dim, f_init, lr, K,
+                      uo, vo, idx, v.astype(np.float64), bias_mode=bias_mode,
+                      overall_avg=mu, items_bias=bi_o.copy(),
+                      users_bias=bu_o.copy(),
+                      lr_users=0.005, lr_items=0.005, K_bias=0.01)
+
+    # serial JAX tier, feature-by-feature (row-major layout)
+    P = jnp.full((U, dim), f_init, jnp.float32)
+    Q = jnp.full((I, dim), f_init, jnp.float32)
+    bu = jnp.asarray(bu_o, jnp.float32)
+    bi = jnp.asarray(bi_o, jnp.float32)
+    cache = jnp.zeros((u.shape[0],), jnp.float32)
+    uj = jnp.asarray(u, jnp.int32)
+    ij = jnp.asarray(i, jnp.int32)
+    rj = jnp.asarray(v, jnp.float32)
+    for f in range(dim):
+        pf, qf = P[:, f], Q[:, f]
+        rmse = 2.0
+        for epoch in range(max_epochs):
+            rmse_last = rmse
+            if epoch >= min_epochs and not rmse <= rmse_last - 0.0001:
+                break
+            pf, qf, bu, bi, rmse_dev = sgd_mf.serial_feature_epoch(
+                pf, qf, cache, uj, ij, rj, f, dim, f_init, lr, K,
+                jnp.float32(mu), bu, bi, 0.005, 0.005, 0.01,
+                bias_mode=bias_mode, P=P, Q=Q)
+            rmse = float(rmse_dev)
+        P = P.at[:, f].set(pf)
+        Q = Q.at[:, f].set(qf)
+        if bias_mode != 'learned':
+            cache = sgd_mf.update_cache(pf, qf, cache, uj, ij,
+                                        jnp.float32(mu), bu, bi,
+                                        bias_mode=bias_mode)
+    np.testing.assert_allclose(np.asarray(Q).T, uo, atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(P).T, vo, atol=2e-3, rtol=1e-3)
+
+
+def test_fused_epoch_reduces_rmse(small_dataset):
+    (u, i, v), _ = small_dataset
+    U, I = int(u.max()) + 1, int(i.max()) + 1
+    k = 8
+    state = sgd_mf.init_state(U, I, k, feature_init=0.1)
+    mu = float(v.mean())
+    state = state._replace(mu=jnp.float32(mu))
+    ub, ib, rb, mb = sgd_mf.batch_ratings(u, i, v, batch_size=512, seed=0)
+    epoch = sgd_mf.make_fused_epoch(512, lr=0.02, K=0.02, bias_mode='fixed',
+                                    donate=False)
+    hist = []
+    for _ in range(30):
+        state, rmse = epoch(state, jnp.asarray(ub), jnp.asarray(ib),
+                            jnp.asarray(rb), jnp.asarray(mb), None, None)
+        hist.append(float(rmse))
+    assert hist[-1] < hist[0] - 0.05
+    assert hist[-1] < 0.85
+
+
+def test_fused_learned_bias_converges(small_dataset):
+    (u, i, v), _ = small_dataset
+    U, I = int(u.max()) + 1, int(i.max()) + 1
+    state = sgd_mf.init_state(U, I, 8, feature_init=0.1)
+    state = state._replace(mu=jnp.float32(v.mean()))
+    ub, ib, rb, mb = sgd_mf.batch_ratings(u, i, v, batch_size=512, seed=0)
+    epoch = sgd_mf.make_fused_epoch(512, lr=0.02, K=0.02, lr_bu=0.01,
+                                    lr_bi=0.01, K_bias=0.01,
+                                    bias_mode='learned', donate=False)
+    for _ in range(30):
+        state, rmse = epoch(state, jnp.asarray(ub), jnp.asarray(ib),
+                            jnp.asarray(rb), jnp.asarray(mb), None, None)
+    assert float(rmse) < 0.9
+    assert float(jnp.abs(state.bu).max()) > 0  # biases actually learned
+
+
+def test_fused_implicit_converges(small_dataset):
+    (u, i, v), _ = small_dataset
+    U, I = int(u.max()) + 1, int(i.max()) + 1
+    state = sgd_mf.init_state(U, I, 8, feature_init=0.1)
+    state = state._replace(mu=jnp.float32(v.mean()))
+    ub, ib, rb, mb = sgd_mf.batch_ratings(u, i, v, batch_size=512, seed=0)
+    # padded per-user lists
+    from mfrec_tpu.data.movielens import ratings_from_arrays
+    r = ratings_from_arrays(u, i, v, U, I)
+    ptr, items, _ = r.csr()
+    counts = np.diff(ptr)
+    L = int(counts.max())
+    fl = np.zeros((U, L), np.int32)
+    fm = np.zeros((U, L), np.float32)
+    for uu in range(U):
+        n = counts[uu]
+        fl[uu, :n] = items[ptr[uu]:ptr[uu + 1]]
+        fm[uu, :n] = 1.0
+    epoch = sgd_mf.make_fused_epoch(512, lr=0.02, K=0.02, bias_mode='fixed',
+                                    implicit=True, donate=False)
+    hist = []
+    for _ in range(20):
+        state, rmse = epoch(state, jnp.asarray(ub), jnp.asarray(ib),
+                            jnp.asarray(rb), jnp.asarray(mb),
+                            jnp.asarray(fl), jnp.asarray(fm))
+        hist.append(float(rmse))
+    assert hist[-1] < hist[0]
+    assert float(jnp.abs(state.Y).max()) > 0
