@@ -379,9 +379,9 @@ class BaseRecommender(object):
         U, s, Vt = svd_ops.randomized_svd(
             jnp.asarray(i), jnp.asarray(u), jnp.asarray(v),
             self.nbr_items, self.nbr_users, int(self.dimensionality))
-        self.Q = np.asarray(U)                       # [items, k]
-        self.svd_s = np.asarray(s)
-        self.P = np.asarray(Vt).T                    # [users, k]
+        self.Q = np.array(U)                         # [items, k]
+        self.svd_s = np.array(s)
+        self.P = np.array(Vt).T                      # [users, k]
 
     def change_dimensionality(self, new_dim_value):
         self.dimensionality = int(new_dim_value)

@@ -114,13 +114,13 @@ class GDRecommender(MFRecommender):
             Y=jnp.asarray(Y, jnp.float32))
 
     def _writeback(self, state, with_bias=False, with_y=False):
-        self.P = np.asarray(state.P)
-        self.Q = np.asarray(state.Q)
+        self.P = np.array(state.P)
+        self.Q = np.array(state.Q)
         if with_bias:
-            self.users_bias = np.asarray(state.bu)
-            self.items_bias = np.asarray(state.bi)
+            self.users_bias = np.array(state.bu)
+            self.items_bias = np.array(state.bi)
         if with_y:
-            self.Y = np.asarray(state.Y)
+            self.Y = np.array(state.Y)
 
     # ------------------------------------------------------- fused engine
     def _run_fused(self, bias_mode, implicit=False, verbose=False,
@@ -223,10 +223,10 @@ class GDRecommender(MFRecommender):
             if verbose:
                 self.logger.info('feature %d epochs %d rmse %.5f',
                                  f, epoch, rmse)
-        self.P, self.Q = np.asarray(P), np.asarray(Q)
+        self.P, self.Q = np.array(P), np.array(Q)
         if bias_mode == 'learned':
-            self.users_bias = np.asarray(bu)
-            self.items_bias = np.asarray(bi)
+            self.users_bias = np.array(bu)
+            self.items_bias = np.array(bi)
 
     # ------------------------------------------------------------ training
     def feature_training(self, initialize_model=True, handle_bias=False,

@@ -147,8 +147,8 @@ class KMFRecommender(MFRecommender):
             if verbose:
                 self.logger.info('EPOCHS: %d RMSE: %s', epoch + 1,
                                  float(rmse))
-        self.P, self.Q = np.asarray(P), np.asarray(Q)
-        self.users_bias, self.items_bias = np.asarray(bu), np.asarray(bi)
+        self.P, self.Q = np.array(P), np.array(Q)
+        self.users_bias, self.items_bias = np.array(bu), np.array(bi)
 
     def _train_serial(self, link, verbose, update_users, update_items,
                       ratings):
@@ -174,8 +174,8 @@ class KMFRecommender(MFRecommender):
             if verbose:
                 self.logger.info('EPOCHS: %d RMSE: %s', epoch + 1,
                                  float(rmse))
-        self.P, self.Q = np.asarray(P), np.asarray(Q)
-        self.users_bias, self.items_bias = np.asarray(bu), np.asarray(bi)
+        self.P, self.Q = np.array(P), np.array(Q)
+        self.users_bias, self.items_bias = np.array(bu), np.array(bi)
 
     # --------------------------------------------------------------- fold-in
     def retrain_user(self, user_index, ratings_index, ratings, verbose=False,

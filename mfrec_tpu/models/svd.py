@@ -46,9 +46,9 @@ class SVDRecommender(MFRecommender):
         U, s, Vt = svd_ops.randomized_svd(
             jnp.asarray(u), jnp.asarray(i), jnp.asarray(v),
             self.nbr_users, self.nbr_items, k)
-        self.P = np.asarray(U)             # [users, k] — svd_u in ref naming
-        self.svd_s = np.asarray(s)
-        self.Q = np.asarray(Vt).T          # [items, k] — svd_v in ref naming
+        self.P = np.array(U)               # [users, k] — svd_u in ref naming
+        self.svd_s = np.array(s)
+        self.Q = np.array(Vt).T            # [items, k] — svd_v in ref naming
 
     def train(self):
         self._compute_svd(normalize_data=True)

@@ -88,8 +88,8 @@ class WRMFRecommender(MFRecommender):
             reg=float(self.K),
             callback=(lambda e, P, Q: self.logger.info('Epoch : %d', e))
             if verbose else None)
-        self.P = np.asarray(P)
-        self.Q = np.asarray(Q)
+        self.P = np.array(P)
+        self.Q = np.array(Q)
         # Rows with no ratings solve to M^-1 @ 0 = 0 in the reference
         # (als_implicit.pyx:296-302); padded buckets skip them, so zero here.
         self.P[self.ratings.user_counts() == 0] = 0.0

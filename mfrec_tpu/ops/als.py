@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.partial(jax.jit, donate_argnums=(1,))
+@jax.jit
 def _bucket_solve(F, out, HH, rows, nbr_idx, nbr_val, mask, c_pos, alpha, reg):
     '''Solve the normal equations for one nnz-bucket of rows.
 

@@ -80,10 +80,13 @@ def all_pairs_topk(F, k, method='cosine', block=1024):
     n = F.shape[0]
     nb = -(-n // block)
     Fq, method2 = _prep(F, method)
+    # pad to a block multiple: dynamic_slice clamps OOB starts, which would
+    # silently re-read earlier rows in the final block
+    Fp = jnp.pad(Fq, ((0, nb * block - n), (0, 0)))
 
     def do_block(b):
         start = b * block
-        rows = jax.lax.dynamic_slice_in_dim(Fq, start, block, 0)
+        rows = jax.lax.dynamic_slice_in_dim(Fp, start, block, 0)
         if method2 == 'euclidean':
             d2 = ((rows[:, None, :] - Fq[None, :, :]) ** 2).sum(-1)
             s = -jnp.sqrt(jnp.maximum(d2, 0.0))

@@ -4,11 +4,17 @@ so multi-chip sharding logic is exercised without TPU hardware
 "Machine 1 / Machine 2 in one process" simulation).'''
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+# The sandbox presets JAX_PLATFORMS=axon and registers the TPU plugin from
+# sitecustomize (jax is already imported by then), so plain env setdefault
+# is not enough — override the config directly.
+os.environ['JAX_PLATFORMS'] = 'cpu'
 _flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in _flags:
     os.environ['XLA_FLAGS'] = (
         _flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax
+jax.config.update('jax_platforms', 'cpu')
 
 import numpy as np
 import pytest

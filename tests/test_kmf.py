@@ -1,0 +1,99 @@
+'''Kernel-MF parity (serial tier vs. numpy oracle of kmf_train.pyx) and
+fused-tier convergence.'''
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mfrec_tpu.ops import kmf as kmf_ops
+from mfrec_tpu.ops.reference_numpy import kmf_train_oracle
+
+
+@pytest.mark.parametrize('kernel', ['logistic', 'linear'])
+def test_kmf_serial_matches_oracle(tiny_dataset, kernel):
+    (u, i, v), _ = tiny_dataset
+    U, I = int(u.max()) + 1, int(i.max()) + 1
+    dim = 4
+    rng = np.random.default_rng(0)
+    P0 = rng.normal(0, 0.1, (U, dim))
+    Q0 = rng.normal(0, 0.1, (I, dim))
+    lr = 0.005 if kernel == 'linear' else 0.01
+
+    uo = Q0.T.copy()
+    vo = P0.T.copy()
+    bu_o = np.zeros(U)
+    bi_o = np.zeros(I)
+    idx = np.stack([u, i], 1)
+    kmf_train_oracle(3, dim, lr, 0.1, 0.1, 0.007, uo, vo, idx,
+                     v.astype(np.float64), bi_o, bu_o, kernel=kernel)
+
+    P = jnp.asarray(P0, jnp.float32)
+    Q = jnp.asarray(Q0, jnp.float32)
+    bu = jnp.zeros(U, jnp.float32)
+    bi = jnp.zeros(I, jnp.float32)
+    for _ in range(3):
+        P, Q, bu, bi, rmse = kmf_ops.kmf_serial_epoch(
+            P, Q, bu, bi, jnp.asarray(u), jnp.asarray(i),
+            jnp.asarray(v, jnp.float32), lr, 0.1, 0.1, 0.007, kernel=kernel)
+    np.testing.assert_allclose(np.asarray(P).T, vo, atol=2e-3, rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(Q).T, uo, atol=2e-3, rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(bu), bu_o, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(bi), bi_o, atol=2e-3)
+
+
+def test_kmf_fused_converges(small_dataset):
+    (u, i, v), _ = small_dataset
+    U, I = int(u.max()) + 1, int(i.max()) + 1
+    dim = 8
+    rng = np.random.default_rng(1)
+    P = jnp.asarray(rng.normal(0, 0.1, (U, dim)), jnp.float32)
+    Q = jnp.asarray(rng.normal(0, 0.1, (I, dim)), jnp.float32)
+    bu = jnp.zeros(U, jnp.float32)
+    bi = jnp.zeros(I, jnp.float32)
+    from mfrec_tpu.ops import sgd_mf
+    ub, ib, rb, mb = sgd_mf.batch_ratings(u, i, v, 512, seed=0)
+    epoch = kmf_ops.make_kmf_fused_epoch(kernel='logistic', lr=0.05)
+    hist = []
+    for _ in range(30):
+        P, Q, bu, bi, rmse = epoch(P, Q, bu, bi, jnp.asarray(ub),
+                                   jnp.asarray(ib), jnp.asarray(rb),
+                                   jnp.asarray(mb))
+        hist.append(float(rmse))
+    assert hist[-1] < hist[0]
+    assert hist[-1] < 1.0
+
+
+def test_kmf_model_end_to_end(small_dataset):
+    from mfrec_tpu.models.kmf import KMFRecommender
+    from mfrec_tpu.eval.metrics import test_predict_rating
+    (u, i, v), test = small_dataset
+    U, I = int(u.max()) + 1, int(i.max()) + 1
+    model = KMFRecommender(U, I, {'nbr_epochs': 200, 'nbr_features': 8,
+                                  'learning_rate': 0.02,
+                                  'regularization_users': 0.05,
+                                  'regularization_items': 0.05})
+    model.seed(0)
+    model.set_ratings(u, i, v)
+    model.train()
+    rmse, _ = test_predict_rating(model, test, nbr_samples=len(test),
+                                  predictor='predict_logistic', quiet=True)
+    # must beat the constant-mean baseline on planted-structure data
+    base_rmse = float(np.sqrt(((test[:, 2] - v.mean()) ** 2).mean()))
+    assert rmse < base_rmse
+
+
+def test_kmf_retrain_user_only_touches_user(small_dataset):
+    from mfrec_tpu.models.kmf import KMFRecommender
+    (u, i, v), _ = small_dataset
+    U, I = int(u.max()) + 1, int(i.max()) + 1
+    model = KMFRecommender(U, I, {'nbr_epochs': 5, 'nbr_features': 6})
+    model.seed(0)
+    model.set_ratings(u, i, v)
+    model.train()
+    Q_before = model.Q.copy()
+    P_before = model.P.copy()
+    idx = np.stack([u, i], 1).astype(np.int32)
+    model.retrain_user(3, idx, v)
+    np.testing.assert_array_equal(model.Q, Q_before)   # items untouched
+    assert not np.allclose(model.P[3], P_before[3])    # user re-learned
+    others = np.arange(U) != 3
+    np.testing.assert_array_equal(model.P[others], P_before[others])
