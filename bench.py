@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+'''
+Benchmark: MovieLens-10M-shaped rank-64 biased SGD MF training epoch on one
+TPU chip (BASELINE.md headline config: 69,878 users x 10,677 items, 10M
+ratings, k=64).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+value = single-feature rating updates/s/chip (one full rank-64 rating
+update counts as 64 single-feature updates — the unit of the reference's
+derived throughput).  vs_baseline = value / 3.7e7, the reference's Cython
+single-thread throughput derived from `gradient_descent.py:41-45`
+(MovieLens-10M, 40 features, 275 epochs/feature, 49 min on 2011 CPU).
+'''
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def make_data(U, I, N, seed=0):
+    rng = np.random.default_rng(seed)
+    users = rng.integers(0, U, N).astype(np.int32)
+    ranks = np.arange(1, I + 1, dtype=np.float64)
+    pop = 1.0 / ranks ** 1.1
+    pop /= pop.sum()
+    items = rng.choice(I, N, p=pop).astype(np.int32)
+    vals = (rng.integers(2, 11, N) / 2.0).astype(np.float32)
+    return users, items, vals
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from mfrec_tpu.ops import sgd_mf
+
+    U, I, N, K = 69878, 10677, 10_000_000, 64
+    batch = int(os.environ.get('BENCH_BATCH', 1 << 16))
+    epochs_per_block = int(os.environ.get('BENCH_EPOCHS', 5))
+    blocks = int(os.environ.get('BENCH_BLOCKS', 3))
+
+    users, items, vals = make_data(U, I, N)
+    ub, ib, rb, mb = sgd_mf.batch_ratings(users, items, vals, batch, seed=0)
+    ub, ib = jnp.asarray(ub), jnp.asarray(ib)
+    rb, mb = jnp.asarray(rb), jnp.asarray(mb)
+
+    state = sgd_mf.init_state(U, I, K)
+    state = state._replace(mu=jnp.float32(vals.mean()))
+    epoch = sgd_mf.make_fused_epoch(batch, lr=0.002, K=0.02,
+                                    bias_mode='fixed')
+
+    # compile + warmup (value fetch: on relayed platforms
+    # block_until_ready does not reliably block)
+    state, rmse = epoch(state, ub, ib, rb, mb, None, None)
+    float(rmse)
+
+    times = []
+    for _ in range(blocks):
+        t0 = time.perf_counter()
+        for _ in range(epochs_per_block):
+            state, rmse = epoch(state, ub, ib, rb, mb, None, None)
+        float(rmse)           # one device->host sync per block
+        times.append((time.perf_counter() - t0) / epochs_per_block)
+
+    epoch_s = float(np.median(times))
+    updates_per_s = N * K / epoch_s
+    baseline = 3.7e7          # reference single-feature updates/s (BASELINE.md)
+    print(json.dumps({
+        'metric': 'ml10m_rank64_sgd_feature_rating_updates_per_s',
+        'value': round(updates_per_s, 1),
+        'unit': 'updates/s/chip',
+        'vs_baseline': round(updates_per_s / baseline, 2),
+        'epoch_s': round(epoch_s, 4),
+        'final_train_rmse': round(float(rmse), 4),
+        'device': str(jax.devices()[0]),
+        'batch': batch,
+    }))
+
+
+if __name__ == '__main__':
+    sys.exit(main())
