@@ -1,0 +1,88 @@
+'''
+End-to-end WRMF on MovieLens-100K — mirror of the reference driver
+(``mfrec/examples/example1b_movielens_100k_wrmf.py``), TPU-native.
+
+Loads `~/datasets/ml-100k/u1.base` if present; otherwise falls back to a
+synthetic MovieLens-shaped dataset (the sandbox has no network access).
+
+Run:  python examples/example1b_movielens_100k_wrmf.py
+'''
+import logging
+import os
+import time
+
+import numpy as np
+
+from mfrec_tpu.eval.metrics import test_predict_rating, precision_recall
+from mfrec_tpu.models.wrmf import WRMFRecommender
+from mfrec_tpu.graph.similarity_graph import SimilarityGraph
+from mfrec_tpu.data.movielens import (load_ratings_file, synthetic_ratings,
+                                      train_test_split)
+
+logging.basicConfig(level=logging.INFO)
+
+
+def load_dataset(dataset='u1'):
+    home = os.getenv('HOME', '.')
+    base = os.path.join(home, 'datasets/ml-100k', dataset + '.base')
+    test = os.path.join(home, 'datasets/ml-100k', dataset + '.test')
+    if os.path.exists(base):
+        bu, bi, bv = load_ratings_file(base)
+        tu, ti, tv = load_ratings_file(test)
+        u_test = np.stack([tu, ti, tv], axis=1).astype(np.float64)
+        return (bu, bi, bv), u_test, os.path.join(home,
+                                                  'datasets/ml-100k/u.item')
+    print('ml-100k not found locally — using a synthetic stand-in')
+    users, items, values = synthetic_ratings(nbr_users=943, nbr_items=1682,
+                                             nbr_ratings=100_000, rank=12,
+                                             seed=0)
+    train, u_test = train_test_split(users, items, values, 0.2, seed=1)
+    return train, u_test, None
+
+
+if __name__ == '__main__':
+    (users, items, values), u_test, item_file = load_dataset('u1')
+    nbr_user = int(users.max())
+    nbr_feature = int(items.max())
+
+    parameters = {'nbr_epochs': 30,
+                  'feature_init': 0.1,
+                  'regularization_model': 0.015,
+                  'nbr_features': 20,
+                  'neighborhood': 1500}
+
+    MovieLensRecommender = WRMFRecommender(nbr_user + 1, nbr_feature + 1,
+                                           parameters)
+    # implicit feedback: every interaction becomes preference 1.0
+    MovieLensRecommender.set_ratings(users, items, np.ones_like(values))
+
+    # attach movie-title labels if available
+    if item_file and os.path.exists(item_file):
+        import codecs
+        for line in codecs.open(item_file, 'r', 'latin-1'):
+            movie_id, title = line.split('|')[0:2]
+            try:
+                MovieLensRecommender.set_item_label(int(movie_id), title)
+            except KeyError:
+                pass
+
+    t0 = time.time()
+    MovieLensRecommender.train(verbose=True)
+    print('train time: %.2fs' % (time.time() - t0))
+
+    print(precision_recall(MovieLensRecommender, u_test,
+                           nbr_recommendations=5, verbose=True))
+
+    # similar items for an arbitrary title
+    some_item = MovieLensRecommender.items_label[50]
+    similars = MovieLensRecommender.similar_items_by_label(some_item, 10,
+                                                           method='cosine')
+    print('------------')
+    print('items similar to %r:' % some_item)
+    print(similars)
+
+    # build + export the similarity graph
+    sg = SimilarityGraph(MovieLensRecommender)
+    sg.build_graph(min_score=0.95)
+    sg.write_graph('/tmp/similarity_graph.graphml')
+    print('graph written to /tmp/similarity_graph.graphml')

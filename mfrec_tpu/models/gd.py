@@ -168,6 +168,51 @@ class GDRecommender(MFRecommender):
             fm[u, :n] = 1.0
         return fl, fm
 
+    # -------------------------------------------------------- dsgd engine
+    def _run_dsgd(self, bias_mode, verbose=False, n_devices=None):
+        '''Ring-DSGD training over all visible devices
+        (``mfrec_tpu.parallel.dsgd``): user-sharded P, item shards rotating
+        over ICI.  Used when engine='dsgd'; works on a 1-device mesh too.'''
+        import jax
+        from mfrec_tpu.parallel import dsgd as dsgd_mod
+        from mfrec_tpu.parallel.mesh import make_mesh
+        D = n_devices or len(jax.devices())
+        mesh = make_mesh(D)
+        uidx, iidx, vals = self.ratings.coo()
+        blocks, (Ub, Ib) = dsgd_mod.build_dsgd_blocks(
+            uidx, iidx, vals, D, self.nbr_users, self.nbr_items,
+            seed=int(self.rng.integers(2**31)))
+        bu, bi = self._zero_biases()
+        if bias_mode != 'none':
+            bu = self.users_bias if self.users_bias is not None else bu
+            bi = self.items_bias if self.items_bias is not None else bi
+        P = jnp.asarray(dsgd_mod.pad_factors(self.P, Ub, D))
+        Q = jnp.asarray(dsgd_mod.pad_factors(self.Q, Ib, D))
+        bu = jnp.asarray(dsgd_mod.pad_factors(np.asarray(bu, np.float32),
+                                              Ub, D))
+        bi = jnp.asarray(dsgd_mod.pad_factors(np.asarray(bi, np.float32),
+                                              Ib, D))
+        mu = jnp.float32(self.overall_bias or 0.0)
+        dev_blocks = [jnp.asarray(b) for b in blocks]
+        epoch_fn = dsgd_mod.make_ring_dsgd_epoch(
+            mesh, lr=self.learning_rate, K=self.K, bias_mode=bias_mode,
+            lo=self.min_rating, hi=self.max_rating)
+        driver = ConvergenceDriver(self.min_epochs, self.max_epochs,
+                                   self.min_improvement)
+
+        def one_epoch(state):
+            P, Q, bu, bi = state
+            P, Q, bu, bi, rmse = epoch_fn(P, Q, bu, bi, mu, *dev_blocks)
+            return (P, Q, bu, bi), rmse
+
+        (P, Q, bu, bi) = driver.run(one_epoch, (P, Q, bu, bi))
+        self.rmse_history = driver.history
+        self.P = np.array(P)[:self.nbr_users]
+        self.Q = np.array(Q)[:self.nbr_items]
+        if verbose:
+            for e, r in enumerate(driver.history):
+                self.logger.info('epoch %d rmse %.5f', e, r)
+
     # -------------------------------------------------------- funk engine
     def _run_funk(self, bias_mode, verbose=False, update_users=True,
                   update_items=True, ratings=None):
@@ -245,6 +290,8 @@ class GDRecommender(MFRecommender):
             mode = 'none'
         if self.engine == 'funk':
             self._run_funk(mode, verbose=verbose)
+        elif self.engine == 'dsgd':
+            self._run_dsgd(mode, verbose=verbose)
         else:
             self._run_fused(mode, verbose=verbose)
 

@@ -128,3 +128,21 @@ def test_sharded_als_matches_single_device(mesh8):
                                rtol=1e-1)
     np.testing.assert_allclose(Q1f[active_i], Q2f[active_i], atol=1e-2,
                                rtol=1e-1)
+
+
+def test_gd_model_dsgd_engine(mesh8, small_dataset):
+    '''GDRecommender with engine='dsgd' trains over the 8-device mesh.'''
+    from mfrec_tpu.models.gd import GDRecommender
+    (u, i, v), test = small_dataset
+    U, I = int(u.max()) + 1, int(i.max()) + 1
+    m = GDRecommender(U, I, {'min_epochs': 10, 'max_epochs': 10,
+                             'nbr_features': 6, 'learning_rate': 0.01,
+                             'regularization_model': 0.02,
+                             'engine': 'dsgd'})
+    m.seed(0)
+    m.set_ratings(u, i, v)
+    m.train(handle_bias=True)
+    assert m.P.shape == (U, 6)
+    hist = m.get_rmse_history()
+    assert hist[-1] < hist[0]
+    assert np.isfinite(m.predict_rating_with_bias(1, 1))
