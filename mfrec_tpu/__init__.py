@@ -23,7 +23,7 @@ the fused hot ops.  Host-side preprocessing has a native C++ fast path
 
 __version__ = '0.1.0'
 
-from mfrec_tpu.models.base import BaseRecommender, Error
+from mfrec_tpu.models.base import BaseRecommender, Error, LinearModel
 from mfrec_tpu.models.mf import MFRecommender
 from mfrec_tpu.models.gd import GDRecommender
 from mfrec_tpu.models.wrmf import WRMFRecommender
@@ -36,7 +36,8 @@ from mfrec_tpu.models.popular import MostPopularRecommender
 from mfrec_tpu.models.random_ import RandomRecommender
 
 __all__ = [
-    'BaseRecommender', 'Error', 'MFRecommender', 'GDRecommender',
+    'BaseRecommender', 'Error', 'LinearModel', 'MFRecommender',
+    'GDRecommender',
     'WRMFRecommender', 'KMFRecommender', 'FNRecommender', 'SVDRecommender',
     'KNNSVDRecommender', 'KNNUsersRecommender', 'MostPopularRecommender',
     'RandomRecommender',

@@ -15,6 +15,22 @@ from __future__ import annotations
 import numpy as np
 
 
+def create_bool_sparse_row(ratings):
+    """Row-based (count-with-leading-0, col-index) boolean layout for the
+    WRMF kernel feed (reference ``mfrec/lib/datasets.py:13-21``)."""
+    u, i, _ = ratings.coo()
+    counts = np.bincount(u, minlength=ratings.nbr_users).astype(np.int32)
+    return np.r_[np.int32(0), counts], i.astype(np.int32)
+
+
+def create_bool_sparse_col(ratings):
+    """Column-based variant (reference ``mfrec/lib/datasets.py:24-32``)."""
+    u, i, _ = ratings.coo()
+    order = np.argsort(i, kind='stable')
+    counts = np.bincount(i, minlength=ratings.nbr_items).astype(np.int32)
+    return np.r_[np.int32(0), counts], u[order].astype(np.int32)
+
+
 class Vocab:
     '''Bidirectional label<->index map (reference: ``base.py:101-105,839-851``).
 

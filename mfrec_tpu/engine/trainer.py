@@ -21,14 +21,17 @@ class ConvergenceDriver:
     '''Stateful epoch loop with the reference's improvement rule and an
     rmse history (reference ``rmse_history``: ``gradient_descent.py:93,114``).'''
 
-    def __init__(self, min_epochs, max_epochs, min_improvement):
+    def __init__(self, min_epochs, max_epochs, min_improvement,
+                 nan_guard=True):
         self.min_epochs = int(min_epochs)
         self.max_epochs = int(max_epochs)
         self.min_improvement = float(min_improvement)
+        self.nan_guard = nan_guard
         self.history = []
 
     def run(self, epoch_fn, state):
         '''epoch_fn(state) -> (state, rmse_scalar).  Returns final state.'''
+        import math
         rmse = 2.0
         epoch = 0
         while (epoch < self.min_epochs
@@ -38,6 +41,10 @@ class ConvergenceDriver:
             rmse_last = rmse
             state, rmse_dev = epoch_fn(state)
             rmse = float(rmse_dev)
+            if self.nan_guard and not math.isfinite(rmse):
+                raise FloatingPointError(
+                    'training diverged: rmse=%r at epoch %d (reduce the '
+                    'learning rate or batch size)' % (rmse, epoch))
             self.history.append(rmse)
             epoch += 1
         return state

@@ -63,3 +63,20 @@ class SimilarityGraph(object):
     def write_graph(self, name='similarity_graph.graphml'):
         import networkx as nx
         nx.write_graphml(self.similarity_graph, name)
+
+
+def ratings_bipartite_graph(recommender):
+    '''Bipartite user-item ratings graph (the store-agnostic replacement
+    for the reference's neo4j exports, base.py:619-681): User and Item
+    nodes, `rating` edges weighted by value.  Export with
+    ``networkx.write_graphml``.'''
+    import networkx as nx
+    g = nx.Graph()
+    for label in recommender.users.labels:
+        g.add_node('u:' + label, type='User', label=label)
+    for label in recommender.items.labels:
+        g.add_node('i:' + label, type='Item', label=label)
+    for u, i, v in recommender.ratings_iterator():
+        g.add_edge('u:' + recommender.users.labels[u],
+                   'i:' + recommender.items.labels[i], value=float(v))
+    return g

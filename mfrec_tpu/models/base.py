@@ -31,6 +31,34 @@ class Error(Exception):
     '''Library-wide exception (reference base.py:23).'''
 
 
+class LinearModel(object):
+    """Base class for linear prediction models (reference base.py:25-64 —
+    an unused stub in the reference; kept for API parity)."""
+
+    PARAMETERS_INDEX = {}
+    _logger_name = 'mfrec_tpu.linearmodel'
+
+    def __init__(self):
+        self.logger = logging.getLogger(self._logger_name)
+        self.svd_s = None
+        self.svd_u = None
+        self.svd_v = None
+        self.dimensionality = 40
+
+    def set_parameters(self, parameters):
+        for k, v in parameters.items():
+            try:
+                setattr(self, self.PARAMETERS_INDEX[k], v)
+            except KeyError:
+                raise Error('Wrong parameters')
+
+    def train(self):
+        pass
+
+    def predict(self):
+        pass
+
+
 class BaseRecommender(object):
     '''Recommendation engine core: sparse ratings store, label<->index maps,
     bias computation, truncated SVD, similarity search, save/load.'''
@@ -325,6 +353,26 @@ class BaseRecommender(object):
         return self.items_avg[item_index] + self.users_bias[user_index]
 
     # ------------------------------------------------------- normalization
+    def _mean_centering(self, input_ratings):
+        '''Center a ratings vector on its nonzero mean; returns
+        (centered, mean) (reference base.py:298-304).'''
+        input_ratings = np.asarray(input_ratings, np.float64)
+        nz = input_ratings.nonzero()[0]
+        mean = input_ratings[nz].mean() if nz.size else 0.0
+        return input_ratings - mean, mean
+
+    def _range_scaling(self, input_ratings, input_range=False,
+                       output_range=(1.0, 5.0)):
+        '''Affine rescale into output_range (reference base.py:307-321).'''
+        x = np.asarray(input_ratings, np.float64)
+        r_min, r_max = output_range
+        if not input_range:
+            d_min, d_max = x.min(), x.max()
+        else:
+            d_min, d_max = input_range
+        return (x * ((r_max - r_min) / (d_max - d_min))
+                + ((r_min * d_max - r_max * d_min) / (d_max - d_min)))
+
     def data_normalization(self, users_based=True, items_based=False):
         '''In-place per-user mean centering; stores the removed means in
         ``users_bias`` (reference base.py:324-351).'''
