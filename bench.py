@@ -42,26 +42,50 @@ def main():
     epochs_per_block = int(os.environ.get('BENCH_EPOCHS', 5))
     blocks = int(os.environ.get('BENCH_BLOCKS', 3))
 
+    mode = os.environ.get('BENCH_MODE', 'alternating')
     users, items, vals = make_data(U, I, N)
-    ub, ib, rb, mb = sgd_mf.batch_ratings(users, items, vals, batch, seed=0)
-    ub, ib = jnp.asarray(ub), jnp.asarray(ib)
-    rb, mb = jnp.asarray(rb), jnp.asarray(mb)
 
-    state = sgd_mf.init_state(U, I, K)
-    state = state._replace(mu=jnp.float32(vals.mean()))
-    epoch = sgd_mf.make_fused_epoch(batch, lr=0.002, K=0.02,
-                                    bias_mode='fixed')
+    if mode == 'alternating':
+        # scatter-free sorted-window epochs (fastest single-chip path)
+        pl_ = sgd_mf.sorted_pass_layout(users, items, vals, batch,
+                                        axis='user')
+        ql_ = sgd_mf.sorted_pass_layout(users, items, vals, batch,
+                                        axis='item')
+        W_user, W_item = pl_[-1], ql_[-1]
+        p_layout = tuple(jnp.asarray(x) for x in pl_[:-1])
+        q_layout = tuple(jnp.asarray(x) for x in ql_[:-1])
+        st = sgd_mf.init_state(U + W_user, I + W_item, K)
+        Paug, Qaug = sgd_mf.augment_factors(st.P, st.Q, st.bu, st.bi)
+        mu = jnp.float32(vals.mean())
+        ep = sgd_mf.make_alternating_epoch(W_user, W_item, lr=0.05, K=0.02,
+                                           bias_mode='fixed')
+        state = (Paug, Qaug)
+
+        def epoch(s):
+            Pa, Qa = s
+            Pa, Qa, rmse = ep(Pa, Qa, mu, p_layout, q_layout)
+            return (Pa, Qa), rmse
+    else:
+        ub, ib, rb, mb = sgd_mf.batch_ratings(users, items, vals, batch,
+                                              seed=0)
+        ub, ib = jnp.asarray(ub), jnp.asarray(ib)
+        rb, mb = jnp.asarray(rb), jnp.asarray(mb)
+        state = sgd_mf.init_state(U, I, K)
+        state = state._replace(mu=jnp.float32(vals.mean()))
+        ep = sgd_mf.make_fused_epoch(batch, lr=0.002, K=0.02,
+                                     bias_mode='fixed')
+        epoch = lambda s: ep(s, ub, ib, rb, mb, None, None)
 
     # compile + warmup (value fetch: on relayed platforms
     # block_until_ready does not reliably block)
-    state, rmse = epoch(state, ub, ib, rb, mb, None, None)
+    state, rmse = epoch(state)
     float(rmse)
 
     times = []
     for _ in range(blocks):
         t0 = time.perf_counter()
         for _ in range(epochs_per_block):
-            state, rmse = epoch(state, ub, ib, rb, mb, None, None)
+            state, rmse = epoch(state)
         float(rmse)           # one device->host sync per block
         times.append((time.perf_counter() - t0) / epochs_per_block)
 
@@ -77,6 +101,7 @@ def main():
         'final_train_rmse': round(float(rmse), 4),
         'device': str(jax.devices()[0]),
         'batch': batch,
+        'mode': mode,
     }))
 
 

@@ -168,6 +168,52 @@ class GDRecommender(MFRecommender):
             fm[u, :n] = 1.0
         return fl, fm
 
+    # ------------------------------------------------- alternating engine
+    def _run_alternating(self, bias_mode, verbose=False):
+        '''Scatter-free sorted-window epochs
+        (``ops.sgd_mf.make_alternating_epoch``) — the fastest single-chip
+        path; blockwise-alternating update order.'''
+        uidx, iidx, vals = self.ratings.coo()
+        chunk = min(4096, self.batch_size)
+        pl_ = sgd_mf.sorted_pass_layout(uidx, iidx, vals, self.batch_size,
+                                        axis='user')
+        ql_ = sgd_mf.sorted_pass_layout(uidx, iidx, vals, self.batch_size,
+                                        axis='item')
+        W_user, W_item = pl_[-1], ql_[-1]
+        p_layout = tuple(jnp.asarray(x) for x in pl_[:-1])
+        q_layout = tuple(jnp.asarray(x) for x in ql_[:-1])
+        state = self._state(with_bias=(bias_mode != 'none'))
+        Paug, Qaug = sgd_mf.augment_factors(
+            jnp.pad(state.P, ((0, W_user), (0, 0))),
+            jnp.pad(state.Q, ((0, W_item), (0, 0))),
+            jnp.pad(state.bu, (0, W_user)),
+            jnp.pad(state.bi, (0, W_item)))
+        mu = state.mu
+        epoch = sgd_mf.make_alternating_epoch(
+            W_user, W_item, self.learning_rate, self.K,
+            lr_bu=self.learning_rate_users, lr_bi=self.learning_rate_items,
+            K_bias=self.K2, bias_mode=bias_mode,
+            lo_r=self.min_rating, hi_r=self.max_rating, chunk=chunk)
+        driver = ConvergenceDriver(self.min_epochs, self.max_epochs,
+                                   self.min_improvement)
+
+        def one_epoch(pq):
+            Paug, Qaug = pq
+            Paug, Qaug, rmse = epoch(Paug, Qaug, mu, p_layout, q_layout)
+            return (Paug, Qaug), rmse
+
+        Paug, Qaug = driver.run(one_epoch, (Paug, Qaug))
+        self.rmse_history = driver.history
+        P, Q, bu, bi = sgd_mf.split_factors(Paug, Qaug)
+        self.P = np.array(P)[:self.nbr_users]
+        self.Q = np.array(Q)[:self.nbr_items]
+        if bias_mode == 'learned':
+            self.users_bias = np.array(bu)[:self.nbr_users]
+            self.items_bias = np.array(bi)[:self.nbr_items]
+        if verbose:
+            for e, r in enumerate(driver.history):
+                self.logger.info('epoch %d rmse %.5f', e, r)
+
     # -------------------------------------------------------- dsgd engine
     def _run_dsgd(self, bias_mode, verbose=False, n_devices=None):
         '''Ring-DSGD training over all visible devices
@@ -292,6 +338,8 @@ class GDRecommender(MFRecommender):
             self._run_funk(mode, verbose=verbose)
         elif self.engine == 'dsgd':
             self._run_dsgd(mode, verbose=verbose)
+        elif self.engine == 'alternating':
+            self._run_alternating(mode, verbose=verbose)
         else:
             self._run_fused(mode, verbose=verbose)
 
@@ -307,6 +355,8 @@ class GDRecommender(MFRecommender):
         self.compute_users_bias_bk()
         if self.engine == 'funk':
             self._run_funk('learned', verbose=verbose)
+        elif self.engine == 'alternating':
+            self._run_alternating('learned', verbose=verbose)
         else:
             self._run_fused('learned', verbose=verbose)
 

@@ -130,3 +130,61 @@ def test_fused_implicit_converges(small_dataset):
         hist.append(float(rmse))
     assert hist[-1] < hist[0]
     assert float(jnp.abs(state.Y).max()) > 0
+
+
+def test_alternating_epoch_converges(small_dataset):
+    '''Scatter-free sorted-window tier: converges to rmse comparable to
+    the fused tier.'''
+    (u, i, v), _ = small_dataset
+    U, I = int(u.max()) + 1, int(i.max()) + 1
+    pl_ = sgd_mf.sorted_pass_layout(u, i, v, 512, axis='user')
+    ql_ = sgd_mf.sorted_pass_layout(u, i, v, 512, axis='item')
+    W_user, W_item = pl_[-1], ql_[-1]
+    p_layout = tuple(jnp.asarray(x) for x in pl_[:-1])
+    q_layout = tuple(jnp.asarray(x) for x in ql_[:-1])
+    st = sgd_mf.init_state(U + W_user, I + W_item, 8, feature_init=0.1)
+    Paug, Qaug = sgd_mf.augment_factors(st.P, st.Q, st.bu, st.bi)
+    mu = jnp.float32(v.mean())
+    # row-mean gradients: use a larger lr than per-sample SGD
+    epoch = sgd_mf.make_alternating_epoch(W_user, W_item, lr=0.2, K=0.02,
+                                          bias_mode='fixed', chunk=512,
+                                          donate=False)
+    hist = []
+    for _ in range(30):
+        Paug, Qaug, rmse = epoch(Paug, Qaug, mu, p_layout, q_layout)
+        hist.append(float(rmse))
+    assert hist[-1] < hist[0] - 0.05
+    assert hist[-1] < 0.8
+    P, Q, bu, bi = sgd_mf.split_factors(Paug, Qaug)
+    assert np.isfinite(np.asarray(P)).all()
+    # bias/const columns untouched in fixed mode
+    np.testing.assert_array_equal(np.asarray(bu), 0.0)
+    np.testing.assert_array_equal(np.asarray(Paug[:, -1]), 1.0)
+
+
+def test_alternating_layout_covers_all(small_dataset):
+    (u, i, v), _ = small_dataset
+    ub, ib, rb, mb, kl, lo, W = sgd_mf.sorted_pass_layout(u, i, v, 512,
+                                                          axis='user')
+    assert int(mb.sum()) == u.shape[0]
+    # window-local ids valid
+    assert kl.max() < W
+    # reconstruct the sorted stream
+    sel = mb.ravel() > 0
+    np.testing.assert_array_equal(np.sort(ub.ravel()[sel]), np.sort(u))
+
+
+def test_gd_model_alternating_engine(small_dataset):
+    from mfrec_tpu.models.gd import GDRecommender
+    (u, i, v), test = small_dataset
+    U, I = int(u.max()) + 1, int(i.max()) + 1
+    m = GDRecommender(U, I, {'min_epochs': 20, 'max_epochs': 20,
+                             'nbr_features': 8, 'learning_rate': 0.2,
+                             'regularization_model': 0.02,
+                             'engine': 'alternating', 'batch_size': 1024})
+    m.seed(0)
+    m.set_ratings(u, i, v)
+    m.train(handle_bias=True)
+    assert m.P.shape == (U, 8)
+    hist = m.get_rmse_history()
+    assert hist[-1] < hist[0]
