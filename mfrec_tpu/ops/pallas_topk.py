@@ -26,19 +26,20 @@ NEG = -3.0e38
 
 def _merge_topn(best_s, best_i, s, ids, n):
     '''Merge running top-n with a fresh score tile via n extract-max
-    passes (top_k is not available inside Mosaic kernels).'''
+    passes — select + reduce only (neither top_k nor gather lowers
+    inside Mosaic kernels).'''
     cat_s = jnp.concatenate([best_s, s], axis=1)
     cat_i = jnp.concatenate([best_i, ids], axis=1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, cat_s.shape, 1)
     out_s = []
     out_i = []
     for _ in range(n):
         m = cat_s.max(axis=1, keepdims=True)                 # [B, 1]
         col = jnp.argmax(cat_s, axis=1)[:, None]             # [B, 1]
-        idx = jnp.take_along_axis(cat_i, col, axis=1)
+        hit = iota == col
+        idx = jnp.where(hit, cat_i, 0).sum(axis=1, keepdims=True)
         out_s.append(m)
         out_i.append(idx)
-        hit = jax.lax.broadcasted_iota(
-            jnp.int32, cat_s.shape, 1) == col
         cat_s = jnp.where(hit, NEG, cat_s)
     return jnp.concatenate(out_s, axis=1), jnp.concatenate(out_i, axis=1)
 
