@@ -32,6 +32,33 @@ def make_data(U, I, N, seed=0):
     return users, items, vals
 
 
+def bench_als(U, I, users, items, K=64, epochs=3):
+    '''Secondary metric: implicit WRMF ALS epoch (user+item half-sweeps,
+    batched normal equations + Cholesky) at ML-10M shape, rank 64.'''
+    import jax.numpy as jnp
+    from mfrec_tpu.data.movielens import ratings_from_arrays
+    from mfrec_tpu.ops import als as als_ops
+    r = ratings_from_arrays(users, items, np.ones(users.shape[0],
+                                                  np.float32), U, I)
+    ub = r.padded_rows(axis='user')
+    ib = r.padded_rows(axis='item')
+    P = jnp.full((U, K), 0.1, jnp.float32)
+    Q = jnp.full((I, K), 0.1, jnp.float32)
+    P, Q = als_ops.als_wrmf_train(P, Q, ub, ib, nbr_epochs=1)   # compile
+    float(P[0, 0])
+    t0 = time.perf_counter()
+    P, Q = als_ops.als_wrmf_train(P, Q, ub, ib, nbr_epochs=epochs)
+    float(P[0, 0])
+    epoch_s = (time.perf_counter() - t0) / epochs
+    print(json.dumps({
+        'metric': 'ml10m_rank64_wrmf_als_epoch_s',
+        'value': round(epoch_s, 3),
+        'unit': 's/epoch/chip',
+        'vs_baseline': None,
+        'nnz': int(r.nnz),
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -44,6 +71,9 @@ def main():
 
     mode = os.environ.get('BENCH_MODE', 'alternating')
     users, items, vals = make_data(U, I, N)
+
+    if mode == 'als':
+        return bench_als(U, I, users, items)
 
     if mode == 'alternating':
         # scatter-free sorted-window epochs (fastest single-chip path)

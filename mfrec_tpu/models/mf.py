@@ -169,9 +169,30 @@ class MFRecommender(BaseRecommender):
         return out, [float(scores[i]) for i in order]
 
     def recommend_batch(self, user_indices, nbr_recommendations=5,
-                        predictor='predict'):
+                        predictor='predict', use_pallas=False):
         '''Batched top-N for many users in one device call — the serving
-        path (no reference equivalent; the reference loops users).'''
+        path (no reference equivalent; the reference loops users).
+
+        ``use_pallas=True`` routes through the fused Pallas kernel
+        (``ops.pallas_topk``, ~2.4x the XLA path on v5e) — bias predictor
+        only, and rated items are NOT masked (mask client-side).'''
+        if use_pallas:
+            import jax
+            from mfrec_tpu.ops import pallas_topk
+            interp = jax.default_backend() == 'cpu'
+            bu = self.users_bias if self.users_bias is not None \
+                else np.zeros(self.nbr_users, np.float32)
+            bi = self.items_bias if self.items_bias is not None \
+                else np.zeros(self.nbr_items, np.float32)
+            Qp, bip = pallas_topk.pad_items_for_pallas(
+                np.asarray(self.Q, np.float32), bi, 1024)
+            idx, scores = pallas_topk.topn_scores_pallas(
+                jnp.asarray(self.P[np.asarray(user_indices)], jnp.float32),
+                jnp.asarray(Qp),
+                jnp.asarray(bu[np.asarray(user_indices)], jnp.float32),
+                jnp.asarray(bip), float(self.overall_bias or 0.0),
+                n=int(nbr_recommendations), block=1024, interpret=interp)
+            return np.asarray(idx), np.asarray(scores)
         mode = self._predictor_mode(predictor) or 'dot_plus_one'
         rated_idx, rated_mask = topk_ops.pad_rated_lists(self.ratings,
                                                          user_indices)

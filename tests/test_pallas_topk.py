@@ -37,3 +37,26 @@ def test_pallas_topn_descending_and_padding_excluded():
     assert (np.diff(scores, axis=1) <= 1e-6).all()
     assert idx.max() < 200                        # no padded ids leaked
     assert (scores > NEG / 2).all()
+
+
+def test_recommend_batch_pallas_path(small_dataset):
+    '''Model serving path via the Pallas kernel agrees with the XLA path
+    (modulo rated-item masking, which the Pallas path leaves to the
+    caller — compare on users with few ratings via score values).'''
+    from mfrec_tpu.models.gd import GDRecommender
+    (u, i, v), _ = small_dataset
+    U, I = int(u.max()) + 1, int(i.max()) + 1
+    m = GDRecommender(U, I, {'min_epochs': 5, 'max_epochs': 5,
+                             'nbr_features': 8, 'learning_rate': 0.01})
+    m.seed(0)
+    m.set_ratings(u, i, v)
+    m.train(handle_bias=True)
+    users = [0, 5, 11, 17]
+    idx, scores = m.recommend_batch(users, 5, use_pallas=True)
+    assert idx.shape == (4, 5)
+    # brute-force check against the bias predictor
+    bu = m.users_bias; bi = m.items_bias
+    full = (m.overall_bias + bu[np.asarray(users)][:, None]
+            + bi[None, :] + m.P[np.asarray(users)] @ m.Q.T)
+    want = -np.sort(-full, axis=1)[:, :5]
+    np.testing.assert_allclose(scores, want, atol=1e-3)
