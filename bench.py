@@ -65,7 +65,7 @@ def main():
     from mfrec_tpu.ops import sgd_mf
 
     U, I, N, K = 69878, 10677, 10_000_000, 64
-    batch = int(os.environ.get('BENCH_BATCH', 1 << 16))
+    batch = int(os.environ.get('BENCH_BATCH', 1 << 15))
     epochs_per_block = int(os.environ.get('BENCH_EPOCHS', 5))
     blocks = int(os.environ.get('BENCH_BLOCKS', 3))
 
@@ -77,10 +77,11 @@ def main():
 
     if mode == 'alternating':
         # scatter-free sorted-window epochs (fastest single-chip path)
+        W = int(os.environ.get('BENCH_WINDOW', 256))
         pl_ = sgd_mf.sorted_pass_layout(users, items, vals, batch,
-                                        axis='user')
+                                        axis='user', max_window=W)
         ql_ = sgd_mf.sorted_pass_layout(users, items, vals, batch,
-                                        axis='item')
+                                        axis='item', max_window=W)
         W_user, W_item = pl_[-1], ql_[-1]
         p_layout = tuple(jnp.asarray(x) for x in pl_[:-1])
         q_layout = tuple(jnp.asarray(x) for x in ql_[:-1])
