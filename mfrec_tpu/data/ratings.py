@@ -251,8 +251,11 @@ class Ratings:
         out = []
         max_needed = int(counts.max()) if nrows and counts.size else 0
         blist = [b for b in buckets if b <= max_needed] or [buckets[0]]
-        if blist[-1] < max_needed:
-            blist.append(int(2 ** np.ceil(np.log2(max(max_needed, 1)))))
+        # complete the power-of-two ladder up to the largest row, so a few
+        # huge rows don't inflate everything above the ladder into one
+        # massively padded bucket
+        while blist[-1] < max_needed:
+            blist.append(blist[-1] * 2)
         prev = 0
         for L in blist:
             if L == blist[-1]:

@@ -26,21 +26,27 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@jax.jit
-def _bucket_solve(F, out, HH, rows, nbr_idx, nbr_val, mask, c_pos, alpha, reg):
+@functools.partial(jax.jit, static_argnames=('gram_dtype',))
+def _bucket_solve(F, out, HH, rows, nbr_idx, nbr_val, mask, c_pos, alpha,
+                  reg, gram_dtype=None):
     '''Solve the normal equations for one nnz-bucket of rows.
 
     F: [n_other, k] fixed-side factors; out: [n_this, k] factors being
     updated; rows: [R] row ids in this bucket; nbr_idx/nbr_val/mask: [R, L]
-    padded neighbor lists.  Returns ``out`` with the bucket rows replaced.
+    padded neighbor lists.  ``gram_dtype='bfloat16'`` computes the rank-L
+    Gram corrections with bf16 inputs and f32 accumulation (~2x MXU; the
+    k x k solve stays f32).  Returns ``out`` with the bucket rows replaced.
     '''
     k = F.shape[1]
     A = F[nbr_idx] * mask[..., None]                  # [R, L, k]
     # c_ui - 1 for observed entries (zero where padded)
     cm1 = jnp.where(alpha > 0, alpha * nbr_val, c_pos) * mask   # [R, L]
-    M = HH[None] + jnp.einsum('rlk,rlm->rkm', A * cm1[..., None], A,
+    Ag = A if gram_dtype is None else A.astype(gram_dtype)
+    Aw = (A * cm1[..., None]) if gram_dtype is None \
+        else (A * cm1[..., None]).astype(gram_dtype)
+    M = HH[None] + jnp.einsum('rlk,rlm->rkm', Aw, Ag,
                               preferred_element_type=jnp.float32)
-    M = M + reg * jnp.eye(k, dtype=F.dtype)[None]
+    M = M + reg * jnp.eye(k, dtype=jnp.float32)[None]
     b = ((1.0 + cm1)[..., None] * A).sum(1)           # [R, k]
     L = jnp.linalg.cholesky(M)
     sol = jax.scipy.linalg.cho_solve((L, True), b[..., None])[..., 0]
@@ -48,24 +54,25 @@ def _bucket_solve(F, out, HH, rows, nbr_idx, nbr_val, mask, c_pos, alpha, reg):
 
 
 def als_half_sweep(F_fixed, F_update, buckets, c_pos=1.0, alpha=0.0,
-                   reg=0.015):
+                   reg=0.015, gram_dtype=None):
     '''One half-sweep (all users, or all items).
 
     buckets: output of ``Ratings.padded_rows`` — list of
     (rows, nbr_idx, nbr_val, mask) with per-bucket static shapes.
     '''
-    HH = F_fixed.T @ F_fixed
+    HH = (F_fixed.T @ F_fixed).astype(jnp.float32)
     for rows, nbr_idx, nbr_val, mask in buckets:
         F_update = _bucket_solve(
             F_fixed, F_update, HH,
             jnp.asarray(rows), jnp.asarray(nbr_idx), jnp.asarray(nbr_val),
             jnp.asarray(mask), jnp.float32(c_pos), jnp.float32(alpha),
-            jnp.float32(reg))
+            jnp.float32(reg), gram_dtype=gram_dtype)
     return F_update
 
 
 def als_wrmf_train(P, Q, user_buckets, item_buckets, nbr_epochs=20,
-                   c_pos=1.0, alpha=0.0, reg=0.015, callback=None):
+                   c_pos=1.0, alpha=0.0, reg=0.015, callback=None,
+                   gram_dtype=None):
     '''Full WRMF training: alternate user and item half-sweeps
     (reference main loop ``als_implicit.pyx:250-352``).
 
@@ -74,8 +81,8 @@ def als_wrmf_train(P, Q, user_buckets, item_buckets, nbr_epochs=20,
     into P.  Returns (P, Q).
     '''
     for epoch in range(nbr_epochs):
-        P = als_half_sweep(Q, P, user_buckets, c_pos, alpha, reg)
-        Q = als_half_sweep(P, Q, item_buckets, c_pos, alpha, reg)
+        P = als_half_sweep(Q, P, user_buckets, c_pos, alpha, reg, gram_dtype)
+        Q = als_half_sweep(P, Q, item_buckets, c_pos, alpha, reg, gram_dtype)
         if callback is not None:
             callback(epoch, P, Q)
     return P, Q
