@@ -777,6 +777,84 @@ class BaseRecommender(object):
         self.svd_u, self.svd_v = svd_u, svd_v
 
     # ------------------------------------------------------------- export
+    # Duck-typed store writers with the reference's MongoDB call shapes
+    # (base.py:599-794): pass any object with .items/.users/.ratings
+    # collections exposing insert/update.  No client library is bundled —
+    # hand in a pymongo database (or a fake in tests).
+    def save_items_to_db(self, db=None):
+        db = db or self.db
+        batch = []
+        for label in self.items.labels:
+            idx = self.items.index[label]
+            batch.append({'lbl': label, 'w': np.asarray(self.Q[idx]).tolist()})
+        db.items.insert(batch)
+
+    def save_users_to_db(self, db=None):
+        db = db or self.db
+        batch = []
+        for label in self.users.labels:
+            idx = self.users.index[label]
+            batch.append({'lbl': label, 'w': np.asarray(self.P[idx]).tolist()})
+        db.users.insert(batch)
+
+    def save_ratings_to_db(self, db=None):
+        db = db or self.db
+        batch = [{'u_lbl': self.users.labels[u],
+                  'i_lbl': self.items.labels[i], 'val': float(v)}
+                 for u, i, v in self.ratings_iterator()]
+        db.ratings.insert(batch)
+
+    def update_model_in_db(self, db=None):
+        db = db or self.db
+        db.models.update({'name': self.metadata.get('model_name')},
+                         {'$set': {'bias': self.overall_bias}})
+
+    def update_users_model_in_db(self, db=None):
+        db = db or self.db
+        for label in self.users.labels:
+            idx = self.users.index[label]
+            db.users.update(
+                {'lbl': label, 'mod': self.metadata.get('model_name')},
+                {'$set': {'w': np.asarray(self.P[idx]).tolist(),
+                          'bu': float(self.users_bias[idx])}})
+
+    def update_items_model_in_db(self, db=None):
+        db = db or self.db
+        for label in self.items.labels:
+            idx = self.items.index[label]
+            db.items.update(
+                {'lbl': label, 'mod': self.metadata.get('model_name')},
+                {'$set': {'w': np.asarray(self.Q[idx]).tolist(),
+                          'bi': float(self.items_bias[idx])}})
+
+    def set_users_from_db(self, docs_iter):
+        '''reference base.py:751-761.'''
+        self.clear_users_index()
+        self.import_users(docs_iter)
+
+    def set_items_from_db(self, docs_iter):
+        self.clear_items_index()
+        self.import_items(docs_iter)
+
+    def set_ratings_from_db(self, docs_iter):
+        self.import_ratings(docs_iter)
+
+    def clear_users_index(self):
+        self.users.index = {lbl: i for i, lbl in
+                            enumerate(self.users.labels)}
+
+    def clear_items_index(self):
+        self.items.index = {lbl: i for i, lbl in
+                            enumerate(self.items.labels)}
+
+    db = None
+
+    def compute_means(self):
+        '''Per-user and per-item rating means (reference base.py:383-401,
+        marked obsolete there; kept for API parity).'''
+        self.users_bias = self.ratings.user_means(default=0.0)
+        self.items_bias = self.ratings.item_means(default=0.0)
+
     def export_items(self, fileobj):
         '''Write item model documents as JSON lines (the store-agnostic
         replacement for the reference's MongoDB writers, base.py:599-616).'''

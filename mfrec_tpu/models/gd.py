@@ -168,6 +168,60 @@ class GDRecommender(MFRecommender):
             fm[u, :n] = 1.0
         return fl, fm
 
+    # -------------------------------------------------- funk_fused engine
+    def _run_funk_fused(self, bias_mode, verbose=False):
+        '''The reference's feature-by-feature Funk schedule (rating cache,
+        trailing term, per-feature convergence) at mini-batch speed —
+        the scalable middle ground between the exact serial tier and the
+        all-features tiers.  bias_mode 'learned' is not cache-compatible
+        (the reference's learned loop recomputes the full dot each step);
+        use engine='funk' or 'fused' for that.'''
+        if bias_mode == 'learned':
+            raise Error("funk_fused does not support learned biases; "
+                        "use engine='funk' or 'fused'")
+        uidx, iidx, vals = self.ratings.shuffled(int(self.rng.integers(2**31)))
+        ub, ib, rb, mb = sgd_mf.batch_ratings(uidx, iidx, vals,
+                                              self.batch_size)
+        ub, ib = jnp.asarray(ub), jnp.asarray(ib)
+        rb, mb = jnp.asarray(rb), jnp.asarray(mb)
+        if bias_mode == 'fixed':
+            base = (self.overall_bias + self.items_bias[np.asarray(ib)]
+                    + self.users_bias[np.asarray(ub)]).astype(np.float32)
+        else:
+            base = np.ones(ub.shape, np.float32)
+        cb = jnp.asarray(base)
+        P = jnp.asarray(self.P, jnp.float32)
+        Q = jnp.asarray(self.Q, jnp.float32)
+        k = self.dimensionality
+        epoch = sgd_mf.make_funk_fused_feature_epoch(
+            self.learning_rate, self.K, bias_mode=bias_mode,
+            lo=self.min_rating, hi=self.max_rating)
+        self.rmse_history = []
+        for f in range(k):
+            pf = P[:, f:f + 1]
+            qf = Q[:, f:f + 1]
+            trailing = jnp.float32((k - f - 1) * self.feature_init ** 2)
+            rmse, ep = 2.0, 0
+            while (ep < self.min_epochs
+                   or rmse <= rmse_last - self.min_improvement):
+                if ep >= self.max_epochs:
+                    break
+                rmse_last = rmse
+                pf, qf, rmse_dev = epoch(pf, qf, trailing, ub, ib, rb, mb,
+                                         cb)
+                rmse = float(rmse_dev)
+                self.rmse_history.append(rmse)
+                ep += 1
+            P = P.at[:, f:f + 1].set(pf)
+            Q = Q.at[:, f:f + 1].set(qf)
+            cb = sgd_mf.funk_fused_update_cache(pf, qf, ub, ib, cb,
+                                                lo=self.min_rating,
+                                                hi=self.max_rating)
+            if verbose:
+                self.logger.info('feature %d epochs %d rmse %.5f',
+                                 f, ep, rmse)
+        self.P, self.Q = np.array(P), np.array(Q)
+
     # ------------------------------------------------- alternating engine
     def _run_alternating(self, bias_mode, verbose=False):
         '''Scatter-free sorted-window epochs
@@ -336,6 +390,8 @@ class GDRecommender(MFRecommender):
             mode = 'none'
         if self.engine == 'funk':
             self._run_funk(mode, verbose=verbose)
+        elif self.engine == 'funk_fused':
+            self._run_funk_fused(mode, verbose=verbose)
         elif self.engine == 'dsgd':
             self._run_dsgd(mode, verbose=verbose)
         elif self.engine == 'alternating':

@@ -213,6 +213,59 @@ def make_fused_epoch(batch_size, lr, K, lr_bu=0.0, lr_bi=0.0, K_bias=0.0,
 
 
 # --------------------------------------------------------------------------
+# Funk-fused tier — feature-by-feature schedule at mini-batch speed
+# --------------------------------------------------------------------------
+
+def make_funk_fused_feature_epoch(lr, K, bias_mode='none', lo=1.0, hi=5.0,
+                                  donate=False):
+    '''One mini-batch epoch of *single-feature* Funk training.
+
+    Keeps the reference schedule's semantics at vectorized speed: cached
+    partial predictions from converged features, the trailing-value term,
+    clamping, per-feature convergence — but processes ratings in
+    mini-batches with scatter-add updates instead of a serial sweep (the
+    scalable middle ground between the exact serial tier and the
+    all-features tiers).
+
+    epoch_fn(pf [U,1], qf [I,1], base, trailing, ub, ib, rb, mb, cb)
+      -> (pf, qf, rmse)
+    where cb [nb, B] is the per-rating cache (stream-aligned) and base is
+    the scalar baseline used when the cache is empty
+    (1.0 / mu — per gd_estimator.pyx:60-63; for 'fixed' pass the
+    per-rating baseline inside cb up front).
+    '''
+
+    def epoch_fn(pf, qf, trailing, ub, ib, rb, mb, cb):
+        def batch_step(carry, batch):
+            pf, qf, sse = carry
+            u, i, r, m, c = batch
+            pu = pf[u, 0]
+            qi = qf[i, 0]
+            pred = clamp(c + pu * qi, lo, hi)
+            pred = clamp(pred + trailing, lo, hi)
+            err = (r - pred) * m
+            sse = sse + (err * err).sum()
+            pf = pf.at[u, 0].add(lr * (err * qi - K * pu * m))
+            qf = qf.at[i, 0].add(lr * (err * pu - K * qi * m))
+            return (pf, qf, sse), None
+
+        (pf, qf, sse), _ = jax.lax.scan(batch_step, (pf, qf, 0.0),
+                                        (ub, ib, rb, mb, cb))
+        n = jnp.maximum(mb.sum(), 1.0)
+        return pf, qf, jnp.sqrt(sse / n)
+
+    return jax.jit(epoch_fn, donate_argnums=(0, 1) if donate else ())
+
+
+@jax.jit
+def funk_fused_update_cache(pf, qf, ub, ib, cb, lo=1.0, hi=5.0):
+    '''Freeze a converged feature into the stream-aligned cache
+    (vectorized analogue of gd_estimator.pyx:573-580; cb already holds
+    the baseline-or-previous-features value).'''
+    return clamp(cb + pf[ub, 0] * qf[ib, 0], lo, hi)
+
+
+# --------------------------------------------------------------------------
 # Sorted-window tier — scatter-free alternating SGD (fastest TPU path)
 # --------------------------------------------------------------------------
 

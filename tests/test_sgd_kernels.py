@@ -188,3 +188,42 @@ def test_gd_model_alternating_engine(small_dataset):
     assert m.P.shape == (U, 8)
     hist = m.get_rmse_history()
     assert hist[-1] < hist[0]
+
+
+def test_funk_fused_engine_trains(small_dataset):
+    '''funk_fused: feature-by-feature schedule at mini-batch speed;
+    trains to reasonable rmse and fills per-feature rmse history.'''
+    from mfrec_tpu.models.gd import GDRecommender
+    (u, i, v), test = small_dataset
+    U, I = int(u.max()) + 1, int(i.max()) + 1
+    m = GDRecommender(U, I, {'min_epochs': 8, 'max_epochs': 8,
+                             'nbr_features': 6, 'learning_rate': 0.02,
+                             'regularization_model': 0.02,
+                             'engine': 'funk_fused', 'batch_size': 1024})
+    m.seed(0)
+    m.set_ratings(u, i, v)
+    m.train(handle_bias=True)
+    hist = m.get_rmse_history()
+    assert len(hist) == 6 * 8                  # per-feature epochs recorded
+    assert hist[-1] < hist[0]
+    assert np.isfinite(m.predict_rating_with_bias(1, 1))
+
+
+def test_funk_fused_matches_funk_serial_loosely(tiny_dataset):
+    '''With one big batch, funk_fused differs from the serial sweep only
+    in within-epoch update order; final factors should be close on easy
+    data.'''
+    from mfrec_tpu.models.gd import GDRecommender
+    (u, i, v), _ = tiny_dataset
+    U, I = int(u.max()) + 1, int(i.max()) + 1
+    params = {'min_epochs': 4, 'max_epochs': 4, 'nbr_features': 3,
+              'learning_rate': 0.01, 'regularization_model': 0.02}
+    outs = {}
+    for engine in ('funk', 'funk_fused'):
+        p = dict(params, engine=engine, batch_size=4096)
+        m = GDRecommender(U, I, p)
+        m.seed(42)                 # same shuffle draw
+        m.set_ratings(u, i, v)
+        m.train()
+        outs[engine] = m.rmse_history[-1]
+    assert abs(outs['funk'] - outs['funk_fused']) < 0.1, outs
