@@ -59,6 +59,35 @@ def bench_als(U, I, users, items, K=64, epochs=3):
     }))
 
 
+def bench_serving(I=360_000, K=64, B=256, n=10, iters=20):
+    '''Secondary metric: top-N retrieval throughput (Last.fm-scale item
+    catalog, BASELINE config 4) via the fused Pallas kernel.'''
+    import jax.numpy as jnp
+    from mfrec_tpu.ops.pallas_topk import (topn_scores_pallas,
+                                           pad_items_for_pallas)
+    rng = np.random.default_rng(0)
+    P = jnp.asarray(rng.normal(0, 0.3, (B, K)), jnp.float32)
+    Q = rng.normal(0, 0.3, (I, K)).astype(np.float32)
+    bu = jnp.asarray(rng.normal(0, 0.1, B), jnp.float32)
+    bi = rng.normal(0, 0.1, I).astype(np.float32)
+    Qp, bip = pad_items_for_pallas(Q, bi, 2048)
+    Qp, bip = jnp.asarray(Qp), jnp.asarray(bip)
+    idx, sc = topn_scores_pallas(P, Qp, bu, bip, 0.0, n=n, block=2048)
+    float(sc[0, 0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        idx, sc = topn_scores_pallas(P, Qp, bu, bip, 0.0, n=n, block=2048)
+    float(sc[0, 0])
+    per_call = (time.perf_counter() - t0) / iters
+    print(json.dumps({
+        'metric': 'topn_retrieval_users_per_s',
+        'value': round(B / per_call, 1),
+        'unit': 'users/s/chip (360k items, rank 64, top-10)',
+        'vs_baseline': None,
+        'batch_s': round(per_call, 4),
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -70,6 +99,8 @@ def main():
     blocks = int(os.environ.get('BENCH_BLOCKS', 3))
 
     mode = os.environ.get('BENCH_MODE', 'alternating')
+    if mode == 'serving':
+        return bench_serving()
     users, items, vals = make_data(U, I, N)
 
     if mode == 'als':

@@ -227,3 +227,24 @@ def test_funk_fused_matches_funk_serial_loosely(tiny_dataset):
         m.train()
         outs[engine] = m.rmse_history[-1]
     assert abs(outs['funk'] - outs['funk_fused']) < 0.1, outs
+
+
+def test_engines_deterministic(small_dataset):
+    '''Determinism (the single-chip analogue of SURVEY §5 race detection):
+    same seed -> bit-identical factors for the fused and alternating
+    engines.'''
+    from mfrec_tpu.models.gd import GDRecommender
+    (u, i, v), _ = small_dataset
+    U, I = int(u.max()) + 1, int(i.max()) + 1
+    for engine in ('fused', 'alternating'):
+        outs = []
+        for _ in range(2):
+            m = GDRecommender(U, I, {'min_epochs': 5, 'max_epochs': 5,
+                                     'nbr_features': 6,
+                                     'learning_rate': 0.02,
+                                     'engine': engine, 'batch_size': 1024})
+            m.seed(123)
+            m.set_ratings(u, i, v)
+            m.train(handle_bias=True)
+            outs.append(m.P.copy())
+        np.testing.assert_array_equal(outs[0], outs[1])
