@@ -615,9 +615,13 @@ class GDRecommender(MFRecommender):
         if self.items_bias is None or self.users_bias is None:
             self.initialize_bias()
         if self.items_bias.shape[0] < self.nbr_items:
-            self.items_bias = np.resize(self.items_bias, self.nbr_items)
+            self.items_bias = np.pad(
+                self.items_bias, (0, self.nbr_items
+                                  - self.items_bias.shape[0]))
         if self.users_bias.shape[0] < self.nbr_users:
-            self.users_bias = np.resize(self.users_bias, self.nbr_users)
+            self.users_bias = np.pad(
+                self.users_bias, (0, self.nbr_users
+                                  - self.users_bias.shape[0]))
 
     def add_user(self, user_label, users_ratings_index, users_ratings):
         '''Add + fold-in a new user without touching the training matrix

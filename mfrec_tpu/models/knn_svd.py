@@ -24,6 +24,9 @@ class KNNSVDRecommender(MFRecommender):
                         'sim_threshold': 'sim_threshold',
                         'nbr_features': 'dimensionality'}
 
+    # predict() is a kNN weighted vote — top-N must use the host predictor
+    _default_predictor_mode = None
+
     def __init__(self, nbr_users=4, nbr_items=6, parameters=None,
                  filename=False):
         MFRecommender.__init__(self, nbr_users, nbr_items, None)

@@ -26,6 +26,10 @@ class SVDRecommender(MFRecommender):
 
     PARAMETERS_INDEX = {'nbr_features': 'dimensionality'}
 
+    # predict() projects the rating row through the item subspace — not a
+    # factor dot product — so top-N must score through the host predictor
+    _default_predictor_mode = None
+
     def __init__(self, nbr_users=4, nbr_items=6, parameters=None,
                  filename=False):
         MFRecommender.__init__(self, nbr_users, nbr_items, None)
