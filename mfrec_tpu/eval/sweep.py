@@ -59,3 +59,52 @@ def optimize_dim(factory, train_kwargs, u_test, dims=range(10, 50, 2),
     return sweep_parameter(factory, train_kwargs, u_test, 'nbr_features',
                            list(dims), nbr_samples=nbr_samples,
                            predictor='predict')
+
+
+def optimize_regularization_vmapped(users, items, values, u_test, regs,
+                                    rank=16, epochs=30, lr=0.01,
+                                    batch_size=8192, feature_init=0.1):
+    '''Train one model PER regularization value simultaneously — factors
+    stacked on a sweep axis, the whole sweep is a single vmapped device
+    program (TPU-native replacement for the reference's sequential
+    re-train loops; the ALS L2 "reg sweep" of BASELINE config 2 for the
+    SGD path).  Returns (regs, test_rmses [S]).'''
+    import jax.numpy as jnp
+    from mfrec_tpu.ops import sgd_mf
+    users = np.asarray(users, np.int32)
+    items = np.asarray(items, np.int32)
+    values = np.asarray(values, np.float32)
+    U, I = int(users.max()) + 1, int(items.max()) + 1
+    S = len(regs)
+    mu = float(values.mean())
+    # fixed BellKor-free biases: simple deviations (cheap, shared)
+    cnt_i = np.bincount(items, minlength=I)
+    bi = np.where(cnt_i > 0,
+                  np.bincount(items, weights=values - mu, minlength=I)
+                  / np.maximum(cnt_i, 1), 0.0).astype(np.float32)
+    resid = values - mu - bi[items]
+    cnt_u = np.bincount(users, minlength=U)
+    bu = np.where(cnt_u > 0,
+                  np.bincount(users, weights=resid, minlength=U)
+                  / np.maximum(cnt_u, 1), 0.0).astype(np.float32)
+
+    ub, ib, rb, mb = sgd_mf.batch_ratings(users, items, values, batch_size,
+                                          seed=0)
+    Ps = jnp.full((S, U, rank), feature_init, jnp.float32)
+    Qs = jnp.full((S, I, rank), feature_init, jnp.float32)
+    Ks = jnp.asarray(np.asarray(regs, np.float32))
+    epoch = sgd_mf.make_multi_reg_epoch(lr, bias_mode='fixed')
+    args = tuple(jnp.asarray(x) for x in (ub, ib, rb, mb))
+    for _ in range(int(epochs)):
+        Ps, Qs, rmses = epoch(Ps, Qs, Ks, jnp.asarray(bu), jnp.asarray(bi),
+                              jnp.float32(mu), *args)
+    # vectorized held-out eval for every model at once
+    test = np.asarray(u_test)
+    tu = test[:, 0].astype(int)
+    ti = test[:, 1].astype(int)
+    tv = test[:, 2]
+    Psn, Qsn = np.asarray(Ps), np.asarray(Qs)
+    pred = mu + bu[tu][None, :] + bi[ti][None, :] \
+        + np.einsum('snk,snk->sn', Psn[:, tu], Qsn[:, ti])
+    rmses = np.sqrt(((tv[None, :] - pred) ** 2).mean(axis=1))
+    return np.asarray(regs), rmses

@@ -213,6 +213,53 @@ def make_fused_epoch(batch_size, lr, K, lr_bu=0.0, lr_bi=0.0, K_bias=0.0,
 
 
 # --------------------------------------------------------------------------
+# Vmapped hyperparameter sweep — train S models simultaneously
+# --------------------------------------------------------------------------
+
+def make_multi_reg_epoch(lr, bias_mode='fixed', clamp_pred=True, lo=1.0,
+                         hi=5.0):
+    '''Train S models with different regularization strengths in ONE
+    device program: factors stacked on a leading sweep axis, the fused
+    mini-batch epoch vmapped over (P, Q, K).  The TPU-native answer to the
+    reference's sequential re-train sweeps (metaparameters.py).
+
+    epoch_fn(Ps [S,U,k], Qs [S,I,k], bu [U], bi [I], mu, Ks [S],
+             ub, ib, rb, mb) -> (Ps, Qs, rmses [S])
+    '''
+
+    def one_model(P, Q, K, bu, bi, mu, ub, ib, rb, mb):
+        def batch_step(carry, batch):
+            P, Q, sse = carry
+            u, i, r, m = batch
+            pu = P[u]
+            qi = Q[i]
+            dot = (pu * qi).sum(-1)
+            pred = (1.0 + dot) if bias_mode == 'none' \
+                else (mu + bu[u] + bi[i] + dot)
+            if clamp_pred:
+                pred = clamp(pred, lo, hi)
+            err = (r - pred) * m
+            sse = sse + (err * err).sum()
+            P = P.at[u].add(lr * (err[:, None] * qi - K * pu * m[:, None]))
+            Q = Q.at[i].add(lr * (err[:, None] * pu - K * qi * m[:, None]))
+            return (P, Q, sse), None
+
+        (P, Q, sse), _ = jax.lax.scan(batch_step, (P, Q, 0.0),
+                                      (ub, ib, rb, mb))
+        n = jnp.maximum(mb.sum(), 1.0)
+        return P, Q, jnp.sqrt(sse / n)
+
+    vm = jax.vmap(one_model,
+                  in_axes=(0, 0, 0, None, None, None, None, None, None,
+                           None))
+
+    def epoch_fn(Ps, Qs, Ks, bu, bi, mu, ub, ib, rb, mb):
+        return vm(Ps, Qs, Ks, bu, bi, mu, ub, ib, rb, mb)
+
+    return jax.jit(epoch_fn)
+
+
+# --------------------------------------------------------------------------
 # Funk-fused tier — feature-by-feature schedule at mini-batch speed
 # --------------------------------------------------------------------------
 

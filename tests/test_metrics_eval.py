@@ -161,3 +161,16 @@ def test_load_ratings_file_native_vs_numpy(tmp_path):
     np.testing.assert_array_equal(u1, u2)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(v1, v2)
+
+
+def test_vmapped_regularization_sweep(small_dataset):
+    '''All regularization candidates trained in one vmapped program;
+    extreme over-regularization must score worse than a sensible value.'''
+    from mfrec_tpu.eval.sweep import optimize_regularization_vmapped
+    (u, i, v), test = small_dataset
+    regs, rmses = optimize_regularization_vmapped(
+        u, i, v, test, regs=[0.02, 0.3, 1.0], rank=8, epochs=25, lr=0.02,
+        batch_size=1024)
+    assert rmses.shape == (3,)
+    assert np.isfinite(rmses).all()
+    assert rmses[2] > rmses[0]        # absurd reg kills accuracy
