@@ -101,6 +101,13 @@ def main():
     mode = os.environ.get('BENCH_MODE', 'alternating')
     if mode == 'serving':
         return bench_serving()
+    config = 'ml10m'
+    if mode == 'netflix':
+        # Netflix-prize scale (BASELINE config 5) on one chip:
+        # 480k users x 17.8k items, 100M ratings, rank 128
+        U, I, N, K = 480_189, 17_770, 100_000_000, 128
+        config = 'netflix100m_rank128'
+        mode = 'alternating'
     users, items, vals = make_data(U, I, N)
 
     if mode == 'als':
@@ -155,7 +162,9 @@ def main():
     updates_per_s = N * K / epoch_s
     baseline = 3.7e7          # reference single-feature updates/s (BASELINE.md)
     print(json.dumps({
-        'metric': 'ml10m_rank64_sgd_feature_rating_updates_per_s',
+        'metric': ('ml10m_rank64_sgd_feature_rating_updates_per_s'
+                   if config == 'ml10m'
+                   else config + '_sgd_feature_rating_updates_per_s'),
         'value': round(updates_per_s, 1),
         'unit': 'updates/s/chip',
         'vs_baseline': round(updates_per_s / baseline, 2),

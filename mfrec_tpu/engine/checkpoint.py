@@ -42,3 +42,23 @@ def save_model_snapshot(path, svd_u, svd_v):
 def load_model_snapshot(path):
     with np.load(str(path) + '_model_snapshot.npz') as z:
         return z['svd_u'], z['svd_v']
+
+
+# ---------------------------------------------------------------- orbax
+def save_state_orbax(path, pytree):
+    '''Optional Orbax-backed checkpoint of an arbitrary factor pytree —
+    for multi-host / async checkpointing of sharded training state (the
+    npz format above is the portable default).  Requires orbax.'''
+    import orbax.checkpoint as ocp
+    import os
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(str(path)), pytree, force=True)
+
+
+def load_state_orbax(path, like=None):
+    import orbax.checkpoint as ocp
+    import os
+    with ocp.StandardCheckpointer() as ckptr:
+        if like is not None:
+            return ckptr.restore(os.path.abspath(str(path)), like)
+        return ckptr.restore(os.path.abspath(str(path)))

@@ -296,3 +296,16 @@ def test_new_user_coordinates_projection(small_dataset):
     assert np.isfinite(coord).all()
     sims = m.similar_users_new(vec, 3)
     assert len(sims) == 3
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    pytest.importorskip('orbax.checkpoint')
+    from mfrec_tpu.engine.checkpoint import (save_state_orbax,
+                                             load_state_orbax)
+    tree = {'P': np.arange(12, dtype=np.float32).reshape(3, 4),
+            'bu': np.ones(3, np.float32)}
+    path = str(tmp_path / 'ockpt')
+    save_state_orbax(path, tree)
+    back = load_state_orbax(path, like=tree)
+    np.testing.assert_allclose(back['P'], tree['P'])
+    np.testing.assert_allclose(back['bu'], tree['bu'])
