@@ -1,0 +1,203 @@
+'''
+Multi-chip alternating SGD — the flagship engine scaled over a mesh.
+
+Each half-pass of the sorted-window engine (ops.sgd_mf.make_alternating_
+epoch) is embarrassingly parallel in the side being updated: during the
+P-pass every device trains only its own user rows against a read-only Q.
+So the multi-chip layout is:
+
+  * users partitioned into D contiguous ranges -> Paug row-sharded
+    (each shard padded by W rows so window updates never cross shards);
+  * items likewise -> Qaug row-sharded;
+  * the P half-pass runs on each device over ITS users' (user-sorted,
+    span-capped) batches with the full Q `all_gather`ed once;
+  * then P is all-gathered once and the Q half-pass runs over each
+    device's items' batches.
+
+Communication per epoch = one all_gather of each factor side, riding ICI
+— the same pattern as sharded ALS; within a device the kernel is the
+scatter-free one-hot window aggregation (see ARCHITECTURE.md).
+
+Because factor shards carry W pad rows, gather indices into the
+all-gathered ("padded-global") arrays are remapped at layout time:
+padded_id = id + W * (id // rows_per_shard).
+'''
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as PS
+from jax import shard_map
+
+from mfrec_tpu.ops.sgd_mf import clamp
+
+
+def _pack_side(key, other, vals, D, rows_per_shard, W, batch_size,
+               other_rows_per_shard, W_other):
+    '''Partition by key-shard, sort within shard, span-cap batches, pad all
+    shards to the same batch count.  Returns per-device tensors
+    [D, nb, B]: key-local ids kl, window starts lo (shard-local),
+    padded-global ids of the *other* side, values, mask.'''
+    shard_of = key // rows_per_shard
+    per_dev = []
+    nb_max = 1
+    for d in range(D):
+        sel = np.nonzero(shard_of == d)[0]
+        k = key[sel]
+        order = np.argsort(k, kind='stable')
+        sel = sel[order]
+        k = key[sel] - d * rows_per_shard          # shard-local key ids
+        o = other[sel]
+        o = o + W_other * (o // other_rows_per_shard)   # padded-global
+        v = vals[sel]
+        n = sel.shape[0]
+        bounds = []
+        start = 0
+        while start < n:
+            end = min(start + batch_size, n)
+            limit = int(np.searchsorted(k, k[start] + W, side='left'))
+            end = min(end, max(limit, start + 1))
+            bounds.append((start, end))
+            start = end
+        per_dev.append((k, o, v, bounds))
+        nb_max = max(nb_max, len(bounds))
+
+    B = batch_size
+    kl = np.zeros((D, nb_max, B), np.int32)
+    og = np.zeros((D, nb_max, B), np.int32)
+    rb = np.zeros((D, nb_max, B), np.float32)
+    mb = np.zeros((D, nb_max, B), np.float32)
+    lo = np.zeros((D, nb_max), np.int32)
+    for d, (k, o, v, bounds) in enumerate(per_dev):
+        for b, (s, e) in enumerate(bounds):
+            m = e - s
+            base = k[s]
+            kl[d, b, :m] = k[s:e] - base
+            og[d, b, :m] = o[s:e]
+            rb[d, b, :m] = v[s:e]
+            mb[d, b, :m] = 1.0
+            kl[d, b, m:] = 0
+            og[d, b, m:] = o[s] if m else 0
+            lo[d, b] = base
+    return kl, og, rb, mb, lo
+
+
+def build_sharded_alternating_layout(uidx, iidx, vals, D, nbr_users,
+                                     nbr_items, batch_size=32768,
+                                     max_window=256):
+    '''Host-side layout for ``make_sharded_alternating_epoch``.
+
+    Returns (p_layout, q_layout, dims) where dims =
+    (Ushard, Ishard, W) and each layout is the tuple of [D, nb, B]
+    tensors (kl, other_global, r, mask, lo).'''
+    W = int(max_window)
+    Ushard = -(-nbr_users // D)
+    Ishard = -(-nbr_items // D)
+    p_layout = _pack_side(uidx, iidx, vals, D, Ushard, W, batch_size,
+                          Ishard, W)
+    q_layout = _pack_side(iidx, uidx, vals, D, Ishard, W, batch_size,
+                          Ushard, W)
+    return p_layout, q_layout, (Ushard, Ishard, W)
+
+
+def pad_factors_sharded(F, rows_per_shard, W, D):
+    '''[n, k] -> [D*(rows_per_shard+W), k]: each shard padded by W rows.'''
+    k = F.shape[1]
+    out = np.zeros((D * (rows_per_shard + W), k), np.float32)
+    for d in range(D):
+        s = d * rows_per_shard
+        rows = np.asarray(F[s:s + rows_per_shard])
+        out[d * (rows_per_shard + W):
+            d * (rows_per_shard + W) + rows.shape[0]] = rows
+    return out
+
+
+def unpad_factors_sharded(Fp, rows_per_shard, W, D, n):
+    k = Fp.shape[1]
+    out = np.zeros((n, k), np.float32)
+    for d in range(D):
+        s = d * rows_per_shard
+        take = min(rows_per_shard, n - s)
+        if take <= 0:
+            break
+        out[s:s + take] = Fp[d * (rows_per_shard + W):
+                             d * (rows_per_shard + W) + take]
+    return out
+
+
+def make_sharded_alternating_epoch(mesh, W, lr, K, bias_mode='fixed',
+                                   clamp_pred=True, lo_r=1.0, hi_r=5.0,
+                                   chunk=4096, row_mean=True, axis='dp'):
+    '''Jitted multi-chip epoch over augmented factors:
+
+        (Paug, Qaug, mu, p_layout, q_layout) -> (Paug, Qaug, rmse)
+
+    Paug: [D*(Ushard+W), k+2] row-sharded; Qaug likewise; layouts from
+    ``build_sharded_alternating_layout`` (leading axis row-sharded).
+    bias columns follow the augmented-factor convention of
+    ``ops.sgd_mf.make_alternating_epoch`` (fixed biases frozen; 'learned'
+    not supported here yet).
+    '''
+    if bias_mode == 'learned':
+        raise NotImplementedError('learned biases on the sharded path: '
+                                  'use the single-chip engine')
+
+    def half_pass(F_upd, F_full, mu, kl, og, rb, mb, lo):
+        # local shapes: F_upd [Ushard+W, k2]; blocks [1, nb, B]
+        kl, og, rb, mb, lo = kl[0], og[0], rb[0], mb[0], lo[0]
+
+        def step(carry, batch):
+            F_upd, sse = carry
+            kli, ogi, r, m, lo_b = batch
+            fu = F_upd[kli + lo_b]
+            ff = F_full[ogi]
+            dot = (fu * ff).sum(-1)
+            pred = (1.0 + dot) if bias_mode == 'none' else (mu + dot)
+            if clamp_pred:
+                pred = clamp(pred, lo_r, hi_r)
+            err = (r - pred) * m
+            sse = sse + (err * err).sum()
+            g = err[:, None] * ff - K * fu * m[:, None]
+            # freeze bias + const columns (fixed-bias mode)
+            colmask = jnp.ones((g.shape[1],), g.dtype)
+            colmask = colmask.at[-2:].set(0.0)
+            B = g.shape[0]
+            ch = min(chunk, B)
+            gc = g.reshape(B // ch, ch, -1).astype(jnp.bfloat16)
+            kc = kli.reshape(B // ch, ch)
+            onehot = (kc[:, :, None] ==
+                      jnp.arange(W)[None, None, :]).astype(jnp.bfloat16)
+            gsum = jnp.einsum('nck,ncw->wk', gc, onehot,
+                              preferred_element_type=jnp.float32)
+            if row_mean:
+                mc = m.reshape(B // ch, ch).astype(jnp.bfloat16)
+                cnt = jnp.einsum('nc,ncw->w', mc, onehot,
+                                 preferred_element_type=jnp.float32)
+                gsum = gsum / jnp.maximum(cnt, 1.0)[:, None]
+            win = jax.lax.dynamic_slice_in_dim(F_upd, lo_b, W, 0)
+            F_upd = jax.lax.dynamic_update_slice_in_dim(
+                F_upd, win + lr * gsum * colmask[None, :], lo_b, 0)
+            return (F_upd, sse), None
+
+        (F_upd, sse), _ = jax.lax.scan(
+            step, (F_upd, jnp.zeros((), F_upd.dtype)),
+            (kl, og, rb, mb, lo))
+        return F_upd, sse
+
+    def device_fn(Paug, Qaug, mu, pkl, pog, prb, pmb, plo,
+                  qkl, qog, qrb, qmb, qlo):
+        Q_full = jax.lax.all_gather(Qaug, axis, tiled=True)
+        Paug, sse = half_pass(Paug, Q_full, mu, pkl, pog, prb, pmb, plo)
+        P_full = jax.lax.all_gather(Paug, axis, tiled=True)
+        Qaug, _ = half_pass(Qaug, P_full, mu, qkl, qog, qrb, qmb, qlo)
+        total = jax.lax.psum(sse, axis)
+        n = jax.lax.psum(pmb.sum(), axis)
+        return Paug, Qaug, jnp.sqrt(total / jnp.maximum(n, 1.0))
+
+    sharded = shard_map(
+        device_fn, mesh=mesh,
+        in_specs=(PS(axis), PS(axis), PS()) + (PS(axis),) * 10,
+        out_specs=(PS(axis), PS(axis), PS()),
+        check_vma=False)
+    return jax.jit(sharded)
