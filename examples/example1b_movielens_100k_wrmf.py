@@ -7,6 +7,10 @@ synthetic MovieLens-shaped dataset (the sandbox has no network access).
 
 Run:  python examples/example1b_movielens_100k_wrmf.py
 '''
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import logging
 import os
 import time

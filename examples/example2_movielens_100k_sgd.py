@@ -7,6 +7,10 @@ the real files are absent.
 Run:  python examples/example2_movielens_100k_sgd.py [engine]
       engine in {fused, alternating, funk, dsgd}; default fused.
 '''
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

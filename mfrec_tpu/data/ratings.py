@@ -84,9 +84,10 @@ class Ratings:
     def __init__(self, nbr_users, nbr_items):
         self.nbr_users = int(nbr_users)
         self.nbr_items = int(nbr_items)
-        self._users = []          # pending python-side appends
+        self._users = []          # pending scalar appends
         self._items = []
         self._values = []
+        self._bulk = []           # pending array appends
         self._u = np.zeros(0, np.int32)   # consolidated arrays
         self._i = np.zeros(0, np.int32)
         self._v = np.zeros(0, np.float32)
@@ -106,10 +107,19 @@ class Ratings:
         values = np.asarray(values, np.float32)
         if not (users.shape == items.shape == values.shape):
             raise ValueError('users/items/values must have identical shapes')
-        self._users.extend(users.tolist())
-        self._items.extend(items.tolist())
-        self._values.extend(values.tolist())
+        # bulk appends stay as arrays (no python-object round trip);
+        # flush any pending scalar appends first to preserve write order
+        # (last write wins, chronologically)
+        self._flush_scalars()
+        self._bulk.append((users, items, values))
         self._dirty = True
+
+    def _flush_scalars(self):
+        if self._users:
+            self._bulk.append((np.asarray(self._users, np.int32),
+                               np.asarray(self._items, np.int32),
+                               np.asarray(self._values, np.float32)))
+            self._users, self._items, self._values = [], [], []
 
     def grow(self, nbr_users=None, nbr_items=None):
         if nbr_users is not None:
@@ -121,9 +131,13 @@ class Ratings:
     def _consolidate(self):
         if not self._dirty:
             return
-        u = np.concatenate([self._u, np.asarray(self._users, np.int32)])
-        i = np.concatenate([self._i, np.asarray(self._items, np.int32)])
-        v = np.concatenate([self._v, np.asarray(self._values, np.float32)])
+        u = np.concatenate([self._u] + [b[0] for b in self._bulk]
+                           + [np.asarray(self._users, np.int32)])
+        i = np.concatenate([self._i] + [b[1] for b in self._bulk]
+                           + [np.asarray(self._items, np.int32)])
+        v = np.concatenate([self._v] + [b[2] for b in self._bulk]
+                           + [np.asarray(self._values, np.float32)])
+        self._bulk = []
         # Deduplicate: last write wins (lil_matrix assignment semantics).
         key = u.astype(np.int64) * self.nbr_items + i.astype(np.int64)
         order = np.argsort(key, kind='stable')
@@ -265,16 +279,16 @@ class Ratings:
             prev = L
             if rows.size == 0:
                 continue
-            R = rows.shape[0]
-            idx = np.zeros((R, L), np.int32)
-            vals = np.zeros((R, L), np.float32)
-            mask = np.zeros((R, L), np.float32)
-            for r, row in enumerate(rows):
-                s, e = ptr[row], ptr[row + 1]
-                n = e - s
-                idx[r, :n] = nbr[s:e]
-                vals[r, :n] = val[s:e]
-                mask[r, :n] = 1.0
-            out.append((rows.astype(np.int32), idx, vals, mask))
+            # vectorized padded fill: grid of flat CSR positions, clamped
+            # to each row's segment and masked beyond its count
+            starts = ptr[rows][:, None]                       # [R, 1]
+            cnts = counts[rows][:, None]                      # [R, 1]
+            offs = np.arange(L, dtype=np.int64)[None, :]      # [1, L]
+            mask = (offs < cnts)
+            grid = starts + np.minimum(offs, np.maximum(cnts - 1, 0))
+            idx = (nbr[grid] * mask).astype(np.int32)
+            vals = (val[grid] * mask).astype(np.float32)
+            out.append((rows.astype(np.int32), idx, vals,
+                        mask.astype(np.float32)))
         self._cache[key] = out
         return out

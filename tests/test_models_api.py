@@ -309,3 +309,22 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     back = load_state_orbax(path, like=tree)
     np.testing.assert_allclose(back['P'], tree['P'])
     np.testing.assert_allclose(back['bu'], tree['bu'])
+
+
+def test_fn_recommender_trains(small_dataset):
+    '''FNRecommender: working version of the reference's broken skeleton.'''
+    from mfrec_tpu.models.fn import FNRecommender
+    (u, i, v), test = small_dataset
+    U, I = int(u.max()) + 1, int(i.max()) + 1
+    # linear kernel: grad = err directly, so keep lr small for the
+    # accumulating fused batches
+    m = FNRecommender(U, I, {'nbr_epochs': 30, 'nbr_features': 8,
+                             'learning_rate': 0.002})
+    m.seed(0)
+    m.set_ratings(u, i, v)
+    m.train(kernel='train_linear_kernel')
+    p = m.predict_linear(1, 1)
+    assert np.isfinite(p)
+    m2 = FNRecommender(U, I)
+    with pytest.raises(Error):
+        m2.train(kernel='no_such_kernel')
