@@ -138,12 +138,16 @@ class Ratings:
         v = np.concatenate([self._v] + [b[2] for b in self._bulk]
                            + [np.asarray(self._values, np.float32)])
         self._bulk = []
+        # Sort user-major (u, then i): two stable counting-sort passes —
+        # the native C++ path when available, numpy stable argsort else.
+        from mfrec_tpu import native
+        perm_i = native.counting_sort(i, self.nbr_items)
+        u2, i2, v2 = u[perm_i], i[perm_i], v[perm_i]
+        perm_u = native.counting_sort(u2, self.nbr_users)
+        u, i, v = u2[perm_u], i2[perm_u], v2[perm_u]
         # Deduplicate: last write wins (lil_matrix assignment semantics).
-        key = u.astype(np.int64) * self.nbr_items + i.astype(np.int64)
-        order = np.argsort(key, kind='stable')
-        key, u, i, v = key[order], u[order], i[order], v[order]
-        keep = np.ones(key.shape[0], bool)
-        keep[:-1] = key[:-1] != key[1:]
+        keep = np.ones(u.shape[0], bool)
+        keep[:-1] = (u[:-1] != u[1:]) | (i[:-1] != i[1:])
         # An explicit zero deletes the entry (sparse-store semantics).
         keep &= v != 0.0
         self._u, self._i, self._v = u[keep], i[keep], v[keep]
@@ -190,7 +194,8 @@ class Ratings:
         '''(col_ptr[I+1], user_idx[nnz], value[nnz]) sorted by item.'''
         self._consolidate()
         if 'csc' not in self._cache:
-            order = np.argsort(self._i, kind='stable')
+            from mfrec_tpu import native
+            order = native.counting_sort(self._i, self.nbr_items)
             items = self._i[order]
             counts = np.bincount(items, minlength=self.nbr_items)
             ptr = np.zeros(self.nbr_items + 1, np.int64)
