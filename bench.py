@@ -126,8 +126,9 @@ def main():
         st = sgd_mf.init_state(U + W_user, I + W_item, K)
         Paug, Qaug = sgd_mf.augment_factors(st.P, st.Q, st.bu, st.bi)
         mu = jnp.float32(vals.mean())
-        ep = sgd_mf.make_alternating_epoch(W_user, W_item, lr=0.05, K=0.02,
-                                           bias_mode='fixed')
+        ep = sgd_mf.make_alternating_epoch(
+            W_user, W_item, lr=0.05, K=0.02, bias_mode='fixed',
+            use_pallas_agg=os.environ.get('BENCH_PALLAS_AGG', '1') == '1')
         state = (Paug, Qaug)
 
         def epoch(s):

@@ -243,11 +243,14 @@ class GDRecommender(MFRecommender):
             jnp.pad(state.bu, (0, W_user)),
             jnp.pad(state.bi, (0, W_item)))
         mu = state.mu
+        import jax
         epoch = sgd_mf.make_alternating_epoch(
             W_user, W_item, self.learning_rate, self.K,
             lr_bu=self.learning_rate_users, lr_bi=self.learning_rate_items,
             K_bias=self.K2, bias_mode=bias_mode,
-            lo_r=self.min_rating, hi_r=self.max_rating, chunk=chunk)
+            lo_r=self.min_rating, hi_r=self.max_rating, chunk=chunk,
+            # Pallas aggregation only lowers on TPU backends
+            use_pallas_agg=jax.default_backend() != 'cpu')
         driver = ConvergenceDriver(self.min_epochs, self.max_epochs,
                                    self.min_improvement)
 

@@ -393,7 +393,7 @@ def split_factors(Paug, Qaug):
 def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
                            K_bias=0.0, bias_mode='fixed', clamp_pred=True,
                            lo_r=1.0, hi_r=5.0, chunk=4096, donate=True,
-                           row_mean=True):
+                           row_mean=True, use_pallas_agg=False):
     '''Build a jitted scatter-free epoch over *augmented* factors: a P
     half-pass over the user-sorted stream (Q fixed), then a Q half-pass
     over the item-sorted stream (P fixed) — blockwise-alternating SGD.
@@ -449,17 +449,24 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
             lrv, regv = col_vectors(F_upd.shape[1] - 2, upd_is_user)
             g = err[:, None] * ff - regv[None, :] * fu * m[:, None]
             B = g.shape[0]
-            gc = g.reshape(B // chunk, chunk, -1).astype(jnp.bfloat16)
-            kc = kl.reshape(B // chunk, chunk)
-            onehot = (kc[:, :, None] ==
-                      jnp.arange(W)[None, None, :]).astype(jnp.bfloat16)
-            gsum = jnp.einsum('nck,ncw->wk', gc, onehot,
-                              preferred_element_type=jnp.float32)
-            if row_mean:
-                mc = (m.reshape(B // chunk, chunk)).astype(jnp.bfloat16)
-                cnt = jnp.einsum('nc,ncw->w', mc, onehot,
-                                 preferred_element_type=jnp.float32)
-                gsum = gsum / jnp.maximum(cnt, 1.0)[:, None]
+            if use_pallas_agg:
+                from mfrec_tpu.ops.pallas_window_agg import window_aggregate
+                gsum, cnt = window_aggregate(g, kl, m, W,
+                                             chunk=min(chunk, B))
+                if row_mean:
+                    gsum = gsum / jnp.maximum(cnt, 1.0)[:, None]
+            else:
+                gc = g.reshape(B // chunk, chunk, -1).astype(jnp.bfloat16)
+                kc = kl.reshape(B // chunk, chunk)
+                onehot = (kc[:, :, None] ==
+                          jnp.arange(W)[None, None, :]).astype(jnp.bfloat16)
+                gsum = jnp.einsum('nck,ncw->wk', gc, onehot,
+                                  preferred_element_type=jnp.float32)
+                if row_mean:
+                    mc = (m.reshape(B // chunk, chunk)).astype(jnp.bfloat16)
+                    cnt = jnp.einsum('nc,ncw->w', mc, onehot,
+                                     preferred_element_type=jnp.float32)
+                    gsum = gsum / jnp.maximum(cnt, 1.0)[:, None]
             win = jax.lax.dynamic_slice_in_dim(F_upd, lo, W, 0)
             F_upd = jax.lax.dynamic_update_slice_in_dim(
                 F_upd, win + lrv[None, :] * gsum, lo, 0)
