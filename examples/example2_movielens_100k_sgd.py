@@ -5,7 +5,8 @@ top-N quality report.  Falls back to synthetic MovieLens-shaped data when
 the real files are absent.
 
 Run:  python examples/example2_movielens_100k_sgd.py [engine]
-      engine in {fused, alternating, funk, dsgd}; default fused.
+      engine in {fused, alternating, funk, funk_fused, dsgd};
+      default fused.
 '''
 import os as _os
 import sys as _sys

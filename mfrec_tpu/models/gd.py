@@ -86,6 +86,23 @@ class GDRecommender(MFRecommender):
     def get_rmse_history(self):
         return np.asarray(self.rmse_history)
 
+    def set_ratings_iterator(self, iterator):
+        '''Ingest from an external (e.g. DB cursor) iterator of
+        (user_index, item_index, value) rows (reference
+        gradient_descent.py:111-112 keeps the cursor; here rows are
+        drained into the ratings store).'''
+        for row in iterator:
+            self.ratings.set(int(row[0]), int(row[1]), float(row[2]))
+
+    def feature_training_dev(self, initialize_model=True, probe=None,
+                             verbose=False):
+        '''Funk training returning the per-epoch rmse trace (reference
+        gradient_descent.py:577-599 -> estimator_loop with rmse_hist
+        out-param).'''
+        self._init_factors(initialize_model)
+        self._run_funk('none', verbose=verbose)
+        return np.asarray(self.rmse_history)
+
     def _init_factors(self, initialize_model):
         if initialize_model or self.P is None or self.Q is None:
             k = self.dimensionality
@@ -666,7 +683,11 @@ class GDRecommender(MFRecommender):
                       similarity_threshold=False, similarities_output=False,
                       method='cosine_binary'):
         '''GD override: binary rated-set cosine by default (reference
-        gradient_descent.py:712-766), one matmul on device.'''
+        gradient_descent.py:712-766), one matmul on device.
+
+        NOTE: densifies the ratings indicator ([U, I]) — fine at ML-100K
+        scale; for large catalogs use a factor-space method
+        (method='cosine'/'pearson').'''
         if method != 'cosine_binary':
             return MFRecommender.similar_users(
                 self, user_index, nbr_recommendations, similarity_threshold,

@@ -328,3 +328,75 @@ def test_fn_recommender_trains(small_dataset):
     m2 = FNRecommender(U, I)
     with pytest.raises(Error):
         m2.train(kernel='no_such_kernel')
+
+
+def test_gd_training_variants(small_dataset):
+    '''Batch/online/prototype/folding training variants all run and leave
+    usable factors.'''
+    (u, i, v), test = small_dataset
+    U, I = int(u.max()) + 1, int(i.max()) + 1
+    params = {'min_epochs': 2, 'max_epochs': 2, 'nbr_features': 4,
+              'learning_rate': 0.01, 'regularization_model': 0.02,
+              'batch_size': 1024}
+    m = GDRecommender(U, I, params)
+    m.seed(0)
+    m.set_ratings(u, i, v)
+
+    probes = np.stack([u[:50].astype(float), i[:50].astype(float),
+                       v[:50].astype(float)], 1)
+    rmse_probe = m.feature_training_batch(batch_size=2000, probeset=probes)
+    assert np.isfinite(rmse_probe).all()
+
+    idx = np.stack([u[:300], i[:300]], 1).astype(np.int32)
+    m.feature_training_online_prototype(idx, v[:300].astype(np.float32),
+                                        initialize_model=True)
+    assert np.isfinite(m.P).all()
+
+    m.feature_training_folding()
+    assert m.components_mean is not None
+
+    hist = m.feature_training_dev()
+    assert len(hist) > 0 and np.isfinite(hist).all()
+
+    m.feature_training_prototype_p()
+    assert np.isfinite(m.P).all()
+
+
+def test_gd_folding_in_projection(small_dataset):
+    m, _ = _small_gd(small_dataset, min_epochs=3, max_epochs=3)
+    m.train()
+    vec = np.zeros(m.nbr_items, np.float32)
+    vec[:5] = 4.0
+    new_v = m.folding_in_new_user('x', vec)
+    assert new_v.shape == (m.dimensionality,)
+    vec_u = np.zeros(m.nbr_users, np.float32)
+    vec_u[:5] = 4.0
+    new_u = m.folding_in_new_item('y', vec_u)
+    assert new_u.shape == (m.dimensionality,)
+
+
+def test_gd_add_item_and_retrain_item(small_dataset):
+    m, _ = _small_gd(small_dataset, min_epochs=2, max_epochs=2)
+    m.train(handle_bias=True)
+    before = m.nbr_items
+    new_id = m.add_item('fresh-item', np.array([0, 1, 2], np.int32),
+                        np.array([4.0, 3.0, 5.0], np.float32))
+    assert new_id == before and m.Q.shape[0] == before + 1
+    assert np.isfinite(m.predict_rating(new_id, 0))
+
+
+def test_predict_rating_itembased(small_dataset):
+    m, _ = _small_gd(small_dataset, min_epochs=3, max_epochs=3)
+    m.train()
+    m._compute_items_similarities(20)
+    m.warmedup = True
+    u, i, v = m.ratings.coo()
+    # pick an unrated pair for a user with many ratings
+    uid = int(np.bincount(u).argmax())
+    rated = m.ratings.rated_mask_for_user(uid)
+    target = int(np.nonzero(~rated)[0][0])
+    try:
+        r = m.predict_rating_itembased(uid, target, k=10, k_min=1)
+        assert np.isfinite(r)
+    except Error:
+        pass    # acceptable: no rated neighbors among top similarities
