@@ -70,13 +70,13 @@ def bench_serving(I=360_000, K=64, B=256, n=10, iters=20):
     Q = rng.normal(0, 0.3, (I, K)).astype(np.float32)
     bu = jnp.asarray(rng.normal(0, 0.1, B), jnp.float32)
     bi = rng.normal(0, 0.1, I).astype(np.float32)
-    Qp, bip = pad_items_for_pallas(Q, bi, 2048)
+    Qp, bip = pad_items_for_pallas(Q, bi, 4096)
     Qp, bip = jnp.asarray(Qp), jnp.asarray(bip)
-    idx, sc = topn_scores_pallas(P, Qp, bu, bip, 0.0, n=n, block=2048)
+    idx, sc = topn_scores_pallas(P, Qp, bu, bip, 0.0, n=n, block=4096)
     float(sc[0, 0])
     t0 = time.perf_counter()
     for _ in range(iters):
-        idx, sc = topn_scores_pallas(P, Qp, bu, bip, 0.0, n=n, block=2048)
+        idx, sc = topn_scores_pallas(P, Qp, bu, bip, 0.0, n=n, block=4096)
     float(sc[0, 0])
     per_call = (time.perf_counter() - t0) / iters
     print(json.dumps({
