@@ -164,6 +164,19 @@ class BaseRecommender(object):
     def set_name(self, name):
         self.metadata['model_name'] = name
 
+    db_batch_size = 1000        # reference base.py:119 (db writer batching)
+
+    def _find_item_label(self, index):
+        '''Label(s) for item index(es) (reference base.py:154-163 does a
+        reverse dict scan; the labels list is the inverse map here).'''
+        if isinstance(index, list):
+            return [self.items.labels[int(i)] for i in index]
+        return self.items.labels[int(index)]
+
+    def find_rating_scale(self):
+        '''Stub kept for API parity (reference base.py:353-357 is `pass`).'''
+        pass
+
     def set_parameters(self, parameters):
         '''Map public parameter names to attributes (reference
         base.py:180-199); unknown key -> Error.'''
