@@ -126,9 +126,11 @@ def main():
         st = sgd_mf.init_state(U + W_user, I + W_item, K)
         Paug, Qaug = sgd_mf.augment_factors(st.P, st.Q, st.bu, st.bi)
         mu = jnp.float32(vals.mean())
+        pallas_mode = os.environ.get('BENCH_PALLAS', 'full')
         ep = sgd_mf.make_alternating_epoch(
             W_user, W_item, lr=0.05, K=0.02, bias_mode='fixed',
-            use_pallas_agg=os.environ.get('BENCH_PALLAS_AGG', '1') == '1')
+            use_pallas_agg=pallas_mode == 'agg',
+            use_pallas_full=pallas_mode == 'full')
         state = (Paug, Qaug)
 
         def epoch(s):

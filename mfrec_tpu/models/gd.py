@@ -266,8 +266,8 @@ class GDRecommender(MFRecommender):
             lr_bu=self.learning_rate_users, lr_bi=self.learning_rate_items,
             K_bias=self.K2, bias_mode=bias_mode,
             lo_r=self.min_rating, hi_r=self.max_rating, chunk=chunk,
-            # Pallas aggregation only lowers on TPU backends
-            use_pallas_agg=jax.default_backend() != 'cpu')
+            # Pallas kernels only lower on TPU backends
+            use_pallas_full=jax.default_backend() != 'cpu')
         driver = ConvergenceDriver(self.min_epochs, self.max_epochs,
                                    self.min_improvement)
 

@@ -1,0 +1,120 @@
+'''
+Pallas TPU kernel: a fully fused alternating-SGD batch step.
+
+Given one sorted-window batch, everything between the fixed-side row
+gather and the window write-back happens in VMEM:
+
+    fu    = onehot @ window            (MXU — replaces the HBM fu gather)
+    pred  = clamp(mu + fu.ff)          (VPU)
+    g     = err*ff - reg*fu            (VPU)
+    acc  += onehot^T @ [g | m]         (MXU — gradient sums + counts)
+    out   = window + lr * acc/cnt      (VPU, last chunk)
+
+vs. the XLA pipeline which round-trips fu [B,k], g [B,k] and the one-hot
+tile through HBM per batch.  XLA keeps the ff gather (random rows from
+the full fixed side) and the dynamic window slice/unslice around the
+kernel call.
+'''
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(W, lo_r, hi_r, clamp_pred, row_mean, bias_none,
+            mu_ref, win_ref, ff_ref, r_ref, m_ref, kl_ref, lrv_ref,
+            regv_ref, out_ref, sse_ref, acc_ref):
+    j = pl.program_id(0)
+    nj = pl.num_programs(0)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        sse_ref[0, 0] = 0.0
+
+    ff = ff_ref[:]                                     # [ch, k]
+    kl = kl_ref[:]                                     # [ch]
+    m = m_ref[:]
+    ch = ff.shape[0]
+    onehot = (kl[:, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (ch, W), 1)).astype(jnp.bfloat16)
+    fu = jax.lax.dot_general(
+        onehot, win_ref[:].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [ch, k]
+    dot = (fu * ff).sum(-1)
+    pred = (1.0 + dot) if bias_none else (mu_ref[0, 0] + dot)
+    if clamp_pred:
+        pred = jnp.clip(pred, lo_r, hi_r)
+    err = (r_ref[:] - pred) * m
+    sse_ref[0, 0] += (err * err).sum()
+    g = err[:, None] * ff - regv_ref[:][None, :] * fu * m[:, None]
+    gx = jnp.concatenate([g, m[:, None]], axis=1).astype(jnp.bfloat16)
+    acc_ref[:] += jax.lax.dot_general(
+        onehot, gx, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [W, k+1]
+
+    @pl.when(j == nj - 1)
+    def _():
+        gsum = acc_ref[:, :-1]
+        if row_mean:
+            gsum = gsum / jnp.maximum(acc_ref[:, -1:], 1.0)
+        out_ref[:] = win_ref[:] + lrv_ref[:][None, :] * gsum
+
+
+@functools.partial(jax.jit, static_argnames=('W', 'chunk', 'clamp_pred',
+                                             'lo_r', 'hi_r', 'row_mean',
+                                             'bias_none', 'interpret'))
+def half_pass_batch(window, ff, r, m, kl, lrv, regv, mu, W, chunk=4096,
+                    clamp_pred=True, lo_r=1.0, hi_r=5.0, row_mean=True,
+                    bias_none=False, interpret=False):
+    '''One fused batch step.  window [W, k]; ff [B, k] pre-gathered fixed
+    rows; kl [B] window-local updated-row ids (masked rows may point
+    anywhere valid — their gradients are zero); lrv/regv [k] per-column
+    learning rates / regularization.  Returns (window_out [W, k], sse).'''
+    B, k = ff.shape
+    ch = min(chunk, B)
+    assert B % ch == 0
+    mu_arr = jnp.full((1, 1), mu, jnp.float32)
+    kernel = functools.partial(_kernel, int(W), lo_r, hi_r,
+                               bool(clamp_pred), bool(row_mean),
+                               bool(bias_none))
+    out, sse = pl.pallas_call(
+        kernel,
+        grid=(B // ch,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda j: (0, 0),
+                         memory_space=pltpu.SMEM),      # mu
+            pl.BlockSpec((W, k), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),      # window
+            pl.BlockSpec((ch, k), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),      # ff
+            pl.BlockSpec((ch,), lambda j: (j,),
+                         memory_space=pltpu.VMEM),      # r
+            pl.BlockSpec((ch,), lambda j: (j,),
+                         memory_space=pltpu.VMEM),      # m
+            pl.BlockSpec((ch,), lambda j: (j,),
+                         memory_space=pltpu.VMEM),      # kl
+            pl.BlockSpec((k,), lambda j: (0,),
+                         memory_space=pltpu.VMEM),      # lrv
+            pl.BlockSpec((k,), lambda j: (0,),
+                         memory_space=pltpu.VMEM),      # regv
+        ],
+        out_specs=(
+            pl.BlockSpec((W, k), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((W, k), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((W, k + 1), jnp.float32)],
+        interpret=interpret,
+    )(mu_arr, window, ff, r, m, kl, lrv, regv)
+    return out, sse[0, 0]

@@ -393,7 +393,8 @@ def split_factors(Paug, Qaug):
 def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
                            K_bias=0.0, bias_mode='fixed', clamp_pred=True,
                            lo_r=1.0, hi_r=5.0, chunk=4096, donate=True,
-                           row_mean=True, use_pallas_agg=False):
+                           row_mean=True, use_pallas_agg=False,
+                           use_pallas_full=False):
     '''Build a jitted scatter-free epoch over *augmented* factors: a P
     half-pass over the user-sorted stream (Q fixed), then a Q half-pass
     over the item-sorted stream (P fixed) — blockwise-alternating SGD.
@@ -438,8 +439,22 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
             u, i, r, m, kl, lo = batch
             upd_rows = u if upd_is_user else i
             fix_rows = i if upd_is_user else u
-            fu = F_upd[upd_rows]
             ff = F_fix[fix_rows]
+            if use_pallas_full:
+                # fully fused Pallas batch step: fu gather, prediction,
+                # gradients, aggregation and the window update all in VMEM
+                from mfrec_tpu.ops.pallas_half_pass import half_pass_batch
+                lrv, regv = col_vectors(F_upd.shape[1] - 2, upd_is_user)
+                win = jax.lax.dynamic_slice_in_dim(F_upd, lo, W, 0)
+                win_out, sse_b = half_pass_batch(
+                    win, ff, r, m, kl, lrv, regv, mu, W,
+                    chunk=min(chunk, r.shape[0]), clamp_pred=clamp_pred,
+                    lo_r=lo_r, hi_r=hi_r, row_mean=row_mean,
+                    bias_none=(bias_mode == 'none'))
+                F_upd = jax.lax.dynamic_update_slice_in_dim(
+                    F_upd, win_out, lo, 0)
+                return (F_upd, sse + sse_b), None
+            fu = F_upd[upd_rows]
             dot = (fu * ff).sum(-1)
             pred = (1.0 + dot) if bias_mode == 'none' else (mu + dot)
             if clamp_pred:

@@ -1,0 +1,39 @@
+'''Fused Pallas half-pass batch step vs. a numpy reference (interpret).'''
+import numpy as np
+import jax.numpy as jnp
+
+from mfrec_tpu.ops.pallas_half_pass import half_pass_batch
+
+
+def test_half_pass_batch_matches_numpy():
+    rng = np.random.default_rng(0)
+    B, k, W = 256, 10, 32
+    window = rng.normal(0, 0.3, (W, k)).astype(np.float32)
+    ff = rng.normal(0, 0.3, (B, k)).astype(np.float32)
+    r = rng.uniform(1, 5, B).astype(np.float32)
+    m = (rng.random(B) > 0.1).astype(np.float32)
+    kl = np.sort(rng.integers(0, W, B)).astype(np.int32)
+    lrv = np.full(k, 0.1, np.float32); lrv[-1] = 0.0
+    regv = np.full(k, 0.02, np.float32); regv[-1] = 0.0
+    mu = 3.4
+
+    out, sse = half_pass_batch(
+        jnp.asarray(window), jnp.asarray(ff), jnp.asarray(r),
+        jnp.asarray(m), jnp.asarray(kl), jnp.asarray(lrv),
+        jnp.asarray(regv), mu, W, chunk=64, interpret=True)
+    out, sse = np.asarray(out), float(sse)
+
+    # numpy reference
+    fu = window[kl]
+    pred = np.clip(mu + (fu * ff).sum(-1), 1.0, 5.0)
+    err = (r - pred) * m
+    g = err[:, None] * ff - regv[None, :] * fu * m[:, None]
+    gsum = np.zeros((W, k)); cnt = np.zeros(W)
+    for b in range(B):
+        gsum[kl[b]] += g[b] * m[b]
+        cnt[kl[b]] += m[b]
+    want = window + lrv[None, :] * gsum / np.maximum(cnt, 1.0)[:, None]
+    np.testing.assert_allclose(out, want, atol=5e-3, rtol=5e-2)   # bf16
+    assert abs(sse - (err ** 2).sum()) / (err ** 2).sum() < 1e-3
+    # frozen column untouched
+    np.testing.assert_allclose(out[:, -1], window[:, -1], atol=1e-6)
