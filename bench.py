@@ -179,5 +179,14 @@ def main():
     }))
 
 
+def _main_with_retry():
+    try:
+        return main()
+    except Exception as e:                      # transient relay errors
+        print('bench attempt failed (%s); retrying once' % type(e).__name__,
+              file=sys.stderr)
+        return main()
+
+
 if __name__ == '__main__':
-    sys.exit(main())
+    sys.exit(_main_with_retry())
