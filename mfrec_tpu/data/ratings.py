@@ -167,10 +167,15 @@ class Ratings:
         return self._u, self._i, self._v
 
     def get(self, user_index, item_index):
-        self._consolidate()
-        sel = (self._u == user_index) & (self._i == item_index)
-        hit = np.nonzero(sel)[0]
-        return float(self._v[hit[0]]) if hit.size else 0.0
+        '''O(log nnz_row) point lookup: binary search within the user's
+        CSR segment (the per-prediction hot path of the kNN predictors —
+        a full-COO scan here was O(nnz) per call).'''
+        ptr, items, vals = self.csr()
+        s, e = int(ptr[user_index]), int(ptr[user_index + 1])
+        pos = s + int(np.searchsorted(items[s:e], item_index))
+        if pos < e and items[pos] == item_index:
+            return float(vals[pos])
+        return 0.0
 
     def shuffled(self, seed=0):
         '''COO triple in a deterministic shuffled order (explicit seed —

@@ -33,6 +33,7 @@ class ConvergenceDriver:
         '''epoch_fn(state) -> (state, rmse_scalar).  Returns final state.'''
         import math
         rmse = 2.0
+        rmse_last = rmse      # min_epochs=0 means converge-only, not crash
         epoch = 0
         while (epoch < self.min_epochs
                or rmse <= rmse_last - self.min_improvement):

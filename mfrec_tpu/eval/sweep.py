@@ -33,24 +33,42 @@ def sweep_parameter(factory, train_kwargs, u_test, name, values,
     return np.asarray(values), scores
 
 
-def optimize_k(model, u_test, ks=range(5, 55, 5), nbr_samples=2000):
-    '''Sweep the kNN neighborhood size (reference metaparameters.py:1-7).'''
+def optimize_k(model, u_test, ks=range(5, 55, 5), nbr_samples=2000,
+               predictor='predict', retrain=False):
+    '''Sweep the kNN neighborhood size (reference metaparameters.py:1-7)
+    on an already-trained model: sets ``model.k`` per value before
+    scoring (k is a prediction-time parameter for the kNN predictors).
+    For models whose train() precomputes k-sized neighbor caches
+    (KNNUsersRecommender), pass ``retrain=True``.'''
+    k0 = model.k
     scores = []
     for k in ks:
+        model.k = int(k)
+        if retrain:
+            model.train(k=int(k))
         rmse = test_predict_rating(
-            model, u_test, nbr_samples, predictor='predict', quiet=True)[0]
+            model, u_test, nbr_samples, predictor=predictor, quiet=True)[0]
         scores.append(rmse)
+    model.k = k0
     return np.asarray(list(ks)), np.asarray(scores)
 
 
 def optimize_similarity_threshold(factory, train_kwargs, u_test,
-                                  thresholds=None, nbr_samples=2000):
-    '''reference metaparameters.py:9-17.'''
+                                  thresholds=None, nbr_samples=2000,
+                                  predictor='predict'):
+    '''Sweep the similarity threshold (reference metaparameters.py:9-17).
+    The threshold only affects prediction, so the model is trained ONCE
+    and re-scored per threshold (the reference sketch retrains per point).'''
     if thresholds is None:
         thresholds = np.linspace(0.0, 0.99, 20)
-    return sweep_parameter(factory, train_kwargs, u_test, 'sim_threshold',
-                           list(thresholds), nbr_samples=nbr_samples,
-                           predictor='predict')
+    model = factory({})
+    model.train(**(train_kwargs or {}))
+    scores = []
+    for t in thresholds:
+        model.sim_threshold = float(t)
+        scores.append(test_predict_rating(model, u_test, nbr_samples,
+                                          predictor=predictor, quiet=True)[0])
+    return np.asarray(list(thresholds)), np.asarray(scores)
 
 
 def optimize_dim(factory, train_kwargs, u_test, dims=range(10, 50, 2),

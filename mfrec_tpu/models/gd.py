@@ -154,7 +154,7 @@ class GDRecommender(MFRecommender):
         epoch = sgd_mf.make_fused_epoch(
             self.batch_size, self.learning_rate, self.K,
             lr_bu=self.learning_rate_users, lr_bi=self.learning_rate_items,
-            K_bias=self.K2, bias_mode=bias_mode,
+            K_bu=self.K2, K_bi=self.K3, bias_mode=bias_mode,
             lo=self.min_rating, hi=self.max_rating, implicit=implicit)
         flists = fmask = None
         if implicit:
@@ -173,16 +173,28 @@ class GDRecommender(MFRecommender):
                         with_y=implicit)
 
     def _padded_feedback_lists(self):
+        '''Padded per-user rated-item lists [U, L] for the SVD++ y-updates
+        — vectorized grid fill (no per-user python loop).'''
         ptr, items, _ = self.ratings.csr()
         counts = np.diff(ptr)
-        L = int(min(max(counts.max(), 1), self.feedback_cap))
-        U = self.nbr_users
-        fl = np.zeros((U, L), np.int32)
-        fm = np.zeros((U, L), np.float32)
-        for u in range(U):
-            n = min(int(counts[u]), L)
-            fl[u, :n] = items[ptr[u]:ptr[u] + n]
-            fm[u, :n] = 1.0
+        cmax = int(counts.max()) if counts.size else 1
+        L = int(min(max(cmax, 1), self.feedback_cap))
+        if cmax > L:
+            self.logger.warning(
+                'feedback_cap=%d truncates SVD++ feedback for %d heavy '
+                'users (max |N(u)|=%d); raise model.feedback_cap to keep '
+                'full lists', L, int((counts > L).sum()), cmax)
+        cnts = np.minimum(counts, L)[:, None]              # [U, 1]
+        offs = np.arange(L, dtype=np.int64)[None, :]       # [1, L]
+        mask = offs < cnts
+        grid = ptr[:-1][:, None] + np.minimum(offs, np.maximum(cnts - 1, 0))
+        # zero-rating users' slots may point past the end; clamp (mask 0)
+        grid = np.minimum(grid, max(items.shape[0] - 1, 0))
+        if items.shape[0] == 0:
+            return (np.zeros(mask.shape, np.int32),
+                    np.zeros(mask.shape, np.float32))
+        fl = (items[grid] * mask).astype(np.int32)
+        fm = mask.astype(np.float32)
         return fl, fm
 
     # -------------------------------------------------- funk_fused engine
@@ -219,6 +231,7 @@ class GDRecommender(MFRecommender):
             qf = Q[:, f:f + 1]
             trailing = jnp.float32((k - f - 1) * self.feature_init ** 2)
             rmse, ep = 2.0, 0
+            rmse_last = rmse
             while (ep < self.min_epochs
                    or rmse <= rmse_last - self.min_improvement):
                 if ep >= self.max_epochs:
@@ -264,7 +277,7 @@ class GDRecommender(MFRecommender):
         epoch = sgd_mf.make_alternating_epoch(
             W_user, W_item, self.learning_rate, self.K,
             lr_bu=self.learning_rate_users, lr_bi=self.learning_rate_items,
-            K_bias=self.K2, bias_mode=bias_mode,
+            K_bu=self.K2, K_bi=self.K3, bias_mode=bias_mode,
             lo_r=self.min_rating, hi_r=self.max_rating, chunk=chunk,
             # Pallas kernels only lower on TPU backends
             use_pallas_full=jax.default_backend() != 'cpu')
@@ -362,6 +375,7 @@ class GDRecommender(MFRecommender):
         for f in range(k):
             pf, qf = P[:, f], Q[:, f]
             rmse, epoch = 2.0, 0
+            rmse_last = rmse
             while (epoch < self.min_epochs
                    or rmse <= rmse_last - self.min_improvement):
                 if epoch >= self.max_epochs:
@@ -371,7 +385,7 @@ class GDRecommender(MFRecommender):
                     pf, qf, cache, uidx, iidx, r, f, k, self.feature_init,
                     self.learning_rate, self.K, mu, bu, bi,
                     self.learning_rate_users, self.learning_rate_items,
-                    self.K2, bias_mode=bias_mode,
+                    self.K2, self.K3, bias_mode=bias_mode,
                     lo=self.min_rating, hi=self.max_rating,
                     update_users=update_users, update_items=update_items,
                     P=P, Q=Q)

@@ -109,14 +109,15 @@ class MFRecommender(BaseRecommender):
 
     def find_recommended_items(self, user_index=None, user_label=None,
                                nbr_recommendations=5, output_label=False,
-                               predictor='predict'):
+                               predictor='predict', neighborhood=None):
         '''Top-N recommendation for one user.
 
-        The reference samples a random `neighborhood`-size candidate subset
-        and scores it in a python loop (mf.py:144-193 — with a latent defect:
-        it actually scores item ids 0..neighborhood-1).  Here all items are
-        scored in one fused blocked matmul+top_k kernel, rated items masked
-        on-device; `neighborhood` survives as an optional candidate cap.
+        By default ALL items are scored in one fused blocked matmul+top_k
+        kernel, rated items masked on-device.  Pass ``neighborhood=C`` (or
+        ``neighborhood=True`` to use ``self.neighborhood``) to instead
+        score a random C-item candidate subset — the reference's behavior
+        (mf.py:144-193, via get_items_subset base.py:1134; its latent
+        defect of scoring ids 0..neighborhood-1 is not replicated).
         Returns ([ids], [scores]).
         '''
         if user_index is None:
@@ -132,10 +133,26 @@ class MFRecommender(BaseRecommender):
         bi = self.items_bias if self.items_bias is not None \
             else np.zeros(self.nbr_items, np.float32)
         mu = self.overall_bias if self.overall_bias else 0.0
-        n = min(int(nbr_recommendations), self.nbr_items)
+        Q = np.asarray(self.Q, np.float32)
+        cand = None
+        if neighborhood:
+            C = self.neighborhood if neighborhood is True \
+                else int(neighborhood)
+            if C < self.nbr_items:
+                cand = np.sort(self.rng.choice(self.nbr_items, C,
+                                               replace=False))
+                Q = Q[cand]
+                bi = bi[cand]
+                # remap rated ids into candidate-local ids (missing -> mask 0)
+                local = np.searchsorted(cand, rated_idx)
+                local = np.clip(local, 0, C - 1)
+                hit = cand[local] == rated_idx
+                rated_mask = rated_mask * hit
+                rated_idx = np.where(hit, local, 0).astype(np.int32)
+        n = min(int(nbr_recommendations), Q.shape[0])
         idx, scores = topk_ops.topn_scores(
             jnp.asarray(self.P[None, user_index], jnp.float32),
-            jnp.asarray(self.Q, jnp.float32),
+            jnp.asarray(Q),
             jnp.asarray([bu[user_index]], jnp.float32),
             jnp.asarray(bi, jnp.float32), jnp.float32(mu),
             jnp.asarray(rated_idx), jnp.asarray(rated_mask),
@@ -144,6 +161,8 @@ class MFRecommender(BaseRecommender):
         ids = np.asarray(idx[0])
         vals = np.asarray(scores[0], np.float64)
         keep = vals > topk_ops.NEG / 2
+        if cand is not None:
+            ids = cand[ids]
         return [int(x) if not output_label else self.items.labels[int(x)]
                 for x in ids[keep]], [float(v) for v in vals[keep]]
 

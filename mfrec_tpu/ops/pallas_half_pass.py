@@ -14,6 +14,15 @@ vs. the XLA pipeline which round-trips fu [B,k], g [B,k] and the one-hot
 tile through HBM per batch.  XLA keeps the ff gather (random rows from
 the full fixed side) and the dynamic window slice/unslice around the
 kernel call.
+
+Numerics (accepted deviation): the one-hot fu gather reads the window
+in bfloat16 (MXU-rate matmul; an f32 window operand would run the MXU at
+1/4-1/8 rate), so predictions/gradients see bf16-rounded factor values
+while the *accumulated* window update stays float32 — standard
+mixed-precision SGD practice.  The XLA fallback gathers fu in f32.  The
+interpret-mode parity test (tests/test_pallas_half_pass.py) exercises
+exactly the bf16 path against a float64 numpy twin with bf16 tolerances,
+so CI covers the TPU path's numerics.
 '''
 from __future__ import annotations
 

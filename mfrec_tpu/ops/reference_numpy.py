@@ -37,7 +37,8 @@ def estimator(f, u, v, dim, f_init, cache=0.0, trailing=0, overall_avg=1.0,
 def funk_train_oracle(min_epochs, max_epochs, min_improvement, dim, f_init,
                       lr, K, u, v, ratings_index, ratings, bias_mode='none',
                       overall_avg=0.0, items_bias=None, users_bias=None,
-                      lr_users=0.0, lr_items=0.0, K_bias=0.0,
+                      lr_users=0.0, lr_items=0.0, K_bias_users=0.0,
+                      K_bias_items=0.0,
                       update_users=True, update_items=True,
                       lo=1.0, hi=5.0, cap_epochs=True):
     '''Feature-by-feature Funk SGD, mirroring
@@ -78,8 +79,15 @@ def funk_train_oracle(min_epochs, max_epochs, min_improvement, dim, f_init,
                 cf = v[f, ui]
                 mf = u[f, ii]
                 if bias_mode == 'learned':
-                    users_bias[ui] += lr_users * (err - K_bias * users_bias[ui])
-                    items_bias[ii] += lr_items * (err - K_bias * items_bias[ii])
+                    # K2/K3 split per the public parameter names
+                    # (regularization_users_bias / _items_bias,
+                    # gradient_descent.py:68-69); the reference kernel
+                    # collapses both to K2 (gradient_descent.py:502) —
+                    # a latent defect not replicated.
+                    users_bias[ui] += lr_users * (
+                        err - K_bias_users * users_bias[ui])
+                    items_bias[ii] += lr_items * (
+                        err - K_bias_items * items_bias[ii])
                 if update_items:
                     u[f, ii] += lr * (err * cf - K * mf)
                 if update_users:

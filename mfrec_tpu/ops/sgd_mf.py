@@ -74,7 +74,7 @@ def clamp(x, lo=1.0, hi=5.0):
 @functools.partial(jax.jit, static_argnames=('bias_mode', 'update_users',
                                              'update_items'))
 def serial_feature_epoch(pf, qf, cache, uidx, iidx, r, f, dim, f_init, lr, K,
-                         mu, bu, bi, lr_bu, lr_bi, K_bias,
+                         mu, bu, bi, lr_bu, lr_bi, K_bu, K_bi,
                          bias_mode='none', lo=1.0, hi=5.0,
                          update_users=True, update_items=True,
                          P=None, Q=None):
@@ -91,6 +91,13 @@ def serial_feature_epoch(pf, qf, cache, uidx, iidx, r, f, dim, f_init, lr, K,
                    (``estimator_loop_with_learned_bias`` :401); needs P, Q.
     update_users/update_items replicate the fold-in masks of
     ``estimator_loop_with_bias_dev`` (:664-667).
+
+    K_bu/K_bi: user-/item-bias regularization.  The reference's public
+    parameters promise this split (``regularization_users_bias``->K2,
+    ``regularization_items_bias``->K3, gradient_descent.py:68-69) but its
+    kernel takes one K_bias and the caller passes K2 for both
+    (gd_estimator.pyx:410, gradient_descent.py:502) — a latent defect;
+    the split is honored here.
     '''
     n = uidx.shape[0]
     trailing = (dim - f - 1) * f_init * f_init
@@ -115,8 +122,8 @@ def serial_feature_epoch(pf, qf, cache, uidx, iidx, r, f, dim, f_init, lr, K,
         cf = pf[u]
         mf = qf[i]
         if bias_mode == 'learned':
-            bu = bu.at[u].add(lr_bu * (err - K_bias * bu[u]))
-            bi = bi.at[i].add(lr_bi * (err - K_bias * bi[i]))
+            bu = bu.at[u].add(lr_bu * (err - K_bu * bu[u]))
+            bi = bi.at[i].add(lr_bi * (err - K_bi * bi[i]))
         if update_items:
             qf = qf.at[i].add(lr * (err * cf - K * mf))
         if update_users:
@@ -143,9 +150,9 @@ def update_cache(pf, qf, cache, uidx, iidx, mu, bu, bi, bias_mode='none',
 # Fused tier — mini-batch all-features epoch (the TPU performance path)
 # --------------------------------------------------------------------------
 
-def make_fused_epoch(batch_size, lr, K, lr_bu=0.0, lr_bi=0.0, K_bias=0.0,
-                     bias_mode='fixed', clamp_pred=True, lo=1.0, hi=5.0,
-                     implicit=False, donate=True):
+def make_fused_epoch(batch_size, lr, K, lr_bu=0.0, lr_bi=0.0, K_bu=0.0,
+                     K_bi=0.0, bias_mode='fixed', clamp_pred=True, lo=1.0,
+                     hi=5.0, implicit=False, donate=True):
     '''Build a jitted epoch function.
 
     The returned ``epoch_fn(state, ub, ib, rb, mb) -> (state, rmse)`` takes
@@ -194,8 +201,8 @@ def make_fused_epoch(batch_size, lr, K, lr_bu=0.0, lr_bi=0.0, K_bias=0.0,
             P = P.at[u].add(lr * gP)
             Q = Q.at[i].add(lr * gQ)
             if bias_mode == 'learned':
-                bu = bu.at[u].add(lr_bu * (err - K_bias * bu[u] * m))
-                bi = bi.at[i].add(lr_bi * (err - K_bias * bi[i] * m))
+                bu = bu.at[u].add(lr_bu * (err - K_bu * bu[u] * m))
+                bi = bi.at[i].add(lr_bi * (err - K_bi * bi[i] * m))
             if implicit:
                 gy = (err[:, None] * fnorm * qi)[:, None, :] * fm[..., None] \
                     - K * Y[fl] * fm[..., None]
@@ -391,9 +398,9 @@ def split_factors(Paug, Qaug):
 
 
 def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
-                           K_bias=0.0, bias_mode='fixed', clamp_pred=True,
-                           lo_r=1.0, hi_r=5.0, chunk=4096, donate=True,
-                           row_mean=True, use_pallas_agg=False,
+                           K_bu=0.0, K_bi=0.0, bias_mode='fixed',
+                           clamp_pred=True, lo_r=1.0, hi_r=5.0, chunk=4096,
+                           donate=True, row_mean=True, use_pallas_agg=False,
                            use_pallas_full=False):
     '''Build a jitted scatter-free epoch over *augmented* factors: a P
     half-pass over the user-sorted stream (Q fixed), then a Q half-pass
@@ -427,9 +434,22 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
         lrv[own_bias_col] = (lr_bu if upd_is_user else lr_bi) if learned \
             else 0.0
         lrv[const_col] = 0.0
-        regv[own_bias_col] = K_bias
+        regv[own_bias_col] = K_bu if upd_is_user else K_bi
         regv[const_col] = 0.0
         return jnp.asarray(lrv), jnp.asarray(regv)
+
+    def pad_to_chunk(B, *arrays):
+        # the aggregation processes [B] in [B//c, c] chunks; zero-pad the
+        # batch to a chunk multiple (mask 0 rows contribute nothing) so
+        # any batch_size works — a non-multiple used to crash at reshape.
+        c = min(chunk, B)
+        pad = -B % c
+        if pad == 0:
+            return (c,) + arrays
+        padded = tuple(
+            jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+            for a in arrays)
+        return (c,) + padded
 
     def half_pass(F_upd, F_fix, mu, batches, W, upd_is_user):
         kdim = None
@@ -446,9 +466,10 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
                 from mfrec_tpu.ops.pallas_half_pass import half_pass_batch
                 lrv, regv = col_vectors(F_upd.shape[1] - 2, upd_is_user)
                 win = jax.lax.dynamic_slice_in_dim(F_upd, lo, W, 0)
+                c, ffp, rp, mp, klp = pad_to_chunk(r.shape[0], ff, r, m, kl)
                 win_out, sse_b = half_pass_batch(
-                    win, ff, r, m, kl, lrv, regv, mu, W,
-                    chunk=min(chunk, r.shape[0]), clamp_pred=clamp_pred,
+                    win, ffp, rp, mp, klp, lrv, regv, mu, W,
+                    chunk=c, clamp_pred=clamp_pred,
                     lo_r=lo_r, hi_r=hi_r, row_mean=row_mean,
                     bias_none=(bias_mode == 'none'))
                 F_upd = jax.lax.dynamic_update_slice_in_dim(
@@ -463,22 +484,22 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
             sse = sse + (err * err).sum()
             lrv, regv = col_vectors(F_upd.shape[1] - 2, upd_is_user)
             g = err[:, None] * ff - regv[None, :] * fu * m[:, None]
+            c, g, kl, m = pad_to_chunk(g.shape[0], g, kl, m)
             B = g.shape[0]
             if use_pallas_agg:
                 from mfrec_tpu.ops.pallas_window_agg import window_aggregate
-                gsum, cnt = window_aggregate(g, kl, m, W,
-                                             chunk=min(chunk, B))
+                gsum, cnt = window_aggregate(g, kl, m, W, chunk=c)
                 if row_mean:
                     gsum = gsum / jnp.maximum(cnt, 1.0)[:, None]
             else:
-                gc = g.reshape(B // chunk, chunk, -1).astype(jnp.bfloat16)
-                kc = kl.reshape(B // chunk, chunk)
+                gc = g.reshape(B // c, c, -1).astype(jnp.bfloat16)
+                kc = kl.reshape(B // c, c)
                 onehot = (kc[:, :, None] ==
                           jnp.arange(W)[None, None, :]).astype(jnp.bfloat16)
                 gsum = jnp.einsum('nck,ncw->wk', gc, onehot,
                                   preferred_element_type=jnp.float32)
                 if row_mean:
-                    mc = (m.reshape(B // chunk, chunk)).astype(jnp.bfloat16)
+                    mc = (m.reshape(B // c, c)).astype(jnp.bfloat16)
                     cnt = jnp.einsum('nc,ncw->w', mc, onehot,
                                      preferred_element_type=jnp.float32)
                     gsum = gsum / jnp.maximum(cnt, 1.0)[:, None]
@@ -492,10 +513,13 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
         return F_upd, sse
 
     def epoch_fn(Paug, Qaug, mu, p_layout, q_layout):
-        Paug, sse = half_pass(Paug, Qaug, mu, p_layout, W_user, True)
-        Qaug, _ = half_pass(Qaug, Paug, mu, q_layout, W_item, False)
-        n = jnp.maximum(p_layout[3].sum(), 1.0)
-        return Paug, Qaug, jnp.sqrt(sse / n)
+        # epoch RMSE pools BOTH half-passes so the convergence rule sees
+        # a statistic no staler than half an epoch (r1 verdict: P-only
+        # RMSE made min_improvement decisions on a half-stale number)
+        Paug, sse_p = half_pass(Paug, Qaug, mu, p_layout, W_user, True)
+        Qaug, sse_q = half_pass(Qaug, Paug, mu, q_layout, W_item, False)
+        n = jnp.maximum(p_layout[3].sum() + q_layout[3].sum(), 1.0)
+        return Paug, Qaug, jnp.sqrt((sse_p + sse_q) / n)
 
     return jax.jit(epoch_fn, donate_argnums=(0, 1) if donate else ())
 

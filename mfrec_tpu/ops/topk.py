@@ -77,18 +77,21 @@ def topn_scores(P_rows, Q, bu_rows, bi, mu, rated_idx, rated_mask, n,
 
 
 def pad_rated_lists(ratings, user_indices, cap=None):
-    '''Host-side: padded already-rated lists for a batch of users.'''
+    '''Host-side: padded already-rated lists for a batch of users —
+    vectorized grid fill (no per-user python loop).'''
     ptr, items, _ = ratings.csr()
-    counts = [int(ptr[u + 1] - ptr[u]) for u in user_indices]
-    L = max(max(counts), 1) if counts else 1
+    users = np.asarray(user_indices, np.int64)
+    counts = ptr[users + 1] - ptr[users]
+    L = int(max(counts.max() if counts.size else 0, 1))
     if cap is not None:
-        L = min(L, cap)
-    B = len(user_indices)
-    idx = np.zeros((B, L), np.int32)
-    mask = np.zeros((B, L), np.float32)
-    for r, u in enumerate(user_indices):
-        s, e = int(ptr[u]), int(ptr[u + 1])
-        n = min(e - s, L)
-        idx[r, :n] = items[s:s + n]
-        mask[r, :n] = 1.0
-    return idx, mask
+        L = min(L, int(cap))
+    cnts = np.minimum(counts, L)[:, None]               # [B, 1]
+    offs = np.arange(L, dtype=np.int64)[None, :]        # [1, L]
+    mask = offs < cnts
+    grid = ptr[users][:, None] + np.minimum(offs, np.maximum(cnts - 1, 0))
+    # zero-rating users' grid slots may point past the end; clamp (mask 0)
+    grid = np.minimum(grid, max(items.shape[0] - 1, 0))
+    if items.shape[0] == 0:
+        return (np.zeros(mask.shape, np.int32), mask.astype(np.float32))
+    idx = (items[grid] * mask).astype(np.int32)
+    return idx, mask.astype(np.float32)

@@ -32,12 +32,16 @@ def padded_uniform(ratings, axis, D):
     idx = np.zeros((R, L), np.int32)
     vals = np.zeros((R, L), np.float32)
     mask = np.zeros((R, L), np.float32)
-    for r in range(nrows):
-        s, e = int(ptr[r]), int(ptr[r + 1])
-        n = e - s
-        idx[r, :n] = nbr[s:e]
-        vals[r, :n] = val[s:e]
-        mask[r, :n] = 1.0
+    # vectorized grid fill (no per-row python loop)
+    cnts = counts[:, None]                              # [nrows, 1]
+    offs = np.arange(L, dtype=np.int64)[None, :]        # [1, L]
+    m = offs < cnts
+    grid = ptr[:-1][:, None] + np.minimum(offs, np.maximum(cnts - 1, 0))
+    grid = np.minimum(grid, max(nbr.shape[0] - 1, 0))
+    if nbr.shape[0]:
+        idx[:nrows] = nbr[grid] * m
+        vals[:nrows] = val[grid] * m
+        mask[:nrows] = m
     return idx, vals, mask
 
 

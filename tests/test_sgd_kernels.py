@@ -34,7 +34,11 @@ def test_serial_matches_oracle(tiny_dataset, bias_mode):
                       uo, vo, idx, v.astype(np.float64), bias_mode=bias_mode,
                       overall_avg=mu, items_bias=bi_o.copy(),
                       users_bias=bu_o.copy(),
-                      lr_users=0.005, lr_items=0.005, K_bias=0.01)
+                      lr_users=0.005, lr_items=0.005,
+                      # K2 != K3: user- and item-bias regularization must
+                      # genuinely differ (the reference collapses both to
+                      # K2 — latent defect, see reference_numpy.py)
+                      K_bias_users=0.012, K_bias_items=0.004)
 
     # serial JAX tier, feature-by-feature (row-major layout)
     P = jnp.full((U, dim), f_init, jnp.float32)
@@ -54,7 +58,7 @@ def test_serial_matches_oracle(tiny_dataset, bias_mode):
                 break
             pf, qf, bu, bi, rmse_dev = sgd_mf.serial_feature_epoch(
                 pf, qf, cache, uj, ij, rj, f, dim, f_init, lr, K,
-                jnp.float32(mu), bu, bi, 0.005, 0.005, 0.01,
+                jnp.float32(mu), bu, bi, 0.005, 0.005, 0.012, 0.004,
                 bias_mode=bias_mode, P=P, Q=Q)
             rmse = float(rmse_dev)
         P = P.at[:, f].set(pf)
@@ -93,7 +97,7 @@ def test_fused_learned_bias_converges(small_dataset):
     state = state._replace(mu=jnp.float32(v.mean()))
     ub, ib, rb, mb = sgd_mf.batch_ratings(u, i, v, batch_size=512, seed=0)
     epoch = sgd_mf.make_fused_epoch(512, lr=0.02, K=0.02, lr_bu=0.01,
-                                    lr_bi=0.01, K_bias=0.01,
+                                    lr_bi=0.01, K_bu=0.01, K_bi=0.02,
                                     bias_mode='learned', donate=False)
     for _ in range(30):
         state, rmse = epoch(state, jnp.asarray(ub), jnp.asarray(ib),
