@@ -1,0 +1,157 @@
+'''
+Factorized-neighborhood SGD kernels (Koren KDD'08, "Factorization Meets
+the Neighborhood", the factored item-item model of §4).
+
+Model: every item carries three factor vectors — q_i (target), x_j
+(explicit-neighborhood weights factor) and y_j (implicit offsets) — and
+the prediction for (u, i) is
+
+    r_hat = mu + b_u + b_i + q_i . a_u
+    a_u   = |R(u)|^-1/2 * sum_{j in R(u)} [ (r_uj - b_uj) x_j + y_j ]
+    b_uj  = mu + b_u + b_j          (baseline at aggregation time)
+
+i.e. the item-item weights w_ij / c_ij of the full neighborhood model are
+factorized as q_i.x_j / q_i.y_j, which turns the O(I^2) weight matrix
+into three [I, k] factors and makes training/serving pure MXU work.
+
+This is the model the reference *declares* and never delivers
+(``mfrec/recommendation/fn.py:19-96``: ``train`` eval-dispatches to
+never-imported kernels, ``predict`` is ``pass``).
+
+TPU design: one jitted scan over rating mini-batches; per batch the
+user's padded rated list [B, L] is gathered, the aggregate a_u computed
+with batched einsums (MXU), and q/x/y/biases updated with
+duplicate-accumulating scatter-adds — the same conflict-free mini-batch
+semantics as the fused MF tier (ops/sgd_mf.py).  Parity with the
+strictly-sequential oracle (reference_numpy.fn_train_oracle) is defined
+as final-RMSE tolerance, like every order-changing tier.
+'''
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class FNState(NamedTuple):
+    '''Q: [I, k] target item factors; X: [I, k] explicit-weight factors;
+    Y: [I, k] implicit factors; bu/bi: learned biases; mu: overall avg.'''
+    Q: jax.Array
+    X: jax.Array
+    Y: jax.Array
+    bu: jax.Array
+    bi: jax.Array
+    mu: jax.Array
+
+
+def init_fn_state(nbr_users, nbr_items, k, feature_init=0.1, seed=0,
+                  mu=0.0, dtype=jnp.float32):
+    kq, kx, ky = jax.random.split(jax.random.PRNGKey(seed), 3)
+    f = feature_init
+    return FNState(
+        Q=(jax.random.normal(kq, (nbr_items, k)) * f).astype(dtype),
+        X=(jax.random.normal(kx, (nbr_items, k)) * f).astype(dtype),
+        Y=(jax.random.normal(ky, (nbr_items, k)) * f).astype(dtype),
+        bu=jnp.zeros((nbr_users,), dtype),
+        bi=jnp.zeros((nbr_items,), dtype),
+        mu=jnp.asarray(mu, dtype))
+
+
+def user_aggregates(state, fl, fv, fm):
+    '''a_u for every user in one shot: [U, k].
+
+    fl/fv/fm: [U, L] padded per-user rated item ids / values / mask.
+    Used to materialize serving profiles (P := A makes every MF top-N /
+    similarity kernel work unchanged on an FN model).'''
+    Q, X, Y, bu, bi, mu = state
+    base = mu + bu[:, None] + bi[fl]
+    resid = (fv - base) * fm
+    nrm = jax.lax.rsqrt(jnp.maximum(fm.sum(1), 1.0))[:, None]
+    agg = jnp.einsum('ul,ulk->uk', resid, X[fl],
+                     preferred_element_type=jnp.float32)
+    agg = agg + jnp.einsum('ul,ulk->uk', fm, Y[fl],
+                           preferred_element_type=jnp.float32)
+    return nrm * agg
+
+
+def make_fn_epoch(lr, lr_bu, lr_bi, K, K_bu, K_bi, K_y=None, lo=1.0,
+                  hi=5.0, clamp_pred=True, donate=True):
+    '''Build the jitted epoch:
+
+        epoch_fn(state, ub, ib, rb, mb, fl, fv, fm) -> (state, rmse)
+
+    ub/ib/rb/mb: [nb, B] batched rating stream (sgd_mf.batch_ratings);
+    fl/fv/fm: [U, L] padded per-user rated lists (ids, values, mask).
+    K regularizes q and x; K_y (default K) the implicit y factors.
+    '''
+    K_y = K if K_y is None else K_y
+
+    def make_batch_step(fl, fv, fm):
+        def batch_step(state, batch):
+            u, i, r, m = batch
+            Q, X, Y, bu, bi, mu = state
+            flu = fl[u]                                  # [B, L]
+            fvu = fv[u]
+            fmu = fm[u]
+            base = mu + bu[u][:, None] + bi[flu]
+            resid = (fvu - base) * fmu                   # [B, L]
+            nrm = jax.lax.rsqrt(jnp.maximum(fmu.sum(1), 1.0))  # [B]
+            Xg = X[flu]                                  # [B, L, k]
+            Yg = Y[flu]
+            agg = nrm[:, None] * (
+                jnp.einsum('bl,blk->bk', resid, Xg,
+                           preferred_element_type=jnp.float32)
+                + jnp.einsum('bl,blk->bk', fmu, Yg,
+                             preferred_element_type=jnp.float32))
+            qi = Q[i]
+            pred = mu + bu[u] + bi[i] + (qi * agg).sum(-1)
+            if clamp_pred:
+                pred = jnp.clip(pred, lo, hi)
+            err = (r - pred) * m
+            sse = (err * err).sum()
+
+            bu = bu.at[u].add(lr_bu * (err - K_bu * bu[u] * m))
+            bi = bi.at[i].add(lr_bi * (err - K_bi * bi[i] * m))
+            Q = Q.at[i].add(lr * (err[:, None] * agg - K * qi * m[:, None]))
+            # neighborhood factors: every j in R(u) steps scaled by
+            # err * |R(u)|^-1/2 (x_j additionally by the residual)
+            en = (err * nrm)[:, None]                    # [B, 1]
+            mask3 = (fmu * m[:, None])[..., None]        # [B, L, 1]
+            gX = (en * resid)[..., None] * qi[:, None, :] - K * Xg
+            gY = en[..., None] * qi[:, None, :] - K_y * Yg
+            X = X.at[flu].add(lr * gX * mask3)
+            Y = Y.at[flu].add(lr * gY * mask3)
+            return FNState(Q, X, Y, bu, bi, mu), sse
+        return batch_step
+
+    def epoch_fn(state, ub, ib, rb, mb, fl, fv, fm):
+        state, sses = jax.lax.scan(make_batch_step(fl, fv, fm), state,
+                                   (ub, ib, rb, mb))
+        n = jnp.maximum(mb.sum(), 1.0)
+        return state, jnp.sqrt(sses.sum() / n)
+
+    return jax.jit(epoch_fn, donate_argnums=(0,) if donate else ())
+
+
+def padded_user_lists(ratings, cap=None):
+    '''Host-side [U, L] padded (ids, values, mask) per-user rated lists —
+    vectorized grid fill.'''
+    ptr, items, vals = ratings.csr()
+    counts = np.diff(ptr)
+    cmax = int(counts.max()) if counts.size else 1
+    L = max(cmax, 1)
+    if cap is not None:
+        L = min(L, int(cap))
+    cnts = np.minimum(counts, L)[:, None]
+    offs = np.arange(L, dtype=np.int64)[None, :]
+    mask = offs < cnts
+    grid = ptr[:-1][:, None] + np.minimum(offs, np.maximum(cnts - 1, 0))
+    grid = np.minimum(grid, max(items.shape[0] - 1, 0))
+    if items.shape[0] == 0:
+        z = np.zeros(mask.shape, np.float32)
+        return np.zeros(mask.shape, np.int32), z, z
+    fl = (items[grid] * mask).astype(np.int32)
+    fv = (vals[grid] * mask).astype(np.float32)
+    return fl, fv, mask.astype(np.float32)

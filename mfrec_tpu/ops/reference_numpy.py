@@ -150,3 +150,43 @@ def kmf_train_oracle(nbr_epochs, dim, lr, K_users, K_items, K_bias, u, v,
                     v[f, ui] += lr * (grad * mf - K_users * cf)
         rmse = np.sqrt(sse / n)
     return rmse
+
+
+def fn_train_oracle(nbr_epochs, lr, lr_bu, lr_bi, K, K_bu, K_bi, mu,
+                    Q, X, Y, bu, bi, ratings_index, ratings, rated_ids,
+                    rated_vals, K_y=None, lo=1.0, hi=5.0):
+    '''Strictly-sequential factorized-neighborhood SGD (Koren KDD'08 §4,
+    the factored item-item model) — the slow twin of ``ops.fn``'s fused
+    mini-batch kernel.  Row-major layout (Q/X/Y: [items, k]); mutates
+    Q, X, Y, bu, bi in place; returns the final epoch rmse.
+
+    rated_ids/rated_vals: per-user python lists of (item ids, ratings).
+    The reference's fn.py never implemented this model (train dispatches
+    to never-imported kernels, predict is ``pass`` — fn.py:75-96), so
+    there is no Cython loop to mirror; this oracle IS the spec.'''
+    K_y = K if K_y is None else K_y
+    n = ratings.shape[0]
+    rmse = 0.0
+    for _ in range(nbr_epochs):
+        sse = 0.0
+        for s in range(n):
+            u = ratings_index[s, 0]
+            i = ratings_index[s, 1]
+            r = ratings[s]
+            ids = rated_ids[u]
+            vals = rated_vals[u]
+            resid = vals - (mu + bu[u] + bi[ids])
+            nrm = 1.0 / np.sqrt(max(len(ids), 1))
+            a = nrm * (resid @ X[ids] + Y[ids].sum(0))
+            pred = clamping(mu + bu[u] + bi[i] + float(Q[i] @ a), lo, hi)
+            err = r - pred
+            sse += err * err
+            bu[u] += lr_bu * (err - K_bu * bu[u])
+            bi[i] += lr_bi * (err - K_bi * bi[i])
+            qi = Q[i].copy()
+            Q[i] += lr * (err * a - K * qi)
+            X[ids] += lr * ((err * nrm) * resid[:, None] * qi[None, :]
+                            - K * X[ids])
+            Y[ids] += lr * ((err * nrm) * qi[None, :] - K_y * Y[ids])
+        rmse = np.sqrt(sse / n)
+    return rmse

@@ -312,22 +312,21 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
 
 
 def test_fn_recommender_trains(small_dataset):
-    '''FNRecommender: working version of the reference's broken skeleton.'''
+    '''FNRecommender: real factorized-neighborhood model (Koren KDD'08);
+    deep coverage in tests/test_fn.py.'''
     from mfrec_tpu.models.fn import FNRecommender
     (u, i, v), test = small_dataset
     U, I = int(u.max()) + 1, int(i.max()) + 1
-    # linear kernel: grad = err directly, so keep lr small for the
-    # accumulating fused batches
-    m = FNRecommender(U, I, {'nbr_epochs': 30, 'nbr_features': 8,
-                             'learning_rate': 0.002})
+    m = FNRecommender(U, I, {'nbr_epochs': 10, 'nbr_features': 6,
+                             'learning_rate': 0.02, 'batch_size': 1024})
     m.seed(0)
     m.set_ratings(u, i, v)
-    m.train(kernel='train_linear_kernel')
-    p = m.predict_linear(1, 1)
+    m.train()
+    p = m.predict(1, 1)
     assert np.isfinite(p)
-    m2 = FNRecommender(U, I)
+    assert m.X.shape == (I, 6) and m.Y.shape == (I, 6)
     with pytest.raises(Error):
-        m2.train(kernel='no_such_kernel')
+        FNRecommender(U, I, {'no_such_param': 1})
 
 
 def test_gd_training_variants(small_dataset):
