@@ -59,9 +59,10 @@ def bench_als(U, I, users, items, K=64, epochs=3):
     }))
 
 
-def bench_serving(I=360_000, K=64, B=256, n=10, iters=20):
+def bench_serving(I=360_000, K=64, B=256, n=10, iters=20, rated_L=0):
     '''Secondary metric: top-N retrieval throughput (Last.fm-scale item
-    catalog, BASELINE config 4) via the fused Pallas kernel.'''
+    catalog, BASELINE config 4) via the fused Pallas kernel.  Set
+    BENCH_RATED_L to also mask that many rated items per user in-kernel.'''
     import jax.numpy as jnp
     from mfrec_tpu.ops.pallas_topk import (topn_scores_pallas,
                                            pad_items_for_pallas)
@@ -72,17 +73,24 @@ def bench_serving(I=360_000, K=64, B=256, n=10, iters=20):
     bi = rng.normal(0, 0.1, I).astype(np.float32)
     Qp, bip = pad_items_for_pallas(Q, bi, 4096)
     Qp, bip = jnp.asarray(Qp), jnp.asarray(bip)
-    idx, sc = topn_scores_pallas(P, Qp, bu, bip, 0.0, n=n, block=4096)
+    kw = {}
+    if rated_L:
+        kw['rated_idx'] = jnp.asarray(
+            rng.integers(0, I, (B, rated_L)).astype(np.int32))
+        kw['rated_mask'] = jnp.ones((B, rated_L), jnp.float32)
+    idx, sc = topn_scores_pallas(P, Qp, bu, bip, 0.0, n=n, block=4096, **kw)
     float(sc[0, 0])
     t0 = time.perf_counter()
     for _ in range(iters):
-        idx, sc = topn_scores_pallas(P, Qp, bu, bip, 0.0, n=n, block=4096)
+        idx, sc = topn_scores_pallas(P, Qp, bu, bip, 0.0, n=n, block=4096,
+                                     **kw)
     float(sc[0, 0])
     per_call = (time.perf_counter() - t0) / iters
     print(json.dumps({
         'metric': 'topn_retrieval_users_per_s',
         'value': round(B / per_call, 1),
-        'unit': 'users/s/chip (360k items, rank 64, top-10)',
+        'unit': 'users/s/chip (360k items, rank 64, top-10%s)' % (
+            ', %d rated masked' % rated_L if rated_L else ''),
         'vs_baseline': None,
         'batch_s': round(per_call, 4),
     }))
@@ -100,7 +108,8 @@ def main():
 
     mode = os.environ.get('BENCH_MODE', 'alternating')
     if mode == 'serving':
-        return bench_serving()
+        return bench_serving(
+            rated_L=int(os.environ.get('BENCH_RATED_L', 0)))
     config = 'ml10m'
     if mode == 'netflix':
         # Netflix-prize scale (BASELINE config 5) on one chip:

@@ -188,44 +188,63 @@ class MFRecommender(BaseRecommender):
         return out, [float(scores[i]) for i in order]
 
     def recommend_batch(self, user_indices, nbr_recommendations=5,
-                        predictor='predict', use_pallas=False):
+                        predictor='predict', use_pallas=False,
+                        sharded=None, mask_rated=True):
         '''Batched top-N for many users in one device call — the serving
         path (no reference equivalent; the reference loops users).
 
         ``use_pallas=True`` routes through the fused Pallas kernel
         (``ops.pallas_topk``, ~2.4x the XLA path on v5e) — bias predictor
-        only, and rated items are NOT masked (mask client-side).'''
-        if use_pallas:
-            import jax
-            from mfrec_tpu.ops import pallas_topk
-            interp = jax.default_backend() == 'cpu'
-            bu = self.users_bias if self.users_bias is not None \
-                else np.zeros(self.nbr_users, np.float32)
-            bi = self.items_bias if self.items_bias is not None \
-                else np.zeros(self.nbr_items, np.float32)
-            Qp, bip = pallas_topk.pad_items_for_pallas(
-                np.asarray(self.Q, np.float32), bi, 1024)
-            idx, scores = pallas_topk.topn_scores_pallas(
-                jnp.asarray(self.P[np.asarray(user_indices)], jnp.float32),
-                jnp.asarray(Qp),
-                jnp.asarray(bu[np.asarray(user_indices)], jnp.float32),
-                jnp.asarray(bip), float(self.overall_bias or 0.0),
-                n=int(nbr_recommendations), block=1024, interpret=interp)
-            return np.asarray(idx), np.asarray(scores)
-        mode = self._predictor_mode(predictor) or 'dot_plus_one'
-        rated_idx, rated_mask = topk_ops.pad_rated_lists(self.ratings,
-                                                         user_indices)
+        only; rated items ARE masked (in-kernel compare loop).
+
+        ``sharded`` (default: auto when >1 device): run the mesh-sharded
+        retrieval (``parallel.topn_sharded`` — Q sharded over the items
+        axis, per-shard top-k, all_gather + global re-rank), result-
+        identical to the single-chip path.'''
+        import jax
+        users = np.asarray(user_indices)
         bu = self.users_bias if self.users_bias is not None \
             else np.zeros(self.nbr_users, np.float32)
         bi = self.items_bias if self.items_bias is not None \
             else np.zeros(self.nbr_items, np.float32)
-        mu = self.overall_bias if self.overall_bias else 0.0
+        mu = float(self.overall_bias or 0.0)
+        n = min(int(nbr_recommendations), self.nbr_items)
+        if mask_rated:
+            rated_idx, rated_mask = topk_ops.pad_rated_lists(self.ratings,
+                                                             users)
+        else:
+            rated_idx = np.zeros((len(users), 1), np.int32)
+            rated_mask = np.zeros((len(users), 1), np.float32)
+        if sharded is None:
+            sharded = len(jax.devices()) > 1 and not use_pallas
+        mode = self._predictor_mode(predictor) or 'dot_plus_one'
+        if sharded:
+            from mfrec_tpu.parallel.topn_sharded import sharded_topn
+            return sharded_topn(
+                self.P[users], self.Q, bu[users], bi, mu,
+                rated_idx, rated_mask, n, predictor=mode,
+                lo=self.min_rating, hi=self.max_rating,
+                use_pallas=use_pallas)
+        if use_pallas:
+            from mfrec_tpu.ops import pallas_topk
+            interp = jax.default_backend() == 'cpu'
+            Qp, bip = pallas_topk.pad_items_for_pallas(
+                np.asarray(self.Q, np.float32), bi, 1024)
+            idx, scores = pallas_topk.topn_scores_pallas(
+                jnp.asarray(self.P[users], jnp.float32),
+                jnp.asarray(Qp),
+                jnp.asarray(bu[users], jnp.float32),
+                jnp.asarray(bip), mu,
+                n=n, block=1024, interpret=interp,
+                rated_idx=jnp.asarray(rated_idx),
+                rated_mask=jnp.asarray(rated_mask))
+            return np.asarray(idx), np.asarray(scores)
         idx, scores = topk_ops.topn_scores(
-            jnp.asarray(self.P[np.asarray(user_indices)], jnp.float32),
+            jnp.asarray(self.P[users], jnp.float32),
             jnp.asarray(self.Q, jnp.float32),
-            jnp.asarray(bu[np.asarray(user_indices)], jnp.float32),
+            jnp.asarray(bu[users], jnp.float32),
             jnp.asarray(bi, jnp.float32), jnp.float32(mu),
             jnp.asarray(rated_idx), jnp.asarray(rated_mask),
-            min(int(nbr_recommendations), self.nbr_items), predictor=mode,
+            n, predictor=mode,
             lo=self.min_rating, hi=self.max_rating)
         return np.asarray(idx), np.asarray(scores)

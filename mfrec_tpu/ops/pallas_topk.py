@@ -44,8 +44,8 @@ def _merge_topn(best_s, best_i, s, ids, n):
     return jnp.concatenate(out_s, axis=1), jnp.concatenate(out_i, axis=1)
 
 
-def _topn_kernel(n, mu_ref, prows_ref, bu_ref, q_ref, bi_ref, out_s_ref,
-                 out_i_ref):
+def _topn_kernel(n, L, mu_ref, prows_ref, bu_ref, ridx_ref, rmask_ref,
+                 q_ref, bi_ref, out_s_ref, out_i_ref):
     j = pl.program_id(0)
     block = q_ref.shape[0]
 
@@ -59,6 +59,14 @@ def _topn_kernel(n, mu_ref, prows_ref, bu_ref, q_ref, bi_ref, out_s_ref,
     scores = scores + mu_ref[0, 0] + bu_ref[:][:, None] + bi_ref[:][None, :]
     ids = j * block + jax.lax.broadcasted_iota(
         jnp.int32, scores.shape, 1)
+    if L:
+        # mask this user's already-rated items falling in the block: a
+        # static loop of [B, block] compares (VPU) — no 3D tile in VMEM
+        ridx = ridx_ref[:]
+        rmask = rmask_ref[:]
+        for l in range(L):
+            hit = (ids == ridx[:, l:l + 1]) & (rmask[:, l:l + 1] > 0)
+            scores = jnp.where(hit, NEG, scores)
     best_s, best_i = _merge_topn(out_s_ref[:], out_i_ref[:], scores, ids, n)
     out_s_ref[:] = best_s
     out_i_ref[:] = best_i
@@ -67,16 +75,28 @@ def _topn_kernel(n, mu_ref, prows_ref, bu_ref, q_ref, bi_ref, out_s_ref,
 @functools.partial(jax.jit,
                    static_argnames=('n', 'block', 'interpret'))
 def topn_scores_pallas(P_rows, Q, bu_rows, bi, mu, n=10, block=1024,
-                       interpret=False):
+                       interpret=False, rated_idx=None, rated_mask=None):
     '''Fused top-n retrieval: returns (idx [B, n], scores [B, n]) for the
     bias predictor mu + bu + bi + P.Q^T.  Q/bi must have row count
-    divisible by `block` (pad with NEG-bias rows).'''
+    divisible by `block` (pad with NEG-bias rows).
+
+    rated_idx/rated_mask [B, L] (optional): per-user already-rated item
+    ids to exclude.  Each list entry costs one [B, block] compare per
+    block — cap L at serving time for very heavy users.'''
     B, K = P_rows.shape
     I = Q.shape[0]
     assert I % block == 0, 'pad Q to a block multiple'
+    if rated_idx is None:
+        rated_idx = jnp.zeros((B, 0), jnp.int32)
+        rated_mask = jnp.zeros((B, 0), jnp.float32)
+    L = int(rated_idx.shape[1])
     grid = (I // block,)
     mu_arr = jnp.full((1, 1), mu, jnp.float32)
-    kernel = functools.partial(_topn_kernel, int(n))
+    kernel = functools.partial(_topn_kernel, int(n), L)
+    Lp = max(L, 1)        # zero-width VMEM blocks don't lower; pad to 1
+    if L == 0:
+        rated_idx = jnp.zeros((B, 1), jnp.int32)
+        rated_mask = jnp.zeros((B, 1), jnp.float32)
     out_s, out_i = pl.pallas_call(
         kernel,
         grid=grid,
@@ -87,6 +107,10 @@ def topn_scores_pallas(P_rows, Q, bu_rows, bi, mu, n=10, block=1024,
                          memory_space=pltpu.VMEM),       # P_rows
             pl.BlockSpec((B,), lambda j: (0,),
                          memory_space=pltpu.VMEM),       # bu_rows
+            pl.BlockSpec((B, Lp), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),       # rated ids
+            pl.BlockSpec((B, Lp), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),       # rated mask
             pl.BlockSpec((block, K), lambda j: (j, 0),
                          memory_space=pltpu.VMEM),       # Q block
             pl.BlockSpec((block,), lambda j: (j,),
@@ -103,7 +127,7 @@ def topn_scores_pallas(P_rows, Q, bu_rows, bi, mu, n=10, block=1024,
             jax.ShapeDtypeStruct((B, n), jnp.int32),
         ),
         interpret=interpret,
-    )(mu_arr, P_rows, bu_rows, Q, bi)
+    )(mu_arr, P_rows, bu_rows, rated_idx, rated_mask, Q, bi)
     return out_i, out_s
 
 

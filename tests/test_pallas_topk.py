@@ -40,9 +40,8 @@ def test_pallas_topn_descending_and_padding_excluded():
 
 
 def test_recommend_batch_pallas_path(small_dataset):
-    '''Model serving path via the Pallas kernel agrees with the XLA path
-    (modulo rated-item masking, which the Pallas path leaves to the
-    caller — compare on users with few ratings via score values).'''
+    '''Model serving path via the Pallas kernel agrees with a brute-force
+    bias predictor INCLUDING rated-item masking (in-kernel since r2).'''
     from mfrec_tpu.models.gd import GDRecommender
     (u, i, v), _ = small_dataset
     U, I = int(u.max()) + 1, int(i.max()) + 1
@@ -54,9 +53,14 @@ def test_recommend_batch_pallas_path(small_dataset):
     users = [0, 5, 11, 17]
     idx, scores = m.recommend_batch(users, 5, use_pallas=True)
     assert idx.shape == (4, 5)
-    # brute-force check against the bias predictor
+    # brute-force check against the bias predictor with rated masking
     bu = m.users_bias; bi = m.items_bias
     full = (m.overall_bias + bu[np.asarray(users)][:, None]
             + bi[None, :] + m.P[np.asarray(users)] @ m.Q.T)
+    for r, uu in enumerate(users):
+        full[r, m.ratings.rated_mask_for_user(uu)] = -np.inf
     want = -np.sort(-full, axis=1)[:, :5]
     np.testing.assert_allclose(scores, want, atol=1e-3)
+    for r, uu in enumerate(users):
+        rated = set(np.nonzero(m.ratings.rated_mask_for_user(uu))[0])
+        assert not (set(idx[r].tolist()) & rated)
