@@ -49,7 +49,8 @@ class GDRecommender(MFRecommender):
                         'regularization_items_bias': 'K3',
                         'nbr_features': 'dimensionality',
                         'batch_size': 'batch_size',
-                        'engine': 'engine'}
+                        'engine': 'engine',
+                        'inner_steps': 'inner_steps'}
 
     _default_predictor_mode = 'dot_plus_one'
 
@@ -72,6 +73,7 @@ class GDRecommender(MFRecommender):
 
         self.engine = 'fused'
         self.batch_size = 8192
+        self.inner_steps = 1             # alternating: grad iters / batch
         self.feedback_cap = 128          # max padded |N(u)| for SVD++
 
         if parameters:
@@ -279,6 +281,7 @@ class GDRecommender(MFRecommender):
             lr_bu=self.learning_rate_users, lr_bi=self.learning_rate_items,
             K_bu=self.K2, K_bi=self.K3, bias_mode=bias_mode,
             lo_r=self.min_rating, hi_r=self.max_rating, chunk=chunk,
+            inner_steps=self.inner_steps,
             # Pallas kernels only lower on TPU backends
             use_pallas_full=jax.default_backend() != 'cpu')
         driver = ConvergenceDriver(self.min_epochs, self.max_epochs,
@@ -297,6 +300,65 @@ class GDRecommender(MFRecommender):
         if bias_mode == 'learned':
             self.users_bias = np.array(bu)[:self.nbr_users]
             self.items_bias = np.array(bi)[:self.nbr_items]
+        if verbose:
+            for e, r in enumerate(driver.history):
+                self.logger.info('epoch %d rmse %.5f', e, r)
+
+    # -------------------------------------- alternating_sharded engine
+    def _run_alternating_sharded(self, bias_mode, verbose=False,
+                                 n_devices=None):
+        '''The flagship engine over the device mesh
+        (``parallel.alternating_sharded``): users/items range-partitioned
+        into row shards, each device trains its own rows' sorted-window
+        batches, one all_gather of each factor side per epoch.'''
+        import jax
+        from mfrec_tpu.parallel import alternating_sharded as alt
+        from mfrec_tpu.parallel.mesh import make_mesh
+        if bias_mode == 'learned':
+            raise Error("engine='alternating_sharded' supports bias modes "
+                        "'none'/'fixed'; use engine='alternating' for "
+                        "learned biases")
+        D = n_devices or len(jax.devices())
+        mesh = make_mesh(D)
+        uidx, iidx, vals = self.ratings.coo()
+        max_window = min(256, max(self.nbr_users, self.nbr_items))
+        p_layout, q_layout, (Ushard, Ishard, W) = \
+            alt.build_sharded_alternating_layout(
+                uidx, iidx, vals, D, self.nbr_users, self.nbr_items,
+                batch_size=self.batch_size, max_window=max_window)
+        bu, bi = self._zero_biases()
+        if bias_mode != 'none':
+            bu = self.users_bias if self.users_bias is not None else bu
+            bi = self.items_bias if self.items_bias is not None else bi
+        Paug, Qaug = sgd_mf.augment_factors(
+            np.asarray(self.P, np.float32), np.asarray(self.Q, np.float32),
+            np.asarray(bu, np.float32), np.asarray(bi, np.float32))
+        Paug = jnp.asarray(alt.pad_factors_sharded(Paug, Ushard, W, D))
+        Qaug = jnp.asarray(alt.pad_factors_sharded(Qaug, Ishard, W, D))
+        mu = jnp.float32(self.overall_bias or 0.0)
+        p_dev = tuple(jnp.asarray(x) for x in p_layout)
+        q_dev = tuple(jnp.asarray(x) for x in q_layout)
+        epoch = alt.make_sharded_alternating_epoch(
+            mesh, W, lr=self.learning_rate, K=self.K, bias_mode=bias_mode,
+            lo_r=self.min_rating, hi_r=self.max_rating,
+            chunk=min(4096, self.batch_size),
+            inner_steps=self.inner_steps)
+        driver = ConvergenceDriver(self.min_epochs, self.max_epochs,
+                                   self.min_improvement)
+
+        def one_epoch(pq):
+            Pa, Qa = pq
+            Pa, Qa, rmse = epoch(Pa, Qa, mu, *p_dev, *q_dev)
+            return (Pa, Qa), rmse
+
+        Paug, Qaug = driver.run(one_epoch, (Paug, Qaug))
+        self.rmse_history = driver.history
+        Pa = alt.unpad_factors_sharded(np.asarray(Paug), Ushard, W, D,
+                                       self.nbr_users)
+        Qa = alt.unpad_factors_sharded(np.asarray(Qaug), Ishard, W, D,
+                                       self.nbr_items)
+        k = self.dimensionality
+        self.P, self.Q = Pa[:, :k], Qa[:, :k]
         if verbose:
             for e, r in enumerate(driver.history):
                 self.logger.info('epoch %d rmse %.5f', e, r)
@@ -422,16 +484,30 @@ class GDRecommender(MFRecommender):
             mode = 'fixed'
         else:
             mode = 'none'
-        if self.engine == 'funk':
+        self._dispatch_engine(mode, verbose)
+
+    def _dispatch_engine(self, mode, verbose):
+        '''engine='auto' picks the flagship path for the hardware:
+        alternating_sharded when >1 device, alternating otherwise.'''
+        engine = self.engine
+        if engine == 'auto':
+            import jax
+            engine = ('alternating_sharded' if len(jax.devices()) > 1
+                      else 'alternating')
+        if engine == 'funk':
             self._run_funk(mode, verbose=verbose)
-        elif self.engine == 'funk_fused':
+        elif engine == 'funk_fused':
             self._run_funk_fused(mode, verbose=verbose)
-        elif self.engine == 'dsgd':
+        elif engine == 'dsgd':
             self._run_dsgd(mode, verbose=verbose)
-        elif self.engine == 'alternating':
+        elif engine == 'alternating':
             self._run_alternating(mode, verbose=verbose)
-        else:
+        elif engine == 'alternating_sharded':
+            self._run_alternating_sharded(mode, verbose=verbose)
+        elif engine == 'fused':
             self._run_fused(mode, verbose=verbose)
+        else:
+            raise Error('unknown engine %r' % (engine,))
 
     train = feature_training
 
@@ -445,8 +521,10 @@ class GDRecommender(MFRecommender):
         self.compute_users_bias_bk()
         if self.engine == 'funk':
             self._run_funk('learned', verbose=verbose)
-        elif self.engine == 'alternating':
+        elif self.engine in ('alternating', 'auto'):
             self._run_alternating('learned', verbose=verbose)
+        elif self.engine == 'alternating_sharded':
+            self._run_alternating_sharded('learned', verbose=verbose)
         else:
             self._run_fused('learned', verbose=verbose)
 

@@ -70,6 +70,13 @@ def als_half_sweep(F_fixed, F_update, buckets, c_pos=1.0, alpha=0.0,
     return F_update
 
 
+def _alive_mask(buckets, nrows):
+    alive = np.zeros((nrows, 1), np.float32)
+    for rows, _, _, _ in buckets:
+        alive[np.asarray(rows)] = 1.0
+    return alive
+
+
 def als_wrmf_train(P, Q, user_buckets, item_buckets, nbr_epochs=20,
                    c_pos=1.0, alpha=0.0, reg=0.015, callback=None,
                    gram_dtype=None):
@@ -79,10 +86,20 @@ def als_wrmf_train(P, Q, user_buckets, item_buckets, nbr_epochs=20,
     P: [U, k] user factors, Q: [I, k] item factors (both updated).
     user_buckets index into Q (each user's rated items); item_buckets index
     into P.  Returns (P, Q).
+
+    Zero-rating rows are zeroed after each half-sweep: the reference
+    solves M^-1 @ 0 = 0 for them DURING the pass (als_implicit.pyx:
+    296-302), so they must not contribute their init values to the next
+    Gram HH — leaving them stale diverges from the reference from the
+    second half-sweep on (caught by the class-level parity test).
     '''
+    u_alive = jnp.asarray(_alive_mask(user_buckets, P.shape[0]))
+    i_alive = jnp.asarray(_alive_mask(item_buckets, Q.shape[0]))
     for epoch in range(nbr_epochs):
-        P = als_half_sweep(Q, P, user_buckets, c_pos, alpha, reg, gram_dtype)
-        Q = als_half_sweep(P, Q, item_buckets, c_pos, alpha, reg, gram_dtype)
+        P = als_half_sweep(Q, P, user_buckets, c_pos, alpha, reg,
+                           gram_dtype) * u_alive
+        Q = als_half_sweep(P, Q, item_buckets, c_pos, alpha, reg,
+                           gram_dtype) * i_alive
         if callback is not None:
             callback(epoch, P, Q)
     return P, Q

@@ -36,14 +36,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(W, lo_r, hi_r, clamp_pred, row_mean, bias_none,
             mu_ref, win_ref, ff_ref, r_ref, m_ref, kl_ref, lrv_ref,
-            regv_ref, out_ref, sse_ref, acc_ref):
-    j = pl.program_id(0)
-    nj = pl.num_programs(0)
+            regv_ref, out_ref, sse_ref, acc_ref, win_scr):
+    t = pl.program_id(0)          # inner gradient iteration
+    j = pl.program_id(1)          # ff chunk
+    nt = pl.num_programs(0)
+    nj = pl.num_programs(1)
+
+    @pl.when((t == 0) & (j == 0))
+    def _():
+        win_scr[:] = win_ref[:]
+        sse_ref[0, 0] = 0.0
 
     @pl.when(j == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
-        sse_ref[0, 0] = 0.0
 
     ff = ff_ref[:]                                     # [ch, k]
     kl = kl_ref[:]                                     # [ch]
@@ -52,7 +58,7 @@ def _kernel(W, lo_r, hi_r, clamp_pred, row_mean, bias_none,
     onehot = (kl[:, None] == jax.lax.broadcasted_iota(
         jnp.int32, (ch, W), 1)).astype(jnp.bfloat16)
     fu = jax.lax.dot_general(
-        onehot, win_ref[:].astype(jnp.bfloat16),
+        onehot, win_scr[:].astype(jnp.bfloat16),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)            # [ch, k]
     dot = (fu * ff).sum(-1)
@@ -60,7 +66,11 @@ def _kernel(W, lo_r, hi_r, clamp_pred, row_mean, bias_none,
     if clamp_pred:
         pred = jnp.clip(pred, lo_r, hi_r)
     err = (r_ref[:] - pred) * m
-    sse_ref[0, 0] += (err * err).sum()
+
+    @pl.when(t == 0)      # epoch RMSE = pre-update residual, like XLA path
+    def _():
+        sse_ref[0, 0] += (err * err).sum()
+
     g = err[:, None] * ff - regv_ref[:][None, :] * fu * m[:, None]
     gx = jnp.concatenate([g, m[:, None]], axis=1).astype(jnp.bfloat16)
     acc_ref[:] += jax.lax.dot_general(
@@ -72,19 +82,27 @@ def _kernel(W, lo_r, hi_r, clamp_pred, row_mean, bias_none,
         gsum = acc_ref[:, :-1]
         if row_mean:
             gsum = gsum / jnp.maximum(acc_ref[:, -1:], 1.0)
-        out_ref[:] = win_ref[:] + lrv_ref[:][None, :] * gsum
+        win_scr[:] = win_scr[:] + lrv_ref[:][None, :] * gsum
+
+    @pl.when((t == nt - 1) & (j == nj - 1))
+    def _():
+        out_ref[:] = win_scr[:]
 
 
 @functools.partial(jax.jit, static_argnames=('W', 'chunk', 'clamp_pred',
                                              'lo_r', 'hi_r', 'row_mean',
-                                             'bias_none', 'interpret'))
+                                             'bias_none', 'interpret',
+                                             'inner_steps'))
 def half_pass_batch(window, ff, r, m, kl, lrv, regv, mu, W, chunk=4096,
                     clamp_pred=True, lo_r=1.0, hi_r=5.0, row_mean=True,
-                    bias_none=False, interpret=False):
+                    bias_none=False, interpret=False, inner_steps=1):
     '''One fused batch step.  window [W, k]; ff [B, k] pre-gathered fixed
     rows; kl [B] window-local updated-row ids (masked rows may point
     anywhere valid — their gradients are zero); lrv/regv [k] per-column
-    learning rates / regularization.  Returns (window_out [W, k], sse).'''
+    learning rates / regularization.  ``inner_steps``: gradient
+    iterations against the VMEM-resident window (ff chunks re-stream per
+    iteration; the expensive HBM row gather outside is done once).
+    Returns (window_out [W, k], sse of the FIRST iteration's residual).'''
     B, k = ff.shape
     ch = min(chunk, B)
     assert B % ch == 0
@@ -94,36 +112,37 @@ def half_pass_batch(window, ff, r, m, kl, lrv, regv, mu, W, chunk=4096,
                                bool(bias_none))
     out, sse = pl.pallas_call(
         kernel,
-        grid=(B // ch,),
+        grid=(int(inner_steps), B // ch),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda j: (0, 0),
+            pl.BlockSpec((1, 1), lambda t, j: (0, 0),
                          memory_space=pltpu.SMEM),      # mu
-            pl.BlockSpec((W, k), lambda j: (0, 0),
+            pl.BlockSpec((W, k), lambda t, j: (0, 0),
                          memory_space=pltpu.VMEM),      # window
-            pl.BlockSpec((ch, k), lambda j: (j, 0),
+            pl.BlockSpec((ch, k), lambda t, j: (j, 0),
                          memory_space=pltpu.VMEM),      # ff
-            pl.BlockSpec((ch,), lambda j: (j,),
+            pl.BlockSpec((ch,), lambda t, j: (j,),
                          memory_space=pltpu.VMEM),      # r
-            pl.BlockSpec((ch,), lambda j: (j,),
+            pl.BlockSpec((ch,), lambda t, j: (j,),
                          memory_space=pltpu.VMEM),      # m
-            pl.BlockSpec((ch,), lambda j: (j,),
+            pl.BlockSpec((ch,), lambda t, j: (j,),
                          memory_space=pltpu.VMEM),      # kl
-            pl.BlockSpec((k,), lambda j: (0,),
+            pl.BlockSpec((k,), lambda t, j: (0,),
                          memory_space=pltpu.VMEM),      # lrv
-            pl.BlockSpec((k,), lambda j: (0,),
+            pl.BlockSpec((k,), lambda t, j: (0,),
                          memory_space=pltpu.VMEM),      # regv
         ],
         out_specs=(
-            pl.BlockSpec((W, k), lambda j: (0, 0),
+            pl.BlockSpec((W, k), lambda t, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda j: (0, 0),
+            pl.BlockSpec((1, 1), lambda t, j: (0, 0),
                          memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((W, k), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ),
-        scratch_shapes=[pltpu.VMEM((W, k + 1), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((W, k + 1), jnp.float32),
+                        pltpu.VMEM((W, k), jnp.float32)],
         interpret=interpret,
     )(mu_arr, window, ff, r, m, kl, lrv, regv)
     return out, sse[0, 0]

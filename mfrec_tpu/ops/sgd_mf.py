@@ -401,7 +401,7 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
                            K_bu=0.0, K_bi=0.0, bias_mode='fixed',
                            clamp_pred=True, lo_r=1.0, hi_r=5.0, chunk=4096,
                            donate=True, row_mean=True, use_pallas_agg=False,
-                           use_pallas_full=False):
+                           use_pallas_full=False, inner_steps=1):
     '''Build a jitted scatter-free epoch over *augmented* factors: a P
     half-pass over the user-sorted stream (Q fixed), then a Q half-pass
     over the item-sorted stream (P fixed) — blockwise-alternating SGD.
@@ -416,6 +416,14 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
 
     Update order differs from the serial reference, so parity is
     final-RMSE tolerance like the fused tier.
+
+    ``inner_steps``: gradient iterations per batch.  Sorted batches give
+    each factor row only ~1 averaged step per epoch (a user's ratings are
+    contiguous), so convergence per epoch is slow; T inner iterations
+    reuse the already-gathered fixed side and the already-built one-hot
+    tile (the expensive parts) and recompute only prediction/gradient
+    against the updated window — ~T-fold faster convergence per epoch for
+    well under T-fold epoch cost.
 
     epoch_fn(Paug, Qaug, mu, p_layout, q_layout) -> (Paug, Qaug, rmse).
     Paug must have >= nbr_users + W_user rows (Qaug likewise);
@@ -460,52 +468,58 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
             upd_rows = u if upd_is_user else i
             fix_rows = i if upd_is_user else u
             ff = F_fix[fix_rows]
+            lrv, regv = col_vectors(F_upd.shape[1] - 2, upd_is_user)
+            win = jax.lax.dynamic_slice_in_dim(F_upd, lo, W, 0)
             if use_pallas_full:
                 # fully fused Pallas batch step: fu gather, prediction,
                 # gradients, aggregation and the window update all in VMEM
                 from mfrec_tpu.ops.pallas_half_pass import half_pass_batch
-                lrv, regv = col_vectors(F_upd.shape[1] - 2, upd_is_user)
-                win = jax.lax.dynamic_slice_in_dim(F_upd, lo, W, 0)
                 c, ffp, rp, mp, klp = pad_to_chunk(r.shape[0], ff, r, m, kl)
                 win_out, sse_b = half_pass_batch(
                     win, ffp, rp, mp, klp, lrv, regv, mu, W,
                     chunk=c, clamp_pred=clamp_pred,
                     lo_r=lo_r, hi_r=hi_r, row_mean=row_mean,
-                    bias_none=(bias_mode == 'none'))
+                    bias_none=(bias_mode == 'none'),
+                    inner_steps=inner_steps)
                 F_upd = jax.lax.dynamic_update_slice_in_dim(
                     F_upd, win_out, lo, 0)
                 return (F_upd, sse + sse_b), None
-            fu = F_upd[upd_rows]
-            dot = (fu * ff).sum(-1)
-            pred = (1.0 + dot) if bias_mode == 'none' else (mu + dot)
-            if clamp_pred:
-                pred = clamp(pred, lo_r, hi_r)
-            err = (r - pred) * m
-            sse = sse + (err * err).sum()
-            lrv, regv = col_vectors(F_upd.shape[1] - 2, upd_is_user)
-            g = err[:, None] * ff - regv[None, :] * fu * m[:, None]
-            c, g, kl, m = pad_to_chunk(g.shape[0], g, kl, m)
-            B = g.shape[0]
-            if use_pallas_agg:
-                from mfrec_tpu.ops.pallas_window_agg import window_aggregate
-                gsum, cnt = window_aggregate(g, kl, m, W, chunk=c)
-                if row_mean:
-                    gsum = gsum / jnp.maximum(cnt, 1.0)[:, None]
-            else:
-                gc = g.reshape(B // c, c, -1).astype(jnp.bfloat16)
-                kc = kl.reshape(B // c, c)
-                onehot = (kc[:, :, None] ==
-                          jnp.arange(W)[None, None, :]).astype(jnp.bfloat16)
-                gsum = jnp.einsum('nck,ncw->wk', gc, onehot,
-                                  preferred_element_type=jnp.float32)
-                if row_mean:
-                    mc = (m.reshape(B // c, c)).astype(jnp.bfloat16)
-                    cnt = jnp.einsum('nc,ncw->w', mc, onehot,
-                                     preferred_element_type=jnp.float32)
-                    gsum = gsum / jnp.maximum(cnt, 1.0)[:, None]
-            win = jax.lax.dynamic_slice_in_dim(F_upd, lo, W, 0)
-            F_upd = jax.lax.dynamic_update_slice_in_dim(
-                F_upd, win + lrv[None, :] * gsum, lo, 0)
+            c, klp, mp, rp, ffp = pad_to_chunk(kl.shape[0], kl, m, r, ff)
+            B = klp.shape[0]
+            kc = klp.reshape(B // c, c)
+            # one-hot tile and per-row counts are invariant across the
+            # inner iterations — build once
+            onehot = (kc[:, :, None] ==
+                      jnp.arange(W)[None, None, :]).astype(jnp.bfloat16)
+            if row_mean:
+                mc = (mp.reshape(B // c, c)).astype(jnp.bfloat16)
+                cnt = jnp.einsum('nc,ncw->w', mc, onehot,
+                                 preferred_element_type=jnp.float32)
+                cnt = jnp.maximum(cnt, 1.0)[:, None]
+            for t in range(inner_steps):
+                fu = win[klp]             # [B, k] gather from the window
+                dot = (fu * ffp).sum(-1)
+                pred = (1.0 + dot) if bias_mode == 'none' else (mu + dot)
+                if clamp_pred:
+                    pred = clamp(pred, lo_r, hi_r)
+                err = (rp - pred) * mp
+                if t == 0:
+                    sse = sse + (err * err).sum()
+                g = err[:, None] * ffp - regv[None, :] * fu * mp[:, None]
+                if use_pallas_agg:
+                    from mfrec_tpu.ops.pallas_window_agg import \
+                        window_aggregate
+                    gsum, cnt_a = window_aggregate(g, klp, mp, W, chunk=c)
+                    if row_mean:
+                        gsum = gsum / jnp.maximum(cnt_a, 1.0)[:, None]
+                else:
+                    gc = g.reshape(B // c, c, -1).astype(jnp.bfloat16)
+                    gsum = jnp.einsum('nck,ncw->wk', gc, onehot,
+                                      preferred_element_type=jnp.float32)
+                    if row_mean:
+                        gsum = gsum / cnt
+                win = win + lrv[None, :] * gsum
+            F_upd = jax.lax.dynamic_update_slice_in_dim(F_upd, win, lo, 0)
             return (F_upd, sse), None
 
         (F_upd, sse), _ = jax.lax.scan(

@@ -128,7 +128,8 @@ def unpad_factors_sharded(Fp, rows_per_shard, W, D, n):
 
 def make_sharded_alternating_epoch(mesh, W, lr, K, bias_mode='fixed',
                                    clamp_pred=True, lo_r=1.0, hi_r=5.0,
-                                   chunk=4096, row_mean=True, axis='dp'):
+                                   chunk=4096, row_mean=True, axis='dp',
+                                   inner_steps=1):
     '''Jitted multi-chip epoch over augmented factors:
 
         (Paug, Qaug, mu, p_layout, q_layout) -> (Paug, Qaug, rmse)
@@ -150,41 +151,46 @@ def make_sharded_alternating_epoch(mesh, W, lr, K, bias_mode='fixed',
         def step(carry, batch):
             F_upd, sse = carry
             kli, ogi, r, m, lo_b = batch
-            fu = F_upd[kli + lo_b]
             ff = F_full[ogi]
-            dot = (fu * ff).sum(-1)
-            pred = (1.0 + dot) if bias_mode == 'none' else (mu + dot)
-            if clamp_pred:
-                pred = clamp(pred, lo_r, hi_r)
-            err = (r - pred) * m
-            sse = sse + (err * err).sum()
-            g = err[:, None] * ff - K * fu * m[:, None]
             # freeze bias + const columns (fixed-bias mode)
-            colmask = jnp.ones((g.shape[1],), g.dtype)
+            colmask = jnp.ones((ff.shape[1],), ff.dtype)
             colmask = colmask.at[-2:].set(0.0)
             # zero-pad to a chunk multiple so any batch_size works
             # (mask-0 rows contribute nothing to the aggregation)
-            ch = min(chunk, g.shape[0])
-            pad = -g.shape[0] % ch
+            ch = min(chunk, kli.shape[0])
+            pad = -kli.shape[0] % ch
             if pad:
-                g = jnp.pad(g, ((0, pad), (0, 0)))
+                ff = jnp.pad(ff, ((0, pad), (0, 0)))
                 kli = jnp.pad(kli, (0, pad))
                 m = jnp.pad(m, (0, pad))
-            B = g.shape[0]
-            gc = g.reshape(B // ch, ch, -1).astype(jnp.bfloat16)
+                r = jnp.pad(r, (0, pad))
+            B = kli.shape[0]
             kc = kli.reshape(B // ch, ch)
             onehot = (kc[:, :, None] ==
                       jnp.arange(W)[None, None, :]).astype(jnp.bfloat16)
-            gsum = jnp.einsum('nck,ncw->wk', gc, onehot,
-                              preferred_element_type=jnp.float32)
             if row_mean:
                 mc = m.reshape(B // ch, ch).astype(jnp.bfloat16)
                 cnt = jnp.einsum('nc,ncw->w', mc, onehot,
                                  preferred_element_type=jnp.float32)
-                gsum = gsum / jnp.maximum(cnt, 1.0)[:, None]
+                cnt = jnp.maximum(cnt, 1.0)[:, None]
             win = jax.lax.dynamic_slice_in_dim(F_upd, lo_b, W, 0)
-            F_upd = jax.lax.dynamic_update_slice_in_dim(
-                F_upd, win + lr * gsum * colmask[None, :], lo_b, 0)
+            for t in range(inner_steps):
+                fu = win[kli]
+                dot = (fu * ff).sum(-1)
+                pred = (1.0 + dot) if bias_mode == 'none' else (mu + dot)
+                if clamp_pred:
+                    pred = clamp(pred, lo_r, hi_r)
+                err = (r - pred) * m
+                if t == 0:
+                    sse = sse + (err * err).sum()
+                g = err[:, None] * ff - K * fu * m[:, None]
+                gc = g.reshape(B // ch, ch, -1).astype(jnp.bfloat16)
+                gsum = jnp.einsum('nck,ncw->wk', gc, onehot,
+                                  preferred_element_type=jnp.float32)
+                if row_mean:
+                    gsum = gsum / cnt
+                win = win + lr * gsum * colmask[None, :]
+            F_upd = jax.lax.dynamic_update_slice_in_dim(F_upd, win, lo_b, 0)
             return (F_upd, sse), None
 
         (F_upd, sse), _ = jax.lax.scan(

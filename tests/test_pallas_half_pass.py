@@ -37,3 +37,41 @@ def test_half_pass_batch_matches_numpy():
     assert abs(sse - (err ** 2).sum()) / (err ** 2).sum() < 1e-3
     # frozen column untouched
     np.testing.assert_allclose(out[:, -1], window[:, -1], atol=1e-6)
+
+
+def test_half_pass_inner_steps_matches_numpy():
+    '''inner_steps=3: the kernel's persistent-window grid iteration must
+    equal three sequential numpy half-steps (sse = first iteration's).'''
+    rng = np.random.default_rng(1)
+    B, k, W, T = 128, 8, 16, 3
+    window0 = rng.normal(0, 0.3, (W, k)).astype(np.float32)
+    ff = rng.normal(0, 0.3, (B, k)).astype(np.float32)
+    r = rng.uniform(1, 5, B).astype(np.float32)
+    m = (rng.random(B) > 0.1).astype(np.float32)
+    kl = np.sort(rng.integers(0, W, B)).astype(np.int32)
+    lrv = np.full(k, 0.1, np.float32); lrv[-1] = 0.0
+    regv = np.full(k, 0.02, np.float32); regv[-1] = 0.0
+    mu = 3.4
+
+    out, sse = half_pass_batch(
+        jnp.asarray(window0), jnp.asarray(ff), jnp.asarray(r),
+        jnp.asarray(m), jnp.asarray(kl), jnp.asarray(lrv),
+        jnp.asarray(regv), mu, W, chunk=64, interpret=True, inner_steps=T)
+    out, sse = np.asarray(out), float(sse)
+
+    window = window0.copy()
+    sse_first = None
+    for t in range(T):
+        fu = window[kl]
+        pred = np.clip(mu + (fu * ff).sum(-1), 1.0, 5.0)
+        err = (r - pred) * m
+        if t == 0:
+            sse_first = (err ** 2).sum()
+        g = err[:, None] * ff - regv[None, :] * fu * m[:, None]
+        gsum = np.zeros((W, k)); cnt = np.zeros(W)
+        for b in range(B):
+            gsum[kl[b]] += g[b] * m[b]
+            cnt[kl[b]] += m[b]
+        window = window + lrv[None, :] * gsum / np.maximum(cnt, 1.0)[:, None]
+    np.testing.assert_allclose(out, window, atol=2e-2, rtol=5e-2)  # bf16 x3
+    assert abs(sse - sse_first) / sse_first < 1e-3
