@@ -64,20 +64,28 @@ def bias_floor_rmse(users, items, vals, U, I):
 
 def bench_als(U, I, users, items, K=64, epochs=3):
     '''Secondary metric: implicit WRMF ALS epoch (user+item half-sweeps,
-    batched normal equations + Cholesky) at ML-10M shape, rank 64.'''
+    batched normal equations + Cholesky) at ML-10M shape, rank 64.
+    BENCH_GRAM=float32 reverts the bf16 Gram corrections (the k x k
+    solves are always f32).'''
     import jax.numpy as jnp
     from mfrec_tpu.data.movielens import ratings_from_arrays
     from mfrec_tpu.ops import als as als_ops
+    gram = os.environ.get('BENCH_GRAM', 'bfloat16')
+    gram_dtype = None if gram == 'float32' else jnp.bfloat16
+    solver = os.environ.get('BENCH_ALS_SOLVER', 'exact')
+    cg_steps = int(os.environ.get('BENCH_CG_STEPS', 6))
     r = ratings_from_arrays(users, items, np.ones(users.shape[0],
                                                   np.float32), U, I)
     ub = r.padded_rows(axis='user')
     ib = r.padded_rows(axis='item')
-    P = jnp.full((U, K), 0.1, jnp.float32)
-    Q = jnp.full((I, K), 0.1, jnp.float32)
-    P, Q = als_ops.als_wrmf_train(P, Q, ub, ib, nbr_epochs=1)   # compile
-    float(P[0, 0])
+    rng = np.random.default_rng(0)
+    P = jnp.asarray(rng.normal(0, 0.1, (U, K)), jnp.float32)
+    Q = jnp.asarray(rng.normal(0, 0.1, (I, K)), jnp.float32)
+    kw = dict(gram_dtype=gram_dtype, solver=solver, cg_steps=cg_steps)
+    P, Q = als_ops.als_wrmf_train(P, Q, ub, ib, nbr_epochs=1, **kw)
+    float(P[0, 0])                                              # compile
     t0 = time.perf_counter()
-    P, Q = als_ops.als_wrmf_train(P, Q, ub, ib, nbr_epochs=epochs)
+    P, Q = als_ops.als_wrmf_train(P, Q, ub, ib, nbr_epochs=epochs, **kw)
     float(P[0, 0])
     epoch_s = (time.perf_counter() - t0) / epochs
     print(json.dumps({
@@ -85,6 +93,8 @@ def bench_als(U, I, users, items, K=64, epochs=3):
         'value': round(epoch_s, 3),
         'unit': 's/epoch/chip',
         'vs_baseline': None,
+        'solver': solver + ('' if solver != 'cg' else str(cg_steps)),
+        'gram_dtype': gram,
         'nnz': int(r.nnz),
     }))
 

@@ -204,12 +204,11 @@ class GDRecommender(MFRecommender):
         '''The reference's feature-by-feature Funk schedule (rating cache,
         trailing term, per-feature convergence) at mini-batch speed —
         the scalable middle ground between the exact serial tier and the
-        all-features tiers.  bias_mode 'learned' is not cache-compatible
-        (the reference's learned loop recomputes the full dot each step);
-        use engine='funk' or 'fused' for that.'''
+        all-features tiers.  bias_mode 'learned' uses the full-dot
+        formulation of the reference's learned loop with an off-feature
+        dot cache (see make_funk_fused_learned_epoch).'''
         if bias_mode == 'learned':
-            raise Error("funk_fused does not support learned biases; "
-                        "use engine='funk' or 'fused'")
+            return self._run_funk_fused_learned(verbose)
         uidx, iidx, vals = self.ratings.shuffled(int(self.rng.integers(2**31)))
         ub, ib, rb, mb = sgd_mf.batch_ratings(uidx, iidx, vals,
                                               self.batch_size)
@@ -253,6 +252,54 @@ class GDRecommender(MFRecommender):
                 self.logger.info('feature %d epochs %d rmse %.5f',
                                  f, ep, rmse)
         self.P, self.Q = np.array(P), np.array(Q)
+
+    def _run_funk_fused_learned(self, verbose=False):
+        '''Feature-by-feature learned-bias training at mini-batch speed
+        (the funk_fused analogue of gd_estimator.pyx:401-483).'''
+        uidx, iidx, vals = self.ratings.shuffled(
+            int(self.rng.integers(2 ** 31)))
+        ub, ib, rb, mb = sgd_mf.batch_ratings(uidx, iidx, vals,
+                                              self.batch_size)
+        ub, ib = jnp.asarray(ub), jnp.asarray(ib)
+        rb, mb = jnp.asarray(rb), jnp.asarray(mb)
+        P = jnp.asarray(self.P, jnp.float32)
+        Q = jnp.asarray(self.Q, jnp.float32)
+        bu = jnp.asarray(self.users_bias, jnp.float32)
+        bi = jnp.asarray(self.items_bias, jnp.float32)
+        mu = jnp.float32(self.overall_bias or 0.0)
+        k = self.dimensionality
+        epoch = sgd_mf.make_funk_fused_learned_epoch(
+            self.learning_rate, self.learning_rate_users,
+            self.learning_rate_items, self.K, self.K2, self.K3,
+            lo=self.min_rating, hi=self.max_rating)
+        full_dot = (P[ub] * Q[ib]).sum(-1)       # [nb, B] stream cache
+        self.rmse_history = []
+        for f in range(k):
+            pf = P[:, f:f + 1]
+            qf = Q[:, f:f + 1]
+            off = full_dot - pf[ub, 0] * qf[ib, 0]
+            trailing = jnp.float32((k - f - 1) * self.feature_init ** 2)
+            rmse, ep = 2.0, 0
+            rmse_last = rmse
+            while (ep < self.min_epochs
+                   or rmse <= rmse_last - self.min_improvement):
+                if ep >= self.max_epochs:
+                    break
+                rmse_last = rmse
+                pf, qf, bu, bi, rmse_dev = epoch(pf, qf, bu, bi, mu,
+                                                 trailing, ub, ib, rb, mb,
+                                                 off)
+                rmse = float(rmse_dev)
+                self.rmse_history.append(rmse)
+                ep += 1
+            P = P.at[:, f:f + 1].set(pf)
+            Q = Q.at[:, f:f + 1].set(qf)
+            full_dot = off + pf[ub, 0] * qf[ib, 0]
+            if verbose:
+                self.logger.info('feature %d epochs %d rmse %.5f',
+                                 f, ep, rmse)
+        self.P, self.Q = np.array(P), np.array(Q)
+        self.users_bias, self.items_bias = np.array(bu), np.array(bi)
 
     # ------------------------------------------------- alternating engine
     def _run_alternating(self, bias_mode, verbose=False):
@@ -521,6 +568,8 @@ class GDRecommender(MFRecommender):
         self.compute_users_bias_bk()
         if self.engine == 'funk':
             self._run_funk('learned', verbose=verbose)
+        elif self.engine == 'funk_fused':
+            self._run_funk_fused('learned', verbose=verbose)
         elif self.engine in ('alternating', 'auto'):
             self._run_alternating('learned', verbose=verbose)
         elif self.engine == 'alternating_sharded':

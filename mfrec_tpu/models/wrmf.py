@@ -26,7 +26,10 @@ class WRMFRecommender(MFRecommender):
                         'neighborhood': 'neighborhood',
                         'nbr_features': 'dimensionality',
                         'c_pos': 'c_pos',
-                        'alpha': 'alpha'}
+                        'alpha': 'alpha',
+                        'gram_dtype': 'gram_dtype',
+                        'solver': 'solver',
+                        'cg_steps': 'cg_steps'}
 
     _default_predictor_mode = 'dot'
 
@@ -45,6 +48,15 @@ class WRMFRecommender(MFRecommender):
         # alpha>0 switches to rating-scaled confidence c_ui = 1 + alpha*r.
         self.c_pos = 1.0
         self.alpha = 0.0
+        # 'bfloat16' runs the rank-L Gram corrections at bf16 MXU rate
+        # with f32 accumulation (~2x on TPU; the k x k solves stay f32);
+        # None keeps everything f32 (the oracle-parity setting).
+        self.gram_dtype = None
+        # solver='cg': warm-started matrix-free CG half-sweeps (fast TPU
+        # path, ~same fixed point); 'exact' = batched Cholesky (oracle
+        # parity).  cg_steps: CG iterations per half-sweep.
+        self.solver = 'exact'
+        self.cg_steps = 6
 
         if parameters:
             self.set_parameters(parameters)
@@ -86,6 +98,9 @@ class WRMFRecommender(MFRecommender):
             nbr_epochs=int(self.nbr_epochs),
             c_pos=float(self.c_pos), alpha=float(self.alpha),
             reg=float(self.K),
+            gram_dtype=jnp.bfloat16 if self.gram_dtype == 'bfloat16'
+            else None,
+            solver=self.solver, cg_steps=int(self.cg_steps),
             callback=(lambda e, P, Q: self.logger.info('Epoch : %d', e))
             if verbose else None)
         self.P = np.array(P)

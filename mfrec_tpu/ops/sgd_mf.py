@@ -311,6 +311,44 @@ def make_funk_fused_feature_epoch(lr, K, bias_mode='none', lo=1.0, hi=5.0,
     return jax.jit(epoch_fn, donate_argnums=(0, 1) if donate else ())
 
 
+def make_funk_fused_learned_epoch(lr, lr_bu, lr_bi, K, K_bu, K_bi,
+                                  lo=1.0, hi=5.0, donate=False):
+    '''Mini-batch epoch of single-feature Funk training with LEARNED
+    biases (the funk_fused analogue of ``estimator_loop_with_learned_bias``
+    gd_estimator.pyx:401-483, which predicts with the FULL dot product
+    each step).  The off-feature dot contribution is constant within a
+    feature's epochs, so it rides a stream-aligned cache ``off`` [nb, B]:
+
+        pred = clamp(mu + bu + bi + off + pf*qf + trailing)
+
+    epoch_fn(pf [U,1], qf [I,1], bu [U], bi [I], mu, trailing,
+             ub, ib, rb, mb, off) -> (pf, qf, bu, bi, rmse)
+    '''
+
+    def epoch_fn(pf, qf, bu, bi, mu, trailing, ub, ib, rb, mb, off):
+        def batch_step(carry, batch):
+            pf, qf, bu, bi, sse = carry
+            u, i, r, m, o = batch
+            pu = pf[u, 0]
+            qi = qf[i, 0]
+            pred = clamp(mu + bu[u] + bi[i] + o + pu * qi, lo, hi)
+            pred = clamp(pred + trailing, lo, hi)
+            err = (r - pred) * m
+            sse = sse + (err * err).sum()
+            bu = bu.at[u].add(lr_bu * (err - K_bu * bu[u] * m))
+            bi = bi.at[i].add(lr_bi * (err - K_bi * bi[i] * m))
+            pf = pf.at[u, 0].add(lr * (err * qi - K * pu * m))
+            qf = qf.at[i, 0].add(lr * (err * pu - K * qi * m))
+            return (pf, qf, bu, bi, sse), None
+
+        (pf, qf, bu, bi, sse), _ = jax.lax.scan(
+            batch_step, (pf, qf, bu, bi, 0.0), (ub, ib, rb, mb, off))
+        n = jnp.maximum(mb.sum(), 1.0)
+        return pf, qf, bu, bi, jnp.sqrt(sse / n)
+
+    return jax.jit(epoch_fn, donate_argnums=(0, 1, 2, 3) if donate else ())
+
+
 @jax.jit
 def funk_fused_update_cache(pf, qf, ub, ib, cb, lo=1.0, hi=5.0):
     '''Freeze a converged feature into the stream-aligned cache

@@ -106,3 +106,60 @@ def test_wrmf_model_end_to_end(small_dataset):
     # predictions come out of the factor dot product
     score = model.predict(int(i[0]), int(u[0]))
     assert np.isfinite(score)
+
+
+def test_bf16_gram_accuracy(small_dataset):
+    '''bf16 Gram corrections (the TPU fast path) must track the f32
+    solves closely: the k x k solve and accumulation stay f32, only the
+    rank-L correction inputs are rounded.'''
+    import jax.numpy as jnp
+    from mfrec_tpu.data.movielens import ratings_from_arrays
+    from mfrec_tpu.ops import als as als_ops
+    (u, i, v), _ = small_dataset
+    U, I = int(u.max()) + 1, int(i.max()) + 1
+    r = ratings_from_arrays(u, i, np.ones_like(v), U, I)
+    ub = r.padded_rows(axis='user')
+    ib = r.padded_rows(axis='item')
+    rng = np.random.default_rng(0)
+    P0 = jnp.asarray(rng.normal(0, 0.1, (U, 8)), jnp.float32)
+    Q0 = jnp.asarray(rng.normal(0, 0.1, (I, 8)), jnp.float32)
+    P32, Q32 = als_ops.als_wrmf_train(P0, Q0, ub, ib, nbr_epochs=3)
+    P16, Q16 = als_ops.als_wrmf_train(P0, Q0, ub, ib, nbr_epochs=3,
+                                      gram_dtype=jnp.bfloat16)
+    # prediction-space agreement
+    d = np.asarray(P32 @ Q32.T) - np.asarray(P16 @ Q16.T)
+    rms = float(np.sqrt((d ** 2).mean()))
+    assert rms < 2e-2, rms
+
+
+def test_cg_solver_matches_exact(small_dataset):
+    '''Warm-started matrix-free CG (the fast TPU solver) reaches the
+    exact batched-Cholesky fixed point (Takacs-style ALS-CG).'''
+    import jax.numpy as jnp
+    from mfrec_tpu.data.movielens import ratings_from_arrays
+    from mfrec_tpu.ops import als as als_ops
+    (u, i, v), _ = small_dataset
+    U, I = int(u.max()) + 1, int(i.max()) + 1
+    r = ratings_from_arrays(u, i, np.ones_like(v), U, I)
+    ub, ib = r.padded_rows(axis='user'), r.padded_rows(axis='item')
+    rng = np.random.default_rng(0)
+    P0 = jnp.asarray(rng.normal(0, 0.1, (U, 8)), jnp.float32)
+    Q0 = jnp.asarray(rng.normal(0, 0.1, (I, 8)), jnp.float32)
+    Pe, Qe = als_ops.als_wrmf_train(P0, Q0, ub, ib, nbr_epochs=10)
+    Pc, Qc = als_ops.als_wrmf_train(P0, Q0, ub, ib, nbr_epochs=10,
+                                    solver='cg', cg_steps=5)
+    d = np.asarray(Pe @ Qe.T) - np.asarray(Pc @ Qc.T)
+    assert float(np.sqrt((d ** 2).mean())) < 1e-3
+
+
+def test_wrmf_model_cg_solver(small_dataset):
+    '''Model-level: solver='cg' via set_parameters trains and predicts.'''
+    from mfrec_tpu.models.wrmf import WRMFRecommender
+    (u, i, v), _ = small_dataset
+    U, I = int(u.max()) + 1, int(i.max()) + 1
+    m = WRMFRecommender(U, I, {'nbr_epochs': 8, 'nbr_features': 8,
+                               'solver': 'cg', 'cg_steps': 4})
+    m.set_ratings(u, i, np.ones_like(v))
+    m.train()
+    assert np.isfinite(m.P).all() and np.isfinite(m.Q).all()
+    assert np.abs(m.P).max() > 0

@@ -252,3 +252,29 @@ def test_engines_deterministic(small_dataset):
             m.train(handle_bias=True)
             outs.append(m.P.copy())
         np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_funk_fused_learned_bias(tiny_dataset):
+    '''funk_fused learned-bias mode (off-feature dot cache) tracks the
+    exact serial learned loop at final-RMSE tolerance, learns biases.'''
+    from mfrec_tpu.models.gd import GDRecommender
+    (u, i, v), _ = tiny_dataset
+    U, I = int(u.max()) + 1, int(i.max()) + 1
+    params = {'min_epochs': 4, 'max_epochs': 4, 'nbr_features': 3,
+              'learning_rate': 0.01, 'regularization_model': 0.02,
+              'learning_rate_users': 0.005, 'learning_rate_items': 0.005,
+              'regularization_users_bias': 0.012,
+              'regularization_items_bias': 0.004}
+    outs = {}
+    for engine in ('funk', 'funk_fused'):
+        m = GDRecommender(U, I, dict(params, engine=engine,
+                                     batch_size=4096))
+        m.seed(42)
+        m.set_ratings(u, i, v)
+        m.feature_training_bias()
+        outs[engine] = m
+    d = abs(outs['funk'].rmse_history[-1]
+            - outs['funk_fused'].rmse_history[-1])
+    assert d < 0.05, (outs['funk'].rmse_history[-1],
+                      outs['funk_fused'].rmse_history[-1])
+    assert np.abs(outs['funk_fused'].users_bias).max() > 0
