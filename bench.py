@@ -72,12 +72,12 @@ def bench_als(U, I, users, items, K=64, epochs=3):
     from mfrec_tpu.ops import als as als_ops
     gram = os.environ.get('BENCH_GRAM', 'bfloat16')
     gram_dtype = None if gram == 'float32' else jnp.bfloat16
-    solver = os.environ.get('BENCH_ALS_SOLVER', 'exact')
+    solver = os.environ.get('BENCH_ALS_SOLVER', 'cg')
     cg_steps = int(os.environ.get('BENCH_CG_STEPS', 6))
     r = ratings_from_arrays(users, items, np.ones(users.shape[0],
                                                   np.float32), U, I)
-    ub = r.padded_rows(axis='user')
-    ib = r.padded_rows(axis='item')
+    ub = als_ops.device_buckets(r.padded_rows(axis='user'))
+    ib = als_ops.device_buckets(r.padded_rows(axis='item'))
     rng = np.random.default_rng(0)
     P = jnp.asarray(rng.normal(0, 0.1, (U, K)), jnp.float32)
     Q = jnp.asarray(rng.normal(0, 0.1, (I, K)), jnp.float32)

@@ -100,6 +100,14 @@ def _bucket_cg(F, out, HHreg, rows, nbr_idx, nbr_val, mask, c_pos, alpha,
     return out.at[rows].set(x.astype(out.dtype))
 
 
+def device_buckets(buckets):
+    '''Move a ``padded_rows`` bucket list to the device ONCE.  The sweep
+    functions accept either host or device buckets, but re-uploading the
+    O(nnz) padded tensors every epoch costs more than the solves on a
+    relay-attached TPU — convert up front for multi-epoch training.'''
+    return [tuple(jnp.asarray(x) for x in b) for b in buckets]
+
+
 def als_half_sweep_cg(F_fixed, F_update, buckets, c_pos=1.0, alpha=0.0,
                       reg=0.015, cg_steps=6):
     '''One half-sweep via warm-started preconditioned CG (see _bucket_cg).
@@ -163,6 +171,8 @@ def als_wrmf_train(P, Q, user_buckets, item_buckets, nbr_epochs=20,
     '''
     u_alive = jnp.asarray(_alive_mask(user_buckets, P.shape[0]))
     i_alive = jnp.asarray(_alive_mask(item_buckets, Q.shape[0]))
+    user_buckets = device_buckets(user_buckets)
+    item_buckets = device_buckets(item_buckets)
     for epoch in range(nbr_epochs):
         if solver == 'cg':
             P = als_half_sweep_cg(Q, P, user_buckets, c_pos, alpha, reg,
