@@ -61,7 +61,10 @@ def _topn_kernel(n, L, mu_ref, prows_ref, bu_ref, ridx_ref, rmask_ref,
         jnp.int32, scores.shape, 1)
     if L:
         # mask this user's already-rated items falling in the block: a
-        # static loop of [B, block] compares (VPU) — no 3D tile in VMEM
+        # static loop of [B, block] compares (VPU) — no 3D tile in VMEM.
+        # (fori_loop needs dynamic_slice, unimplemented in Mosaic; the
+        # caller caps `block` when L > 0 so the unrolled loop's scoped
+        # stack stays under the 16 MB vmem limit.)
         ridx = ridx_ref[:]
         rmask = rmask_ref[:]
         for l in range(L):
@@ -90,6 +93,8 @@ def topn_scores_pallas(P_rows, Q, bu_rows, bi, mu, n=10, block=1024,
         rated_idx = jnp.zeros((B, 0), jnp.int32)
         rated_mask = jnp.zeros((B, 0), jnp.float32)
     L = int(rated_idx.shape[1])
+    if L and block > 1024 and I % 1024 == 0:
+        block = 1024       # keep the unrolled mask loop under scoped vmem
     grid = (I // block,)
     mu_arr = jnp.full((1, 1), mu, jnp.float32)
     kernel = functools.partial(_topn_kernel, int(n), L)
