@@ -376,7 +376,11 @@ def sorted_pass_layout(uidx, iidx, vals, batch_size, axis='user',
     local key ids kl, window starts lo, and the static window size W.
     '''
     key = uidx if axis == 'user' else iidx
-    order = np.argsort(key, kind='stable')
+    # native O(N) counting sort: np.argsort(stable) costs ~120 s on the
+    # 100M-row Netflix stream vs seconds here
+    from mfrec_tpu import native
+    order = native.counting_sort(np.ascontiguousarray(key, np.int32),
+                                 int(key.max()) + 1 if key.size else 1)
     u, i, v = uidx[order], iidx[order], vals[order]
     k_sorted = key[order]
     n = u.shape[0]
