@@ -50,7 +50,8 @@ class GDRecommender(MFRecommender):
                         'nbr_features': 'dimensionality',
                         'batch_size': 'batch_size',
                         'engine': 'engine',
-                        'inner_steps': 'inner_steps'}
+                        'inner_steps': 'inner_steps',
+                        'n_slices': 'n_slices'}
 
     _default_predictor_mode = 'dot_plus_one'
 
@@ -74,6 +75,7 @@ class GDRecommender(MFRecommender):
         self.engine = 'fused'
         self.batch_size = 8192
         self.inner_steps = 1             # alternating: grad iters / batch
+        self.n_slices = 1                # alternating_sharded: DCN slices
         self.feedback_cap = 128          # max padded |N(u)| for SVD++
 
         if parameters:
@@ -365,14 +367,26 @@ class GDRecommender(MFRecommender):
             raise Error("engine='alternating_sharded' supports bias modes "
                         "'none'/'fixed'; use engine='alternating' for "
                         "learned biases")
-        D = n_devices or len(jax.devices())
-        mesh = make_mesh(D)
+        S = int(self.n_slices)
+        D = n_devices or len(jax.devices()) // S
         uidx, iidx, vals = self.ratings.coo()
         max_window = min(256, max(self.nbr_users, self.nbr_items))
-        p_layout, q_layout, (Ushard, Ishard, W) = \
-            alt.build_sharded_alternating_layout(
-                uidx, iidx, vals, D, self.nbr_users, self.nbr_items,
-                batch_size=self.batch_size, max_window=max_window)
+        if S > 1:
+            from mfrec_tpu.parallel.mesh import make_mesh_2d
+            mesh = make_mesh_2d(S, D)
+            slice_axis = 'slice'
+            p_layout, q_layout, (Ushard, Ishard, W) = \
+                alt.build_multislice_alternating_layout(
+                    uidx, iidx, vals, S, D, self.nbr_users, self.nbr_items,
+                    batch_size=self.batch_size, max_window=max_window,
+                    seed=int(self.rng.integers(2 ** 31)))
+        else:
+            mesh = make_mesh(D)
+            slice_axis = None
+            p_layout, q_layout, (Ushard, Ishard, W) = \
+                alt.build_sharded_alternating_layout(
+                    uidx, iidx, vals, D, self.nbr_users, self.nbr_items,
+                    batch_size=self.batch_size, max_window=max_window)
         bu, bi = self._zero_biases()
         if bias_mode != 'none':
             bu = self.users_bias if self.users_bias is not None else bu
@@ -389,7 +403,7 @@ class GDRecommender(MFRecommender):
             mesh, W, lr=self.learning_rate, K=self.K, bias_mode=bias_mode,
             lo_r=self.min_rating, hi_r=self.max_rating,
             chunk=min(4096, self.batch_size),
-            inner_steps=self.inner_steps)
+            inner_steps=self.inner_steps, slice_axis=slice_axis)
         driver = ConvergenceDriver(self.min_epochs, self.max_epochs,
                                    self.min_improvement)
 

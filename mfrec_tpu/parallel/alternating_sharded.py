@@ -129,7 +129,7 @@ def unpad_factors_sharded(Fp, rows_per_shard, W, D, n):
 def make_sharded_alternating_epoch(mesh, W, lr, K, bias_mode='fixed',
                                    clamp_pred=True, lo_r=1.0, hi_r=5.0,
                                    chunk=4096, row_mean=True, axis='dp',
-                                   inner_steps=1):
+                                   inner_steps=1, slice_axis=None):
     '''Jitted multi-chip epoch over augmented factors:
 
         (Paug, Qaug, mu, p_layout, q_layout) -> (Paug, Qaug, rmse)
@@ -139,14 +139,25 @@ def make_sharded_alternating_epoch(mesh, W, lr, K, bias_mode='fixed',
     bias columns follow the augmented-factor convention of
     ``ops.sgd_mf.make_alternating_epoch`` (fixed biases frozen; 'learned'
     not supported here yet).
+
+    Multi-slice (``slice_axis`` on a 2-D mesh from ``make_mesh_2d``):
+    each slice trains its OWN rating shard against factors replicated
+    over the slice axis; at epoch end the factors are parameter-averaged
+    over ``slice_axis`` with a pmean — Zinkevich averaging over DCN on
+    top of ICI sharding within a slice.  Layouts then carry a leading
+    slice dimension ([S, D, nb, B], from
+    ``build_multislice_alternating_layout``).
     '''
     if bias_mode == 'learned':
         raise NotImplementedError('learned biases on the sharded path: '
                                   'use the single-chip engine')
 
     def half_pass(F_upd, F_full, mu, kl, og, rb, mb, lo):
-        # local shapes: F_upd [Ushard+W, k2]; blocks [1, nb, B]
-        kl, og, rb, mb, lo = kl[0], og[0], rb[0], mb[0], lo[0]
+        # local shapes: F_upd [Ushard+W, k2]; blocks [1, nb, B] on a 1-D
+        # mesh, [1, 1, nb, B] with a slice axis — strip the unit dims
+        kl, og, rb, mb = (x.reshape(x.shape[-2:]) for x in
+                          (kl, og, rb, mb))
+        lo = lo.reshape(lo.shape[-1:])
 
         def step(carry, batch):
             F_upd, sse = carry
@@ -204,15 +215,68 @@ def make_sharded_alternating_epoch(mesh, W, lr, K, bias_mode='fixed',
         Paug, sse_p = half_pass(Paug, Q_full, mu, pkl, pog, prb, pmb, plo)
         P_full = jax.lax.all_gather(Paug, axis, tiled=True)
         Qaug, sse_q = half_pass(Qaug, P_full, mu, qkl, qog, qrb, qmb, qlo)
+        if slice_axis is not None:
+            # Zinkevich parameter averaging over the DCN axis: one pmean
+            # of each factor side per epoch (the only inter-slice
+            # communication)
+            Paug = jax.lax.pmean(Paug, slice_axis)
+            Qaug = jax.lax.pmean(Qaug, slice_axis)
         # pool BOTH half-passes (convergence decisions otherwise run on a
         # half-stale statistic — r1 verdict weak #6)
-        total = jax.lax.psum(sse_p + sse_q, axis)
-        n = jax.lax.psum(pmb.sum() + qmb.sum(), axis)
+        axes = (axis,) if slice_axis is None else (axis, slice_axis)
+        total = jax.lax.psum(sse_p + sse_q, axes)
+        n = jax.lax.psum(pmb.sum() + qmb.sum(), axes)
         return Paug, Qaug, jnp.sqrt(total / jnp.maximum(n, 1.0))
 
+    if slice_axis is None:
+        in_specs = (PS(axis), PS(axis), PS()) + (PS(axis),) * 10
+        out_specs = (PS(axis), PS(axis), PS())
+    else:
+        # factors: row-sharded over ICI, replicated over slices (re-synced
+        # by the pmean every epoch); layouts: sharded over both axes
+        in_specs = (PS(axis), PS(axis), PS()) \
+            + (PS(slice_axis, axis),) * 10
+        out_specs = (PS(axis), PS(axis), PS())
     sharded = shard_map(
         device_fn, mesh=mesh,
-        in_specs=(PS(axis), PS(axis), PS()) + (PS(axis),) * 10,
-        out_specs=(PS(axis), PS(axis), PS()),
+        in_specs=in_specs, out_specs=out_specs,
         check_vma=False)
     return jax.jit(sharded)
+
+
+def build_multislice_alternating_layout(uidx, iidx, vals, S, D, nbr_users,
+                                        nbr_items, batch_size=32768,
+                                        max_window=256, seed=0):
+    '''Host-side layout for the multi-slice engine: ratings split into S
+    random shards (one per slice), each packed with
+    ``build_sharded_alternating_layout`` for D in-slice devices, batch
+    counts padded to the max across slices.  Returns
+    (p_layout, q_layout, dims) with [S, D, nb, B] tensors.'''
+    n = uidx.shape[0]
+    perm = np.random.default_rng(seed).permutation(n)
+    cuts = np.linspace(0, n, S + 1).astype(int)
+    per_slice = []
+    for s in range(S):
+        sl = perm[cuts[s]:cuts[s + 1]]
+        per_slice.append(build_sharded_alternating_layout(
+            uidx[sl], iidx[sl], vals[sl], D, nbr_users, nbr_items,
+            batch_size=batch_size, max_window=max_window))
+    dims = per_slice[0][2]
+    nb_max = max(max(p[0].shape[1] for p, _, _ in per_slice),
+                 max(q[0].shape[1] for _, q, _ in per_slice))
+
+    def stack(side):
+        out = []
+        for t in range(5):                      # kl, og, r, mask, lo
+            parts = []
+            for layouts in per_slice:
+                x = layouts[side][t]
+                pad = nb_max - x.shape[1]
+                if pad:
+                    width = ((0, 0), (0, pad)) + ((0, 0),) * (x.ndim - 2)
+                    x = np.pad(x, width)
+                parts.append(x)
+            out.append(np.stack(parts))          # [S, D, nb, ...]
+        return tuple(out)
+
+    return stack(0), stack(1), dims

@@ -21,6 +21,20 @@ def make_mesh(n_devices=None, axis_name='dp'):
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_mesh_2d(n_slices, per_slice, axis_names=('slice', 'dp')):
+    '''[n_slices, per_slice] mesh for multi-slice training: the leading
+    axis is the DCN (inter-slice) dimension — only parameter-averaging
+    collectives ride it — and the trailing axis is ICI within a slice
+    (all_gather/ppermute-heavy).  On real hardware order devices so the
+    trailing axis maps to intra-slice links.'''
+    devices = jax.devices()[:n_slices * per_slice]
+    if len(devices) < n_slices * per_slice:
+        raise ValueError('need %d devices, have %d'
+                         % (n_slices * per_slice, len(devices)))
+    return Mesh(np.asarray(devices).reshape(n_slices, per_slice),
+                axis_names)
+
+
 def row_sharding(mesh, axis_name='dp'):
     '''Shard a [n, ...] array along rows.'''
     return NamedSharding(mesh, P(axis_name))

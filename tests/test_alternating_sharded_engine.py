@@ -75,3 +75,24 @@ def test_unknown_engine_raises(small_dataset):
     m.set_ratings(u, i, v)
     with pytest.raises(Error):
         m.train()
+
+
+def test_multislice_2x4_converges(small_dataset):
+    '''2 DCN slices x 4 ICI devices: per-slice rating shards, one pmean
+    of each factor side per epoch (Zinkevich over the slice axis).'''
+    (u, i, v), _ = small_dataset
+    m = _train(u, i, v, 'alternating_sharded', n_slices=2)
+    hist = m.get_rmse_history()
+    assert hist[-1] < hist[0] - 0.05
+    assert hist[-1] < 0.65
+    assert np.isfinite(m.P).all()
+
+
+def test_multislice_tracks_single_slice(small_dataset):
+    '''Averaged 2-slice training lands near the 1-slice (8-wide) result
+    (final-RMSE tolerance, like every order-changing tier).'''
+    (u, i, v), _ = small_dataset
+    m2 = _train(u, i, v, 'alternating_sharded', n_slices=2)
+    m1 = _train(u, i, v, 'alternating_sharded', n_slices=1)
+    assert abs(m2.rmse_history[-1] - m1.rmse_history[-1]) < 0.12, (
+        m2.rmse_history[-1], m1.rmse_history[-1])
