@@ -738,6 +738,11 @@ class BaseRecommender(object):
         return (a[:k] / np.where(s == 0, 1.0, s)).astype(np.float32)
 
     # ----------------------------------------------------------- persistence
+    def _extra_state_arrays(self):
+        '''Model-specific extra factor arrays to checkpoint (override:
+        e.g. FNRecommender persists its X explicit-weight factors).'''
+        return {}
+
     def save_state(self, filename):
         '''Full state: ratings + factors + label maps
         (reference base.py:557-574, minus the 5 pickle files).'''
@@ -748,7 +753,9 @@ class BaseRecommender(object):
                     'svd_u': self.svd_u, 'svd_v': self.svd_v,
                     'svd_s': self.svd_s, 'users_bias': self.users_bias,
                     'items_bias': self.items_bias,
-                    'items_feedback': self.items_feedback},
+                    'items_feedback': self.items_feedback,
+                    **{'extra_' + k: v2
+                       for k, v2 in self._extra_state_arrays().items()}},
             labels={'users': self.users.to_list(),
                     'items': self.items.to_list()},
             metadata={**self.metadata,
@@ -775,6 +782,9 @@ class BaseRecommender(object):
                      'items_feedback'):
             if name in arrays:
                 setattr(self, name, arrays[name])
+        for name, val in arrays.items():
+            if name.startswith('extra_'):
+                setattr(self, name[len('extra_'):], val)
         self.dimensionality = int(metadata.get('dimensionality', 40))
         self.overall_bias = metadata.get('overall_bias')
         self.data_normalized = bool(metadata.get('data_normalized', False))

@@ -142,6 +142,12 @@ class FNRecommender(MFRecommender):
     def get_rmse_history(self):
         return np.asarray(self.rmse_history)
 
+    def _extra_state_arrays(self):
+        '''Persist the explicit-weight factors X (P holds derived
+        profiles and is checkpointed as svd_v; Y rides items_feedback) so
+        fold-in keeps working after load.'''
+        return {} if self.X is None else {'X': self.X}
+
     # ----------------------------------------------------------- prediction
     def predict_rating_with_bias(self, item_index, user_index):
         '''mu + b_u + b_i + q_i . a_u (profile a_u precomputed at train).'''

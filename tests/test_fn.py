@@ -139,3 +139,26 @@ def test_fn_add_user_fold_in(small_dataset):
     assert np.abs(m.P[new_id]).sum() > 0
     p = m.predict(4, new_id)
     assert np.isfinite(p) and 1.0 <= p <= 5.0
+
+
+def test_fn_save_load_roundtrip(tmp_path, small_dataset):
+    '''X/Y/profiles survive save_state/load_state; fold-in still works.'''
+    (u, i, v), _ = small_dataset
+    U, I = int(u.max()) + 1, int(i.max()) + 1
+    m = FNRecommender(U, I, {'nbr_epochs': 5, 'nbr_features': 6,
+                             'learning_rate': 0.02, 'batch_size': 1024})
+    m.seed(0)
+    m.set_ratings(u, i, v)
+    m.train()
+    path = str(tmp_path / 'fn_state')
+    m.save_state(path)
+
+    m2 = FNRecommender(U, I)
+    m2.load_state(path)
+    np.testing.assert_allclose(m2.X, m.X)
+    np.testing.assert_allclose(m2.Y, m.Y)
+    np.testing.assert_allclose(m2.P, m.P, atol=1e-6)
+    assert m2.predict(3, 5) == m.predict(3, 5)
+    # fold-in works on the restored model
+    new_id = m2.add_user('fresh', [1, 2], [5.0, 4.0])
+    assert np.isfinite(m2.predict(4, new_id))
