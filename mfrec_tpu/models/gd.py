@@ -424,6 +424,59 @@ class GDRecommender(MFRecommender):
             for e, r in enumerate(driver.history):
                 self.logger.info('epoch %d rmse %.5f', e, r)
 
+    # ------------------------------------------- alternating SVD++ engine
+    def _run_alternating_implicit(self, verbose=False):
+        '''SVD++ at sorted-window speed: every phase (Y aggregation, both
+        half-passes, error aggregation, Y update) is scatter-free window
+        work (``ops.sgd_mf.make_alternating_implicit_epoch``).'''
+        uidx, iidx, vals = self.ratings.coo()
+        chunk = min(4096, self.batch_size)
+        pl_ = sgd_mf.sorted_pass_layout(uidx, iidx, vals, self.batch_size,
+                                        axis='user')
+        ql_ = sgd_mf.sorted_pass_layout(uidx, iidx, vals, self.batch_size,
+                                        axis='item')
+        W_user, W_item = pl_[-1], ql_[-1]
+        p_layout = tuple(jnp.asarray(x) for x in pl_[:-1])
+        q_layout = tuple(jnp.asarray(x) for x in ql_[:-1])
+        k = self.dimensionality
+        state = self._state(with_bias=True)
+        Paug, Qaug = sgd_mf.augment_factors(
+            jnp.pad(state.P, ((0, W_user), (0, 0))),
+            jnp.pad(state.Q, ((0, W_item), (0, 0))),
+            jnp.pad(state.bu, (0, W_user)),
+            jnp.pad(state.bi, (0, W_item)))
+        Ypad = jnp.zeros((self.nbr_items + W_item, k), jnp.float32)
+        counts = self.ratings.user_counts().astype(np.float32)
+        nrm = np.zeros(self.nbr_users + W_user, np.float32)
+        nrm[:self.nbr_users] = np.where(counts > 0,
+                                        1.0 / np.sqrt(np.maximum(counts,
+                                                                 1.0)),
+                                        0.0)
+        nrm_rows = jnp.asarray(nrm)
+        mu = state.mu
+        epoch = sgd_mf.make_alternating_implicit_epoch(
+            W_user, W_item, self.learning_rate, self.learning_rate,
+            self.K, self.K, lo_r=self.min_rating, hi_r=self.max_rating,
+            chunk=chunk, inner_steps=self.inner_steps)
+        driver = ConvergenceDriver(self.min_epochs, self.max_epochs,
+                                   self.min_improvement)
+
+        def one_epoch(st):
+            Pa, Qa, Yp = st
+            Pa, Qa, Yp, rmse = epoch(Pa, Qa, Yp, mu, p_layout, q_layout,
+                                     nrm_rows)
+            return (Pa, Qa, Yp), rmse
+
+        Paug, Qaug, Ypad = driver.run(one_epoch, (Paug, Qaug, Ypad))
+        self.rmse_history = driver.history
+        P, Q, bu, bi = sgd_mf.split_factors(Paug, Qaug)
+        self.P = np.array(P)[:self.nbr_users]
+        self.Q = np.array(Q)[:self.nbr_items]
+        self.Y = np.array(Ypad)[:self.nbr_items]
+        if verbose:
+            for e, r in enumerate(driver.history):
+                self.logger.info('epoch %d rmse %.5f', e, r)
+
     # -------------------------------------------------------- dsgd engine
     def _run_dsgd(self, bias_mode, verbose=False, n_devices=None):
         '''Ring-DSGD training over all visible devices
@@ -593,16 +646,20 @@ class GDRecommender(MFRecommender):
 
     def feature_training_implicit(self, initialize_model=True, verbose=False):
         '''SVD++-style training with implicit feedback factors
-        (reference gradient_descent.py:547-574).  Fused engine only; the
-        reference's serial loop is defective (SURVEY.md §2.6) so there is no
-        order-faithful oracle to honor.'''
+        (reference gradient_descent.py:547-574).  Engines: fused
+        (scatter-add y updates) or alternating/auto (scatter-free
+        windowed phases); the reference's serial loop is defective
+        (SURVEY.md §2.6) so there is no order-faithful oracle to honor.'''
         self._init_factors(initialize_model)
         self.compute_overall_avg()
         self.compute_items_bias_bk()
         self.compute_users_bias_bk()
         self.initialize_rated_feedback()
         self.Y = np.zeros_like(self.Q)
-        self._run_fused('fixed', implicit=True, verbose=verbose)
+        if self.engine in ('alternating', 'alternating_sharded', 'auto'):
+            self._run_alternating_implicit(verbose=verbose)
+        else:
+            self._run_fused('fixed', implicit=True, verbose=verbose)
 
     def feature_training2(self, initialize_model=True, verbose=False):
         '''Caller-controlled funk subloops (reference

@@ -580,6 +580,120 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
     return jax.jit(epoch_fn, donate_argnums=(0, 1) if donate else ())
 
 
+def _agg_window(g, kl, m, W, chunk, row_mean):
+    '''One-hot MXU aggregation of per-sample rows g [B, k] into the
+    batch's W-row window by window-local ids kl (masked rows contribute
+    nothing).  Returns [W, k] sums (or per-row means).'''
+    c = min(chunk, g.shape[0])
+    pad = -g.shape[0] % c
+    if pad:
+        g = jnp.pad(g, ((0, pad), (0, 0)))
+        kl = jnp.pad(kl, (0, pad))
+        m = jnp.pad(m, (0, pad))
+    B = g.shape[0]
+    gc = (g * m[:, None]).reshape(B // c, c, -1).astype(jnp.bfloat16)
+    kc = kl.reshape(B // c, c)
+    onehot = (kc[:, :, None] ==
+              jnp.arange(W)[None, None, :]).astype(jnp.bfloat16)
+    gsum = jnp.einsum('nck,ncw->wk', gc, onehot,
+                      preferred_element_type=jnp.float32)
+    if row_mean:
+        mc = m.reshape(B // c, c).astype(jnp.bfloat16)
+        cnt = jnp.einsum('nc,ncw->w', mc, onehot,
+                         preferred_element_type=jnp.float32)
+        gsum = gsum / jnp.maximum(cnt, 1.0)[:, None]
+    return gsum
+
+
+def make_alternating_implicit_epoch(W_user, W_item, lr, lr_y, K, K_y,
+                                    clamp_pred=True, lo_r=1.0, hi_r=5.0,
+                                    chunk=4096, row_mean=True,
+                                    donate=True, inner_steps=1):
+    '''SVD++ (implicit feedback) at sorted-window speed — every phase is
+    scatter-free window work:
+
+        r_hat = mu + b_u + b_i + q_i . (p_u + |N(u)|^-1/2 sum_j y_j)
+
+    Per epoch (the mini-batch re-expression of
+    ``estimator_loop_with_implicit_feedback``, gd_estimator.pyx:785-898,
+    whose serial loop is defective — SURVEY §2.6):
+
+      1. A[u] = nrm_u * sum_{j in R(u)} y_j — aggregate Y rows into user
+         windows over the user-sorted stream (one-hot MXU agg).
+      2. P half-pass on the EFFECTIVE factors Peff = Paug + A (updates
+         are linear, so training Peff and subtracting A afterwards
+         updates exactly p_u).
+      3. Q half-pass against the updated Peff.
+      4. G[u] = nrm_u * sum_{i in R(u)} err_ui q_i — error-weighted item
+         factors aggregated into user windows.
+      5. y_j += lr_y * (mean_{u: j in N(u)} G[u] - K_y y_j) — G rows
+         aggregated into ITEM windows over the item-sorted stream.
+
+    epoch_fn(Paug, Qaug, Ypad, mu, p_layout, q_layout, nrm_rows)
+      -> (Paug, Qaug, Ypad, rmse)
+    Ypad: [nbr_items + W_item, k] implicit factors (padded like Qaug);
+    nrm_rows: [nbr_users + W_user] per-user |N(u)|^-1/2 (0 for empty).
+    N(u) = R(u), as in the reference.  Fixed-bias mode (biases in the
+    augmented columns); epoch RMSE pools both half-passes.
+    '''
+    base = make_alternating_epoch(W_user, W_item, lr, K,
+                                  bias_mode='fixed', clamp_pred=clamp_pred,
+                                  lo_r=lo_r, hi_r=hi_r, chunk=chunk,
+                                  donate=False, row_mean=row_mean,
+                                  inner_steps=inner_steps)
+
+    def scan_agg(target, layout, source_fn, W, mean):
+        '''Accumulate source_fn(batch) rows into `target` windows.'''
+        def step(tgt, batch):
+            u, i, r, m, kl, lo = batch
+            vals = source_fn(u, i, r, m)
+            gsum = _agg_window(vals, kl, m, W, chunk, mean)
+            win = jax.lax.dynamic_slice_in_dim(tgt, lo, W, 0)
+            tgt = jax.lax.dynamic_update_slice_in_dim(tgt, win + gsum,
+                                                      lo, 0)
+            return tgt, None
+        tgt, _ = jax.lax.scan(step, target, layout)
+        return tgt
+
+    def epoch_fn(Paug, Qaug, Ypad, mu, p_layout, q_layout, nrm_rows):
+        k = Ypad.shape[1]
+        # 1) user aggregates of Y (sum over rated items, then * nrm)
+        A = jnp.zeros((Paug.shape[0], k), Paug.dtype)
+        A = scan_agg(A, p_layout,
+                     lambda u, i, r, m: Ypad[i], W_user, mean=False)
+        A = A * nrm_rows[:, None]
+        Apad = jnp.pad(A, ((0, 0), (0, 2)))        # zero bias/const cols
+        # 2+3) standard alternating epoch on the effective factors
+        Peff = Paug + Apad
+        Peff, Qaug, rmse = base(Peff, Qaug, mu, p_layout, q_layout)
+        Paug = Peff - Apad
+        # 4) error-weighted item-factor sums into user windows
+        def err_q(u, i, r, m):
+            fu = Peff[u]
+            ff = Qaug[i]
+            pred = mu + (fu * ff).sum(-1)
+            if clamp_pred:
+                pred = clamp(pred, lo_r, hi_r)
+            err = (r - pred) * m
+            return err[:, None] * ff[:, :k]
+        G = jnp.zeros((Paug.shape[0], k), Paug.dtype)
+        G = scan_agg(G, p_layout, err_q, W_user, mean=False)
+        G = G * nrm_rows[:, None]
+        # 5) aggregate G into item windows, step Y (reg rides per-sample
+        # like the main tier, so untouched rows get no decay)
+        def y_step(Y, batch):
+            u, i, r, m, kl, lo = batch
+            win = jax.lax.dynamic_slice_in_dim(Y, lo, W_item, 0)
+            vals = G[u] - K_y * win[kl]
+            gsum = _agg_window(vals, kl, m, W_item, chunk, row_mean)
+            win = win + lr_y * gsum
+            return jax.lax.dynamic_update_slice_in_dim(Y, win, lo, 0), None
+        Ypad2, _ = jax.lax.scan(y_step, Ypad, q_layout)
+        return Paug, Qaug, Ypad2, rmse
+
+    return jax.jit(epoch_fn, donate_argnums=(0, 1, 2) if donate else ())
+
+
 def batch_ratings(uidx, iidx, r, batch_size, seed=None):
     '''Host-side: pad and reshape COO ratings to [nb, B] scan layout.
     Returns (ub, ib, rb, mask).'''

@@ -278,3 +278,31 @@ def test_funk_fused_learned_bias(tiny_dataset):
     assert d < 0.05, (outs['funk'].rmse_history[-1],
                       outs['funk_fused'].rmse_history[-1])
     assert np.abs(outs['funk_fused'].users_bias).max() > 0
+
+
+def test_alternating_implicit_converges(small_dataset):
+    '''SVD++ at sorted-window speed: rmse falls, Y learns, and the final
+    rmse lands near the fused implicit tier's.'''
+    from mfrec_tpu.models.gd import GDRecommender
+    (u, i, v), _ = small_dataset
+    U, I = int(u.max()) + 1, int(i.max()) + 1
+    outs = {}
+    for engine in ('alternating', 'fused'):
+        m = GDRecommender(U, I, {'min_epochs': 25, 'max_epochs': 25,
+                                 'nbr_features': 6,
+                                 'learning_rate': 0.2 if
+                                 engine == 'alternating' else 0.02,
+                                 'regularization_model': 0.02,
+                                 'engine': engine, 'batch_size': 1024,
+                                 'inner_steps': 4})
+        m.seed(0)
+        m.set_ratings(u, i, v)
+        m.feature_training_implicit()
+        outs[engine] = m
+    m = outs['alternating']
+    hist = m.get_rmse_history()
+    assert hist[-1] < hist[0] - 0.03
+    assert np.abs(m.Y).max() > 0                  # y factors learned
+    assert np.isfinite(m.predict_rating_implicit(1, 1))
+    assert abs(hist[-1] - outs['fused'].rmse_history[-1]) < 0.15, (
+        hist[-1], outs['fused'].rmse_history[-1])
