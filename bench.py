@@ -170,7 +170,41 @@ def main():
     floor, bu_fit, bi_fit = bias_floor_rmse(users, items, vals, U, I)
     inner = int(os.environ.get('BENCH_INNER', 4))
 
-    if mode == 'alternating':
+    if mode == 'implicit':
+        # SVD++ at sorted-window speed (alternating implicit tier)
+        W = int(os.environ.get('BENCH_WINDOW', 256))
+        pl_ = sgd_mf.sorted_pass_layout(users, items, vals, batch,
+                                        axis='user', max_window=W)
+        ql_ = sgd_mf.sorted_pass_layout(users, items, vals, batch,
+                                        axis='item', max_window=W)
+        W_user, W_item = pl_[-1], ql_[-1]
+        p_layout = tuple(jnp.asarray(x) for x in pl_[:-1])
+        q_layout = tuple(jnp.asarray(x) for x in ql_[:-1])
+        st = sgd_mf.init_state(U + W_user, I + W_item, K,
+                               feature_init=0.05, mode='normal')
+        Paug, Qaug = sgd_mf.augment_factors(
+            st.P, st.Q,
+            jnp.asarray(np.pad(bu_fit, (0, W_user))),
+            jnp.asarray(np.pad(bi_fit, (0, W_item))))
+        Ypad = jnp.zeros((I + W_item, K), jnp.float32)
+        counts = np.bincount(users, minlength=U).astype(np.float32)
+        nrm = np.zeros(U + W_user, np.float32)
+        nrm[:U] = np.where(counts > 0,
+                           1.0 / np.sqrt(np.maximum(counts, 1.0)), 0.0)
+        nrm_rows = jnp.asarray(nrm)
+        mu = jnp.float32(vals.mean())
+        ep = sgd_mf.make_alternating_implicit_epoch(
+            W_user, W_item, lr=float(os.environ.get('BENCH_LR', 0.15)),
+            lr_y=0.05, K=0.02, K_y=0.02, inner_steps=inner)
+        state = (Paug, Qaug, Ypad)
+
+        def epoch(s):
+            Pa, Qa, Yp = s
+            Pa, Qa, Yp, rmse = ep(Pa, Qa, Yp, mu, p_layout, q_layout,
+                                  nrm_rows)
+            return (Pa, Qa, Yp), rmse
+        config = config + '_svdpp'
+    elif mode == 'alternating':
         # scatter-free sorted-window epochs (fastest single-chip path);
         # BENCH_INNER inner gradient iterations per batch (window stays
         # in VMEM) make the planted-structure RMSE fall per epoch
