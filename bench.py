@@ -115,9 +115,14 @@ def bench_serving(I=360_000, K=64, B=256, n=10, iters=20, rated_L=0):
     Qp, bip = jnp.asarray(Qp), jnp.asarray(bip)
     kw = {}
     if rated_L:
-        kw['rated_idx'] = jnp.asarray(
-            rng.integers(0, I, (B, rated_L)).astype(np.int32))
-        kw['rated_mask'] = jnp.ones((B, rated_L), jnp.float32)
+        # steady-state serving: the block-bucketed rated layout lives on
+        # device (block_rated_layout once, uploaded once)
+        from mfrec_tpu.ops.pallas_topk import block_rated_layout
+        ridx = rng.integers(0, I, (B, rated_L)).astype(np.int32)
+        rmask = np.ones((B, rated_L), np.float32)
+        bidx, bmask = block_rated_layout(ridx, rmask, 4096,
+                                         Qp.shape[0] // 4096)
+        kw['rated_blocks'] = (jnp.asarray(bidx), jnp.asarray(bmask))
     idx, sc = topn_scores_pallas(P, Qp, bu, bip, 0.0, n=n, block=4096, **kw)
     float(sc[0, 0])
     t0 = time.perf_counter()

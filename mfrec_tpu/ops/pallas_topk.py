@@ -60,48 +60,111 @@ def _topn_kernel(n, L, mu_ref, prows_ref, bu_ref, ridx_ref, rmask_ref,
     ids = j * block + jax.lax.broadcasted_iota(
         jnp.int32, scores.shape, 1)
     if L:
-        # mask this user's already-rated items falling in the block: a
-        # static loop of [B, block] compares (VPU) — no 3D tile in VMEM.
-        # (fori_loop needs dynamic_slice, unimplemented in Mosaic; the
-        # caller caps `block` when L > 0 so the unrolled loop's scoped
-        # stack stays under the 16 MB vmem limit.)
-        ridx = ridx_ref[:]
-        rmask = rmask_ref[:]
+        # mask this user's already-rated items in THIS block: the host
+        # pre-bucketed rated ids per (block, user) as block-LOCAL ids
+        # (block_rated_layout), so the compare loop runs over the
+        # per-block max count Lb (typically ~L*block/I + slack, i.e. a
+        # handful) instead of the full per-user list length.
+        ridx = ridx_ref[0]                                # [B, Lb] local
+        rmask = rmask_ref[0]
+        local = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         for l in range(L):
-            hit = (ids == ridx[:, l:l + 1]) & (rmask[:, l:l + 1] > 0)
+            hit = (local == ridx[:, l:l + 1]) & (rmask[:, l:l + 1] > 0)
             scores = jnp.where(hit, NEG, scores)
     best_s, best_i = _merge_topn(out_s_ref[:], out_i_ref[:], scores, ids, n)
     out_s_ref[:] = best_s
     out_i_ref[:] = best_i
 
 
-@functools.partial(jax.jit,
-                   static_argnames=('n', 'block', 'interpret'))
+def block_rated_layout(rated_idx, rated_mask, block, nblocks):
+    '''Host-side: bucket each user's global rated ids [B, L] by item
+    block -> ([nblocks, B, Lb] block-local ids, [nblocks, B, Lb] mask),
+    where Lb = max rated count of any (user, block) pair.  The kernel
+    then compares only the ids that can fall in its block.'''
+    import numpy as np
+    rated_idx = np.asarray(rated_idx)
+    rated_mask = np.asarray(rated_mask)
+    B, L = rated_idx.shape
+    if L == 0 or not (rated_mask > 0).any():
+        z = np.zeros((nblocks, B, 1), np.float32)
+        return np.zeros((nblocks, B, 1), np.int32), z
+    # sort each row by id with invalid entries pushed last (the group-
+    # rank logic below needs per-row sortedness)
+    sort_key = np.where(rated_mask > 0, rated_idx, np.iinfo(np.int32).max)
+    order = np.argsort(sort_key, axis=1, kind='stable')
+    rated_idx = np.take_along_axis(rated_idx, order, axis=1)
+    rated_mask = np.take_along_axis(rated_mask, order, axis=1)
+    b_of = rated_idx // block                           # [B, L] sorted/row
+    valid = rated_mask > 0
+    # rank within each (user, block) group: rows are sorted by id, hence
+    # by block; group starts are where b_of changes
+    change = np.diff(b_of, axis=1, prepend=-1) != 0
+    firsts = np.maximum.accumulate(
+        np.where(change, np.arange(L)[None, :], 0), axis=1)
+    rank = np.arange(L)[None, :] - firsts
+    Lb = int(rank[valid].max()) + 1
+    out_idx = np.zeros((nblocks, B, Lb), np.int32)
+    out_msk = np.zeros((nblocks, B, Lb), np.float32)
+    rows = np.broadcast_to(np.arange(B)[:, None], (B, L))
+    out_idx[b_of[valid], rows[valid], rank[valid]] = \
+        (rated_idx % block)[valid]
+    out_msk[b_of[valid], rows[valid], rank[valid]] = 1.0
+    return out_idx, out_msk
+
+
 def topn_scores_pallas(P_rows, Q, bu_rows, bi, mu, n=10, block=1024,
-                       interpret=False, rated_idx=None, rated_mask=None):
+                       interpret=False, rated_idx=None, rated_mask=None,
+                       rated_blocks=None):
     '''Fused top-n retrieval: returns (idx [B, n], scores [B, n]) for the
     bias predictor mu + bu + bi + P.Q^T.  Q/bi must have row count
     divisible by `block` (pad with NEG-bias rows).
 
-    rated_idx/rated_mask [B, L] (optional): per-user already-rated item
-    ids to exclude.  Each list entry costs one [B, block] compare per
-    block — cap L at serving time for very heavy users.'''
+    Rated-item exclusion: pass either ``rated_blocks`` — the
+    device-resident ([nblocks, B, Lb] local ids, mask) pair from
+    ``block_rated_layout(..., block, I // block)``, the steady-state
+    serving form — or raw ``rated_idx/rated_mask`` [B, L] global ids,
+    bucketed (and uploaded) here per call.  Bucketing means the
+    in-kernel compare loop runs over the per-block max count Lb
+    (~L*block/I + slack), not L.'''
     B, K = P_rows.shape
     I = Q.shape[0]
     assert I % block == 0, 'pad Q to a block multiple'
-    if rated_idx is None:
-        rated_idx = jnp.zeros((B, 0), jnp.int32)
-        rated_mask = jnp.zeros((B, 0), jnp.float32)
-    L = int(rated_idx.shape[1])
-    if L and block > 1024 and I % 1024 == 0:
-        block = 1024       # keep the unrolled mask loop under scoped vmem
+    if rated_blocks is not None:
+        bidx, bmask = rated_blocks
+        assert bidx.shape[0] == I // block, \
+            'rated_blocks built for a different block size'
+        L = int(bidx.shape[2])
+    elif rated_idx is None or rated_idx.shape[1] == 0:
+        L = 0
+        bidx = jnp.zeros((I // block, B, 1), jnp.int32)
+        bmask = jnp.zeros((I // block, B, 1), jnp.float32)
+    else:
+        bidx_np, bmask_np = block_rated_layout(rated_idx, rated_mask,
+                                               block, I // block)
+        L = int(bidx_np.shape[2])
+        # the unrolled compare loop allocates ~L live [B, block] tiles on
+        # the Mosaic scoped-vmem stack; shrink the block if dense
+        while L * block > 16384 and block > 512 and I % (block // 2) == 0:
+            block //= 2
+            bidx_np, bmask_np = block_rated_layout(rated_idx, rated_mask,
+                                                   block, I // block)
+            L = int(bidx_np.shape[2])
+        bidx, bmask = jnp.asarray(bidx_np), jnp.asarray(bmask_np)
+    return _topn_pallas(P_rows, Q, bu_rows, bi,
+                        jnp.full((1, 1), mu, jnp.float32), bidx, bmask,
+                        n=int(n), block=int(block), L=L,
+                        interpret=bool(interpret))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('n', 'block', 'L', 'interpret'))
+def _topn_pallas(P_rows, Q, bu_rows, bi, mu_arr, bidx, bmask, n, block, L,
+                 interpret):
+    B, K = P_rows.shape
+    I = Q.shape[0]
     grid = (I // block,)
-    mu_arr = jnp.full((1, 1), mu, jnp.float32)
-    kernel = functools.partial(_topn_kernel, int(n), L)
-    Lp = max(L, 1)        # zero-width VMEM blocks don't lower; pad to 1
-    if L == 0:
-        rated_idx = jnp.zeros((B, 1), jnp.int32)
-        rated_mask = jnp.zeros((B, 1), jnp.float32)
+    kernel = functools.partial(_topn_kernel, n, L)
+    Lb = bidx.shape[2]
     out_s, out_i = pl.pallas_call(
         kernel,
         grid=grid,
@@ -112,9 +175,9 @@ def topn_scores_pallas(P_rows, Q, bu_rows, bi, mu, n=10, block=1024,
                          memory_space=pltpu.VMEM),       # P_rows
             pl.BlockSpec((B,), lambda j: (0,),
                          memory_space=pltpu.VMEM),       # bu_rows
-            pl.BlockSpec((B, Lp), lambda j: (0, 0),
-                         memory_space=pltpu.VMEM),       # rated ids
-            pl.BlockSpec((B, Lp), lambda j: (0, 0),
+            pl.BlockSpec((1, B, Lb), lambda j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),       # rated local ids
+            pl.BlockSpec((1, B, Lb), lambda j: (j, 0, 0),
                          memory_space=pltpu.VMEM),       # rated mask
             pl.BlockSpec((block, K), lambda j: (j, 0),
                          memory_space=pltpu.VMEM),       # Q block
@@ -132,7 +195,7 @@ def topn_scores_pallas(P_rows, Q, bu_rows, bi, mu, n=10, block=1024,
             jax.ShapeDtypeStruct((B, n), jnp.int32),
         ),
         interpret=interpret,
-    )(mu_arr, P_rows, bu_rows, rated_idx, rated_mask, Q, bi)
+    )(mu_arr, P_rows, bu_rows, bidx, bmask, Q, bi)
     return out_i, out_s
 
 
