@@ -234,6 +234,7 @@ def main():
         ep = sgd_mf.make_alternating_epoch(
             W_user, W_item, lr=float(os.environ.get('BENCH_LR', 0.15)),
             K=0.02, bias_mode='fixed', inner_steps=inner,
+            chunk=int(os.environ.get('BENCH_CHUNK', 4096)),
             use_pallas_agg=pallas_mode == 'agg',
             use_pallas_full=pallas_mode == 'full')
         state = (Paug, Qaug)

@@ -55,6 +55,9 @@ def test_engines_reach_comparable_test_rmse(ml100k_like):
                   'batch_size': 8192},
         'alternating': {'learning_rate': 0.5, 'min_epochs': 80,
                         'max_epochs': 80, 'batch_size': 8192},
+        'alternating_sharded': {'learning_rate': 0.5, 'min_epochs': 80,
+                                'max_epochs': 80, 'batch_size': 8192,
+                                'inner_steps': 2},
     }
     for engine, extra in configs.items():
         params = {'nbr_features': 16, 'regularization_model': 0.02,
