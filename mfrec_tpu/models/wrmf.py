@@ -29,7 +29,9 @@ class WRMFRecommender(MFRecommender):
                         'alpha': 'alpha',
                         'gram_dtype': 'gram_dtype',
                         'solver': 'solver',
-                        'cg_steps': 'cg_steps'}
+                        'cg_steps': 'cg_steps',
+                        'cg_warm_steps': 'cg_warm_steps',
+                        'cg_warmup_epochs': 'cg_warmup_epochs'}
 
     _default_predictor_mode = 'dot'
 
@@ -57,6 +59,10 @@ class WRMFRecommender(MFRecommender):
         # parity).  cg_steps: CG iterations per half-sweep.
         self.solver = 'exact'
         self.cg_steps = 6
+        # After cg_warmup_epochs, drop to cg_warm_steps CG iterations per
+        # half-sweep (warm starts make late epochs cheap; None = no drop).
+        self.cg_warm_steps = None
+        self.cg_warmup_epochs = 2
 
         if parameters:
             self.set_parameters(parameters)
@@ -101,6 +107,9 @@ class WRMFRecommender(MFRecommender):
             gram_dtype=jnp.bfloat16 if self.gram_dtype == 'bfloat16'
             else None,
             solver=self.solver, cg_steps=int(self.cg_steps),
+            cg_warm_steps=(None if self.cg_warm_steps is None
+                           else int(self.cg_warm_steps)),
+            cg_warmup_epochs=int(self.cg_warmup_epochs),
             callback=(lambda e, P, Q: self.logger.info('Epoch : %d', e))
             if verbose else None)
         self.P = np.array(P)

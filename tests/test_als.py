@@ -163,3 +163,39 @@ def test_wrmf_model_cg_solver(small_dataset):
     m.train()
     assert np.isfinite(m.P).all() and np.isfinite(m.Q).all()
     assert np.abs(m.P).max() > 0
+
+
+def test_cg_warm_schedule_matches_exact(small_dataset):
+    '''Dropping to fewer CG steps after warm-up epochs (ops/als.py
+    cg_warm_steps) stays at the exact fixed point: late epochs start
+    from a nearly-converged x, so 2-3 iterations suffice.'''
+    import jax.numpy as jnp
+    from mfrec_tpu.data.movielens import ratings_from_arrays
+    from mfrec_tpu.ops import als as als_ops
+    (u, i, v), _ = small_dataset
+    U, I = int(u.max()) + 1, int(i.max()) + 1
+    r = ratings_from_arrays(u, i, np.ones_like(v), U, I)
+    ub, ib = r.padded_rows(axis='user'), r.padded_rows(axis='item')
+    rng = np.random.default_rng(0)
+    P0 = jnp.asarray(rng.normal(0, 0.1, (U, 8)), jnp.float32)
+    Q0 = jnp.asarray(rng.normal(0, 0.1, (I, 8)), jnp.float32)
+    Pe, Qe = als_ops.als_wrmf_train(P0, Q0, ub, ib, nbr_epochs=10)
+    Pw, Qw = als_ops.als_wrmf_train(P0, Q0, ub, ib, nbr_epochs=10,
+                                    solver='cg', cg_steps=6,
+                                    cg_warm_steps=3, cg_warmup_epochs=2)
+    # fixed-point agreement in objective space (the quantity ALS
+    # minimizes), not element space: truncated late-epoch CG wanders
+    # within the same level set
+    uu, ii, _ = r.coo()
+    obs = np.zeros((U, I), bool)
+    obs[uu, ii] = True
+    C = np.where(obs, 2.0, 1.0)
+
+    def obj(P, Q):
+        S = np.asarray(P) @ np.asarray(Q).T
+        return float((C * (obs - S) ** 2).sum()
+                     + 0.015 * ((np.asarray(P) ** 2).sum()
+                                + (np.asarray(Q) ** 2).sum()))
+
+    oe, ow = obj(Pe, Qe), obj(Pw, Qw)
+    assert abs(ow - oe) / oe < 2e-3, (oe, ow)
