@@ -355,11 +355,16 @@ class GDRecommender(MFRecommender):
 
     # -------------------------------------- alternating_sharded engine
     def _run_alternating_sharded(self, bias_mode, verbose=False,
-                                 n_devices=None):
+                                 n_devices=None, ring=False):
         '''The flagship engine over the device mesh
         (``parallel.alternating_sharded``): users/items range-partitioned
         into row shards, each device trains its own rows' sorted-window
-        batches, one all_gather of each factor side per epoch.'''
+        batches, one all_gather of each factor side per epoch.
+
+        ``ring=True`` (engine='alternating_ring') swaps the all_gather
+        for a D-round ppermute shard rotation
+        (``parallel.ring_alternating``) — no read-side replica in HBM,
+        same total ICI bytes.'''
         import jax
         from mfrec_tpu.parallel import alternating_sharded as alt
         from mfrec_tpu.parallel.mesh import make_mesh
@@ -368,10 +373,21 @@ class GDRecommender(MFRecommender):
                         "'none'/'fixed'; use engine='alternating' for "
                         "learned biases")
         S = int(self.n_slices)
+        if ring and S > 1:
+            raise Error("engine='alternating_ring' is single-slice; "
+                        "use engine='alternating_sharded' with n_slices")
         D = n_devices or len(jax.devices()) // S
         uidx, iidx, vals = self.ratings.coo()
         max_window = min(256, max(self.nbr_users, self.nbr_items))
-        if S > 1:
+        if ring:
+            from mfrec_tpu.parallel import ring_alternating as ring_mod
+            mesh = make_mesh(D)
+            slice_axis = None
+            p_layout, q_layout, (Ushard, Ishard, W) = \
+                ring_mod.build_ring_alternating_layout(
+                    uidx, iidx, vals, D, self.nbr_users, self.nbr_items,
+                    batch_size=self.batch_size, max_window=max_window)
+        elif S > 1:
             from mfrec_tpu.parallel.mesh import make_mesh_2d
             mesh = make_mesh_2d(S, D)
             slice_axis = 'slice'
@@ -399,11 +415,20 @@ class GDRecommender(MFRecommender):
         mu = jnp.float32(self.overall_bias or 0.0)
         p_dev = tuple(jnp.asarray(x) for x in p_layout)
         q_dev = tuple(jnp.asarray(x) for x in q_layout)
-        epoch = alt.make_sharded_alternating_epoch(
-            mesh, W, lr=self.learning_rate, K=self.K, bias_mode=bias_mode,
-            lo_r=self.min_rating, hi_r=self.max_rating,
-            chunk=min(4096, self.batch_size),
-            inner_steps=self.inner_steps, slice_axis=slice_axis)
+        if ring:
+            epoch = ring_mod.make_ring_alternating_epoch(
+                mesh, W, lr=self.learning_rate, K=self.K,
+                bias_mode=bias_mode,
+                lo_r=self.min_rating, hi_r=self.max_rating,
+                chunk=min(4096, self.batch_size),
+                inner_steps=self.inner_steps)
+        else:
+            epoch = alt.make_sharded_alternating_epoch(
+                mesh, W, lr=self.learning_rate, K=self.K,
+                bias_mode=bias_mode,
+                lo_r=self.min_rating, hi_r=self.max_rating,
+                chunk=min(4096, self.batch_size),
+                inner_steps=self.inner_steps, slice_axis=slice_axis)
         driver = ConvergenceDriver(self.min_epochs, self.max_epochs,
                                    self.min_improvement)
 
@@ -618,6 +643,8 @@ class GDRecommender(MFRecommender):
             self._run_alternating(mode, verbose=verbose)
         elif engine == 'alternating_sharded':
             self._run_alternating_sharded(mode, verbose=verbose)
+        elif engine == 'alternating_ring':
+            self._run_alternating_sharded(mode, verbose=verbose, ring=True)
         elif engine == 'fused':
             self._run_fused(mode, verbose=verbose)
         else:
