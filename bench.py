@@ -250,7 +250,8 @@ def main():
             K=0.02, bias_mode='fixed', inner_steps=inner,
             chunk=int(os.environ.get('BENCH_CHUNK', 4096)),
             use_pallas_agg=pallas_mode == 'agg',
-            use_pallas_full=pallas_mode == 'full')
+            use_pallas_full=pallas_mode in ('full', 'resident'),
+            pallas_resident=pallas_mode == 'resident')
         state = (Paug, Qaug)
 
         def epoch(s):

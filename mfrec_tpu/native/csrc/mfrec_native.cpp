@@ -40,53 +40,85 @@ long mn_count_rows(const char* path) {
     return rows;
 }
 
+// Parse one line's numeric fields into users/items/vals[n]; returns 1 if
+// the line held >= 3 numeric fields.  [line, end) is NUL-terminated at
+// *end so strtod cannot run past it.
+static int mn_parse_line(char* p, char* end, int32_t* users, int32_t* items,
+                         float* vals, long n) {
+    double fields[3];
+    int nf = 0;
+    while (p < end) {
+        if ((*p >= '0' && *p <= '9') || *p == '-' || *p == '+'
+            || *p == '.') {
+            char* q;
+            double v = std::strtod(p, &q);
+            if (q == p) { ++p; continue; }
+            if (nf < 3) fields[nf] = v;
+            ++nf;
+            p = q;
+        } else {
+            ++p;
+        }
+    }
+    if (nf < 3) return 0;
+    users[n] = (int32_t)fields[0];
+    items[n] = (int32_t)fields[1];
+    vals[n] = (float)fields[2];
+    return 1;
+}
+
 // Parse "user item rating [extra...]" rows (any non-numeric separators).
 // Fills the preallocated arrays; returns rows parsed, or -1 on error.
+// STREAMING: reads the file through a fixed 1 MiB window (partial tail
+// lines carry over between reads), so peak host memory is the output
+// arrays only — ingest of out-of-core-sized rating files never holds
+// the text in RAM (the reference ingests via a per-rating python loop
+// into a lil_matrix, base.py:823-828).
 long mn_parse_ratings(const char* path, int32_t* users, int32_t* items,
                       float* vals, long cap) {
     FILE* f = std::fopen(path, "rb");
     if (!f) return -1;
-    // Read whole file.
-    std::fseek(f, 0, SEEK_END);
-    long size = std::ftell(f);
-    std::fseek(f, 0, SEEK_SET);
-    char* data = (char*)std::malloc(size + 1);
-    if (!data) { std::fclose(f); return -1; }
-    if ((long)std::fread(data, 1, size, f) != size) {
-        std::free(data); std::fclose(f); return -1;
-    }
-    data[size] = '\0';
-    std::fclose(f);
-
+    const size_t BUF = 1 << 20;
+    char* buf = (char*)std::malloc(BUF + 1);
+    if (!buf) { std::fclose(f); return -1; }
+    size_t have = 0;     // carried-over partial line at buf[0..have)
     long n = 0;
-    char* p = data;
-    char* end = data + size;
-    while (p < end && n < cap) {
-        // Parse up to 3 numeric fields on this line.
-        double fields[3];
-        int nf = 0;
-        while (p < end && *p != '\n') {
-            if ((*p >= '0' && *p <= '9') || *p == '-' || *p == '+'
-                || *p == '.') {
-                char* q;
-                double v = std::strtod(p, &q);
-                if (q == p) { ++p; continue; }
-                if (nf < 3) fields[nf] = v;
-                ++nf;
-                p = q;
+    for (;;) {
+        size_t got = std::fread(buf + have, 1, BUF - have, f);
+        size_t len = have + got;
+        bool eof = got == 0;
+        char* parse_end;             // parse complete lines only
+        if (eof) {
+            parse_end = buf + len;
+        } else {
+            char* last_nl = (char*)memrchr(buf, '\n', len);  // glibc ext
+            if (!last_nl) {
+                if (len < BUF) { have = len; continue; }  // short read
+                parse_end = buf + len;   // pathological >1MiB line
             } else {
-                ++p;
+                parse_end = last_nl + 1;
             }
         }
-        if (p < end) ++p;  // skip newline
-        if (nf >= 3) {
-            users[n] = (int32_t)fields[0];
-            items[n] = (int32_t)fields[1];
-            vals[n] = (float)fields[2];
-            ++n;
+        char save = *parse_end;
+        *parse_end = '\0';
+        char* p = buf;
+        while (p < parse_end && n < cap) {
+            char* nl = (char*)std::memchr(p, '\n', parse_end - p);
+            char* line_end = nl ? nl : parse_end;
+            char save2 = *line_end;
+            *line_end = '\0';
+            n += mn_parse_line(p, line_end, users, items, vals, n);
+            *line_end = save2;
+            p = nl ? nl + 1 : parse_end;
         }
+        *parse_end = save;
+        size_t rem = len - (parse_end - buf);
+        if (rem) std::memmove(buf, parse_end, rem);
+        have = rem;
+        if (eof || n >= cap) break;
     }
-    std::free(data);
+    std::free(buf);
+    std::fclose(f);
     return n;
 }
 

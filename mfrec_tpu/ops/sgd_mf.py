@@ -443,7 +443,8 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
                            K_bu=0.0, K_bi=0.0, bias_mode='fixed',
                            clamp_pred=True, lo_r=1.0, hi_r=5.0, chunk=4096,
                            donate=True, row_mean=True, use_pallas_agg=False,
-                           use_pallas_full=False, inner_steps=1):
+                           use_pallas_full=False, inner_steps=1,
+                           pallas_resident=False):
     '''Build a jitted scatter-free epoch over *augmented* factors: a P
     half-pass over the user-sorted stream (Q fixed), then a Q half-pass
     over the item-sorted stream (P fixed) — blockwise-alternating SGD.
@@ -522,7 +523,8 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
                     chunk=c, clamp_pred=clamp_pred,
                     lo_r=lo_r, hi_r=hi_r, row_mean=row_mean,
                     bias_none=(bias_mode == 'none'),
-                    inner_steps=inner_steps)
+                    inner_steps=inner_steps,
+                    resident=pallas_resident)
                 F_upd = jax.lax.dynamic_update_slice_in_dim(
                     F_upd, win_out, lo, 0)
                 return (F_upd, sse + sse_b), None

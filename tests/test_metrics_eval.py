@@ -174,3 +174,31 @@ def test_vmapped_regularization_sweep(small_dataset):
     assert rmses.shape == (3,)
     assert np.isfinite(rmses).all()
     assert rmses[2] > rmses[0]        # absurd reg kills accuracy
+
+
+def test_native_parse_streaming_boundaries(tmp_path):
+    '''The streaming parser (fixed 1 MiB read window) must parse files
+    larger than its window with lines straddling window boundaries
+    byte-identically to a whole-file numpy parse.'''
+    from mfrec_tpu import native
+    if not native.available():
+        import pytest
+        pytest.skip('no compiler')
+    rng = np.random.default_rng(3)
+    n = 150_000                      # ~2.6 MiB of text: >2 window refills
+    users = rng.integers(0, 5000, n)
+    items = rng.integers(0, 3000, n)
+    vals = np.round(rng.uniform(1, 5, n), 3)
+    path = tmp_path / 'big.tsv'
+    with open(path, 'w') as f:
+        for j in range(n):
+            # vary separators and trailing fields like real ML dumps
+            sep = '\t' if j % 3 else '::'
+            extra = '\t%d' % (880000000 + j) if j % 2 else ''
+            f.write('%d%s%d%s%.3f%s\n'
+                    % (users[j], sep, items[j], sep, vals[j], extra))
+    u, i, v = native.parse_ratings(str(path))
+    assert u.shape[0] == n
+    np.testing.assert_array_equal(u, users.astype(np.int32))
+    np.testing.assert_array_equal(i, items.astype(np.int32))
+    np.testing.assert_allclose(v, vals.astype(np.float32), rtol=1e-6)

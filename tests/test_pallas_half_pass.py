@@ -58,6 +58,15 @@ def test_half_pass_inner_steps_matches_numpy():
         jnp.asarray(m), jnp.asarray(kl), jnp.asarray(lrv),
         jnp.asarray(regv), mu, W, chunk=64, interpret=True, inner_steps=T)
     out, sse = np.asarray(out), float(sse)
+    # the VMEM-resident variant must be numerically identical to the
+    # chunked grid (same chunk order, same bf16 rounding points)
+    out_res, sse_res = half_pass_batch(
+        jnp.asarray(window0), jnp.asarray(ff), jnp.asarray(r),
+        jnp.asarray(m), jnp.asarray(kl), jnp.asarray(lrv),
+        jnp.asarray(regv), mu, W, chunk=64, interpret=True, inner_steps=T,
+        resident=True)
+    np.testing.assert_allclose(np.asarray(out_res), out, atol=1e-6)
+    assert abs(float(sse_res) - sse) < 1e-4 * max(sse, 1.0)
 
     window = window0.copy()
     sse_first = None
