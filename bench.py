@@ -276,13 +276,23 @@ def main():
     state, rmse = epoch(state)
     float(rmse)
 
+    # BENCH_TRACE=<logdir>: capture a jax.profiler trace of one timed
+    # block (view with tensorboard/xprof; host-side events always record,
+    # device events depend on the platform exposing them through the
+    # relay)
+    trace_dir = os.environ.get('BENCH_TRACE')
     times = []
-    for _ in range(blocks):
+    for b in range(blocks):
+        if trace_dir and b == 1:
+            import jax.profiler
+            jax.profiler.start_trace(trace_dir)
         t0 = time.perf_counter()
         for _ in range(epochs_per_block):
             state, rmse = epoch(state)
         float(rmse)           # one device->host sync per block
         times.append((time.perf_counter() - t0) / epochs_per_block)
+        if trace_dir and b == 1:
+            jax.profiler.stop_trace()
 
     epoch_s = float(np.median(times))
     # one epoch sweeps N ratings x K features, `inner` times over for the

@@ -184,3 +184,66 @@ def folding_in_test(recommender_factory, u, u_test, ratio=0.10,
         model, folded_test[in_removed_test], nbr_samples,
         predictor=predictor, quiet=True)[0]
     return results
+
+
+def ranking_metrics(recommender, u_test, nbr_recommendations=10,
+                    predictor='predict', relevance_threshold=0.0,
+                    verbose=False):
+    '''Ranked-list quality beyond the reference's P@N/R@N: NDCG@N, MAP@N,
+    MRR and catalog coverage over per-user recommendations (production
+    serving metrics; the reference stops at precision_recall,
+    metrics.py:85-130).
+
+    u_test: [n, 3] (user, item, rating) held-out rows; rows with rating
+    > ``relevance_threshold`` count as relevant (all rows for implicit
+    data).  Returns dict(ndcg, map, mrr, coverage, users).
+    '''
+    relevant_by_user = {}
+    for row in np.asarray(u_test):
+        if float(row[2]) > relevance_threshold:
+            relevant_by_user.setdefault(int(row[0]), set()).add(int(row[1]))
+
+    N = int(nbr_recommendations)
+    discounts = 1.0 / np.log2(np.arange(2, N + 2))
+    ndcg_sum = ap_sum = rr_sum = 0.0
+    users_count = 0
+    recommended_union = set()
+    for user_index, relevant in relevant_by_user.items():
+        if user_index >= recommender.nbr_users:
+            continue
+        try:
+            recommended = recommender.find_recommended_items(
+                user_index=user_index, nbr_recommendations=N,
+                output_label=False, predictor=predictor)[0]
+        except (KeyError, Error):
+            continue
+        users_count += 1
+        recommended = [int(i) for i in recommended][:N]
+        recommended_union.update(recommended)
+        hits = np.array([i in relevant for i in recommended], bool)
+        if not hits.any():
+            continue
+        # NDCG@N: binary gains, ideal = all |relevant| (capped at N) first
+        dcg = float(discounts[:len(hits)][hits].sum())
+        ideal = float(discounts[:min(len(relevant), N)].sum())
+        ndcg_sum += dcg / ideal
+        # MAP@N: mean over relevant of precision at each hit rank
+        ranks = np.nonzero(hits)[0] + 1
+        precisions = np.arange(1, len(ranks) + 1) / ranks
+        ap_sum += float(precisions.sum()) / min(len(relevant), N)
+        # MRR: first hit rank
+        rr_sum += 1.0 / float(ranks[0])
+
+    out = {
+        'ndcg': ndcg_sum / max(users_count, 1),
+        'map': ap_sum / max(users_count, 1),
+        'mrr': rr_sum / max(users_count, 1),
+        'coverage': len(recommended_union) / max(recommender.nbr_items, 1),
+        'users': users_count,
+    }
+    if verbose:
+        print('NDCG@%d : %s' % (N, out['ndcg']))
+        print('MAP@%d : %s' % (N, out['map']))
+        print('MRR : %s' % out['mrr'])
+        print('Catalog coverage : %s' % out['coverage'])
+    return out

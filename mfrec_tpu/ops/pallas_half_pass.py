@@ -207,6 +207,13 @@ def half_pass_batch(window, ff, r, m, kl, lrv, regv, mu, W, chunk=4096,
                 jax.ShapeDtypeStruct((1, 1), jnp.float32),
             ),
             scratch_shapes=[pltpu.VMEM((W, k), jnp.float32)],
+            # the unrolled chunk loop keeps each iteration's onehot/fu/g
+            # tiles live on the scoped-vmem stack (Mosaic does not reuse
+            # stack slots across unrolled iterations): ~3.4 MB x nj.
+            # Raise the 16 MB default; physical VMEM is 128 MB and the
+            # resident inputs take only ~9 MB.
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(mu_arr, window, ff, r, m, kl, lrv, regv)
         return out, sse[0, 0]

@@ -202,3 +202,53 @@ def test_native_parse_streaming_boundaries(tmp_path):
     np.testing.assert_array_equal(u, users.astype(np.int32))
     np.testing.assert_array_equal(i, items.astype(np.int32))
     np.testing.assert_allclose(v, vals.astype(np.float32), rtol=1e-6)
+
+
+def test_ranking_metrics_exact_values():
+    '''NDCG/MAP/MRR on a hand-computed case.'''
+    from mfrec_tpu.eval.metrics import ranking_metrics
+
+    class Stub:
+        nbr_users = 2
+        nbr_items = 10
+
+        def find_recommended_items(self, user_index, nbr_recommendations,
+                                   output_label, predictor):
+            # user 0: hits at ranks 1 and 3 of [0,1,2]; user 1: hit at 2
+            recs = {0: [5, 6, 7], 1: [8, 3, 9]}[user_index]
+            return recs[:nbr_recommendations], None
+
+    u_test = np.array([[0, 5, 4.0], [0, 7, 5.0], [0, 4, 3.0],
+                       [1, 3, 4.0]])
+    out = ranking_metrics(Stub(), u_test, nbr_recommendations=3)
+    # user 0: relevant {5, 7, 4}; hits ranks 1, 3
+    d = 1.0 / np.log2([2.0, 3.0, 4.0])
+    ndcg0 = (d[0] + d[2]) / (d[0] + d[1] + d[2])
+    ap0 = (1.0 / 1 + 2.0 / 3) / 3
+    # user 1: relevant {3}; hit rank 2
+    ndcg1 = d[1] / d[0]
+    ap1 = (1.0 / 2) / 1
+    assert abs(out['ndcg'] - (ndcg0 + ndcg1) / 2) < 1e-9
+    assert abs(out['map'] - (ap0 + ap1) / 2) < 1e-9
+    assert abs(out['mrr'] - (1.0 + 0.5) / 2) < 1e-9
+    assert out['users'] == 2
+    assert abs(out['coverage'] - 6 / 10) < 1e-9
+
+
+def test_ranking_metrics_on_trained_model():
+    from mfrec_tpu.eval.metrics import ranking_metrics
+    from mfrec_tpu.models.gd import GDRecommender
+    from mfrec_tpu.data.movielens import synthetic_ratings, train_test_split
+    users, items, vals = synthetic_ratings(120, 80, 4000, rank=4, seed=11)
+    (tu, ti, tv), u_test = train_test_split(users, items, vals,
+                                            test_fraction=0.25)
+    m = GDRecommender(120, 80, {'nbr_features': 8, 'min_epochs': 20,
+                                'max_epochs': 20, 'learning_rate': 0.01,
+                                'engine': 'fused', 'batch_size': 1024})
+    m.set_ratings(tu, ti, tv)
+    m.train(handle_bias=True)
+    out = ranking_metrics(m, u_test, nbr_recommendations=10,
+                          relevance_threshold=3.5)
+    for k in ('ndcg', 'map', 'mrr', 'coverage'):
+        assert 0.0 <= out[k] <= 1.0
+    assert out['users'] > 0
