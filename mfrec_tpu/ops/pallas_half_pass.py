@@ -253,6 +253,10 @@ def half_pass_batch(window, ff, r, m, kl, lrv, regv, mu, W, chunk=4096,
         ),
         scratch_shapes=[pltpu.VMEM((W, k + 1), jnp.float32),
                         pltpu.VMEM((W, k), jnp.float32)],
+        # let chunk sizes above 4096 fit their per-iteration onehot/fu/g
+        # tiles (the 16 MB default scoped-vmem stack caps chunk at ~4k)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(mu_arr, window, ff, r, m, kl, lrv, regv)
     return out, sse[0, 0]
