@@ -194,6 +194,11 @@ def _topn_pallas(P_rows, Q, bu_rows, bi, mu_arr, bidx, bmask, n, block, L,
             jax.ShapeDtypeStruct((B, n), jnp.float32),
             jax.ShapeDtypeStruct((B, n), jnp.int32),
         ),
+        # the n extract-max passes keep ~n live [B, block] tiles on the
+        # scoped-vmem stack; n=20 at block 4096 already exceeds the 16 MB
+        # default
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(mu_arr, P_rows, bu_rows, bidx, bmask, Q, bi)
     return out_i, out_s
