@@ -399,3 +399,32 @@ def test_predict_rating_itembased(small_dataset):
         assert np.isfinite(r)
     except Error:
         pass    # acceptable: no rated neighbors among top similarities
+
+
+def test_checkpoint_resume_equals_uninterrupted(tmp_path):
+    '''The SURVEY §5 failure-recovery contract: train 3 epochs +
+    save_state + load_state into a fresh process-equivalent model +
+    train 3 more (warm start) must equal 6 uninterrupted epochs exactly
+    (the alternating engine is deterministic given the data).'''
+    from mfrec_tpu.data.movielens import synthetic_ratings
+    users, items, vals = synthetic_ratings(60, 40, 900, rank=3, seed=13)
+    params = {'nbr_features': 6, 'learning_rate': 0.1,
+              'regularization_model': 0.02, 'engine': 'alternating',
+              'batch_size': 256, 'min_improvement': -1.0}
+
+    ref = GDRecommender(60, 40, dict(params, min_epochs=6, max_epochs=6))
+    ref.set_ratings(users, items, vals)
+    ref.train(handle_bias=True)
+
+    m1 = GDRecommender(60, 40, dict(params, min_epochs=3, max_epochs=3))
+    m1.set_ratings(users, items, vals)
+    m1.train(handle_bias=True)
+    path = str(tmp_path / 'mid')
+    m1.save_state(path)
+
+    m2 = GDRecommender(4, 6, dict(params, min_epochs=3, max_epochs=3))
+    m2.load_state(path)
+    m2.train(handle_bias=True, initialize_model=False)
+
+    np.testing.assert_allclose(m2.P, ref.P, atol=1e-5)
+    np.testing.assert_allclose(m2.Q, ref.Q, atol=1e-5)
