@@ -173,7 +173,7 @@ def main():
     mode = os.environ.get('BENCH_MODE', 'alternating')
     if mode == 'serving':
         return bench_serving(
-            B=int(os.environ.get('BENCH_SERVE_B', 256)),
+            B=int(os.environ.get('BENCH_SERVE_B', 1024)),
             rated_L=int(os.environ.get('BENCH_RATED_L', 0)))
     config = 'ml10m'
     if mode == 'netflix':

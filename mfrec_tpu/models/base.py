@@ -206,6 +206,17 @@ class BaseRecommender(object):
     def get_nbr_ratings(self):
         return self.ratings.nnz
 
+    def initialize_relationship_matrix(self, nbr_users, nbr_items):
+        '''Reset the ratings store and (re)assign default user/item
+        labels (reference base.py:266-281 — its ``lil_matrix`` is the
+        COO ``Ratings`` container here; ``Vocab`` pre-assigns the same
+        'user%d'/'item%d' default labels).  The constructor calls the
+        equivalent; this public form supports re-initialization.'''
+        self.logger.info('Initializing the relationship matrix')
+        self.ratings = Ratings(int(nbr_users), int(nbr_items))
+        self.users = Vocab(int(nbr_users), 'user')
+        self.items = Vocab(int(nbr_items), 'item')
+
     def set_item_by_id(self, user_index, item_index, value):
         self.ratings.set(int(user_index), int(item_index), float(value))
 
@@ -849,6 +860,48 @@ class BaseRecommender(object):
                 {'lbl': label, 'mod': self.metadata.get('model_name')},
                 {'$set': {'w': np.asarray(self.Q[idx]).tolist(),
                           'bi': float(self.items_bias[idx])}})
+
+    def save_ratings_graph_to_neo4j(self, gdb):
+        '''Export the bipartite ratings graph through a neo4j-REST-style
+        client (reference base.py:619-645 — which hardcodes a localhost
+        ``neo4jrestclient``).  Duck-typed: pass any object whose
+        ``gdb.nodes.create(**props)`` returns nodes exposing
+        ``.relationships.create(type, other, **props)`` — the real
+        client in production, a stub in tests.  For a file artifact use
+        ``graph.similarity_graph.ratings_bipartite_graph`` +
+        networkx GraphML instead.'''
+        user_nodes = {}
+        item_nodes = {}
+        for label in self.users.labels:
+            user_nodes[self.users.index[label]] = gdb.nodes.create(
+                type='User', label=label)
+        for label in self.items.labels:
+            item_nodes[self.items.index[label]] = gdb.nodes.create(
+                type='Item', label=label)
+        for u, i, v in self.ratings_iterator():
+            user_nodes[u].relationships.create('rating', item_nodes[i],
+                                               value=float(v))
+
+    def save_ratings_graph_to_emb_neo4j(self, gdb):
+        '''Embedded-driver variant (reference base.py:647-681): the same
+        graph through a transactional client.  Duck-type:
+        ``gdb.transaction`` context manager, ``gdb.node(**props)`` node
+        factory whose nodes expose ``.rating(other, value=...)``, and
+        ``gdb.shutdown()``.'''
+        user_nodes = {}
+        item_nodes = {}
+        for label in self.users.labels:
+            with gdb.transaction:
+                user_nodes[self.users.index[label]] = gdb.node(
+                    type='User', label=label)
+        for label in self.items.labels:
+            with gdb.transaction:
+                item_nodes[self.items.index[label]] = gdb.node(
+                    type='Item', label=label)
+        for u, i, v in self.ratings_iterator():
+            with gdb.transaction:
+                user_nodes[u].rating(item_nodes[i], value=float(v))
+        gdb.shutdown()
 
     def set_users_from_db(self, docs_iter):
         '''reference base.py:751-761.'''
