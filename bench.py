@@ -324,8 +324,8 @@ def _main_with_retry():
     try:
         return main()
     except Exception as e:                      # transient relay errors
-        print('bench attempt failed (%s); retrying once' % type(e).__name__,
-              file=sys.stderr)
+        print('bench attempt failed (%s): %s\nretrying once'
+              % (type(e).__name__, str(e)[:2000]), file=sys.stderr)
         return main()
 
 
