@@ -1,0 +1,97 @@
+'''HTTP serving front (mfrec_tpu.serving): endpoints + micro-batching.'''
+import json
+import threading
+import urllib.request
+
+import numpy as np
+
+from mfrec_tpu.data.movielens import synthetic_ratings
+from mfrec_tpu.models.gd import GDRecommender
+from mfrec_tpu.serving import RecommenderServer
+
+
+def _get(port, path):
+    try:
+        with urllib.request.urlopen('http://127.0.0.1:%d%s' % (port, path),
+                                    timeout=30) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _make_model():
+    users, items, vals = synthetic_ratings(80, 50, 1500, rank=3, seed=2)
+    m = GDRecommender(80, 50, {'nbr_features': 6, 'min_epochs': 8,
+                               'max_epochs': 8, 'engine': 'fused',
+                               'learning_rate': 0.02, 'batch_size': 512})
+    m.set_ratings(users, items, vals)
+    m.train(handle_bias=True)
+    return m
+
+
+def test_server_endpoints():
+    m = _make_model()
+    srv = RecommenderServer(m, batch_window_ms=1.0)
+    port = srv.start()
+    try:
+        code, health = _get(port, '/health')
+        assert code == 200 and health['ok'] and health['users'] == 80
+
+        code, rec = _get(port, '/recommend?user=3&n=5')
+        assert code == 200 and len(rec['items']) == 5
+        assert len(rec['scores']) == 5
+        # served list matches the model's own retrieval
+        ids, _ = m.recommend_batch(np.array([3]), nbr_recommendations=5)
+        assert rec['items'] == np.asarray(ids)[0].tolist()
+
+        code, rec2 = _get(port, '/recommend?label=user3&n=5')
+        assert rec2['items'] == rec['items']
+
+        code, sim = _get(port, '/similar_items?item=7&n=4')
+        assert code == 200 and len(sim['items']) == 4
+
+        code, pred = _get(port, '/predict?user=3&item=7')
+        assert code == 200
+        assert abs(pred['score'] - float(m.predict_rating(7, 3))) < 1e-6
+
+        # unknown label -> 404, not a crash
+        code, err = _get(port, '/recommend?label=nosuch')
+        assert code == 404
+
+        # POST /rate ingests
+        nnz0 = m.ratings.nnz
+        req = urllib.request.Request(
+            'http://127.0.0.1:%d/rate' % port,
+            data=json.dumps({'user': 1, 'item': 2, 'value': 4.0}).encode(),
+            method='POST')
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert json.loads(r.read())['ok']
+        assert m.ratings.nnz == nnz0 + 1
+    finally:
+        srv.stop()
+
+
+def test_server_concurrent_requests_batch():
+    m = _make_model()
+    srv = RecommenderServer(m, batch_window_ms=5.0)
+    port = srv.start()
+    try:
+        results = {}
+
+        def hit(u):
+            _, rec = _get(port, '/recommend?user=%d&n=3' % u)
+            results[u] = rec['items']
+
+        threads = [threading.Thread(target=hit, args=(u,))
+                   for u in range(12)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert len(results) == 12
+        ids, _ = m.recommend_batch(np.arange(12), nbr_recommendations=3)
+        ids = np.asarray(ids)
+        for u in range(12):
+            assert results[u] == ids[u].tolist()
+    finally:
+        srv.stop()
