@@ -53,19 +53,10 @@ def _bucket_solve(F, out, HH, rows, nbr_idx, nbr_val, mask, c_pos, alpha,
     return out.at[rows].set(sol.astype(out.dtype))
 
 
-@functools.partial(jax.jit, static_argnames=('steps',))
-def _bucket_cg(F, out, HHreg, rows, nbr_idx, nbr_val, mask, c_pos, alpha,
-               reg, steps=6):
-    '''Gram assembly + Jacobi-preconditioned CG for one nnz-bucket,
-    warm-started from the rows' current values (Takács & Pilászy's ALS-CG
-    idea, adapted to the TPU cost model).
-
-    The [R, k, k] normal matrices ARE materialized (the bf16 MXU Gram
-    einsum is cheap — 0.07 s for the ML-10M user pass) but the
-    batch-sequential Cholesky is replaced by `steps` CG iterations whose
-    mat-vec is one batched [k,k]@[k,1] matmul — measured 28x faster than
-    ``jnp.linalg.cholesky`` + ``cho_solve`` on v5e (0.023 s vs 0.64 s,
-    R=70k, k=64) at equal fixed points thanks to the warm start.'''
+def _bucket_cg_body(F, out, HHreg, rows, nbr_idx, nbr_val, mask, c_pos,
+                    alpha, reg, steps):
+    '''Traceable body of ``_bucket_cg`` (shared with the fused one-jit
+    epoch, ``make_cg_epoch``).'''
     k = F.shape[1]
     A = F[nbr_idx] * mask[..., None]                  # [R, L, k]
     cm1 = jnp.where(alpha > 0, alpha * nbr_val, c_pos) * mask   # [R, L]
@@ -98,6 +89,61 @@ def _bucket_cg(F, out, HHreg, rows, nbr_idx, nbr_val, mask, c_pos, alpha,
         p = z + beta[:, None] * p
         rz = rz_new
     return out.at[rows].set(x.astype(out.dtype))
+
+
+@functools.partial(jax.jit, static_argnames=('steps',))
+def _bucket_cg(F, out, HHreg, rows, nbr_idx, nbr_val, mask, c_pos, alpha,
+               reg, steps=6):
+    '''Gram assembly + Jacobi-preconditioned CG for one nnz-bucket,
+    warm-started from the rows' current values (Takács & Pilászy's ALS-CG
+    idea, adapted to the TPU cost model).
+
+    The [R, k, k] normal matrices ARE materialized (the bf16 MXU Gram
+    einsum is cheap — 0.07 s for the ML-10M user pass) but the
+    batch-sequential Cholesky is replaced by `steps` CG iterations whose
+    mat-vec is one batched [k,k]@[k,1] matmul — measured 28x faster than
+    ``jnp.linalg.cholesky`` + ``cho_solve`` on v5e (0.023 s vs 0.64 s,
+    R=70k, k=64) at equal fixed points thanks to the warm start.'''
+    return _bucket_cg_body(F, out, HHreg, rows, nbr_idx, nbr_val, mask,
+                           c_pos, alpha, reg, steps)
+
+
+@functools.lru_cache(maxsize=64)
+def make_cg_epoch(n_user_buckets, n_item_buckets, c_pos, alpha, reg,
+                  steps):
+    '''One-jit CG epoch: both half-sweeps over every nnz-bucket compiled
+    into a single device program.  On a relay-attached TPU the unfused
+    path pays one dispatch round-trip PER BUCKET per half-sweep (~20
+    calls/epoch — most of the measured 0.116 s epoch); this folds them
+    into one call.  Buckets are passed flattened (4 arrays each, users
+    then items) so they are jit ARGUMENTS, not baked-in constants.
+    Memoized: repeated ``als_wrmf_train`` calls with the same config
+    reuse the same jitted function (and its compile cache) instead of
+    retracing a fresh closure per call.'''
+
+    def epoch(P, Q, u_alive, i_alive, *flat):
+        k = P.shape[1]
+        eye = reg * jnp.eye(k, dtype=jnp.float32)
+        ub = [tuple(flat[4 * j:4 * j + 4])
+              for j in range(n_user_buckets)]
+        off = 4 * n_user_buckets
+        ib = [tuple(flat[off + 4 * j:off + 4 * j + 4])
+              for j in range(n_item_buckets)]
+        HHreg = (Q.T @ Q + eye).astype(jnp.float32)
+        for rows, nidx, nval, mask in ub:
+            P = _bucket_cg_body(Q, P, HHreg, rows, nidx, nval, mask,
+                                c_pos, alpha, reg, steps)
+        P = P * u_alive
+        HHreg = (P.T @ P + eye).astype(jnp.float32)
+        for rows, nidx, nval, mask in ib:
+            Q = _bucket_cg_body(P, Q, HHreg, rows, nidx, nval, mask,
+                                c_pos, alpha, reg, steps)
+        Q = Q * i_alive
+        return P, Q
+
+    # no donation: callers (tests, warm restarts) reuse their P0/Q0 across
+    # runs, and the factor copies are trivial next to the Gram work
+    return jax.jit(epoch)
 
 
 def device_buckets(buckets):
@@ -184,13 +230,20 @@ def als_wrmf_train(P, Q, user_buckets, item_buckets, nbr_epochs=20,
     item_buckets = device_buckets(item_buckets)
     if cg_warm_steps is None:
         cg_warm_steps = cg_steps
+    if solver == 'cg':
+        # one-jit epochs: a single device dispatch per epoch instead of
+        # one per bucket per half-sweep (see make_cg_epoch)
+        flat = [x for b in user_buckets for x in b] \
+            + [x for b in item_buckets for x in b]
+        epoch_fns = {}
+        for steps in {cg_steps, cg_warm_steps}:
+            epoch_fns[steps] = make_cg_epoch(
+                len(user_buckets), len(item_buckets),
+                float(c_pos), float(alpha), float(reg), int(steps))
     for epoch in range(nbr_epochs):
         if solver == 'cg':
             steps = cg_steps if epoch < cg_warmup_epochs else cg_warm_steps
-            P = als_half_sweep_cg(Q, P, user_buckets, c_pos, alpha, reg,
-                                  steps) * u_alive
-            Q = als_half_sweep_cg(P, Q, item_buckets, c_pos, alpha, reg,
-                                  steps) * i_alive
+            P, Q = epoch_fns[steps](P, Q, u_alive, i_alive, *flat)
         else:
             P = als_half_sweep(Q, P, user_buckets, c_pos, alpha, reg,
                                gram_dtype) * u_alive
