@@ -1,0 +1,67 @@
+'''Interleaved A/B bench: defeats relay/chip drift by alternating timed
+blocks of two configs within one process.  Temporary experiment tool.'''
+import time
+import numpy as np
+import jax.numpy as jnp
+
+import bench
+from mfrec_tpu.ops import sgd_mf
+
+U, I, N, K = 69878, 10677, 10_000_000, 64
+BATCH = 1 << 15
+INNER = 4
+users, items, vals = bench.make_data(U, I, N)
+floor, bu_fit, bi_fit = bench.bias_floor_rmse(users, items, vals, U, I)
+mu = jnp.float32(vals.mean())
+
+
+def build(window, batch, locality_sort):
+    pl_ = sgd_mf.sorted_pass_layout(users, items, vals, batch, axis='user',
+                                    max_window=window,
+                                    locality_sort=locality_sort)
+    ql_ = sgd_mf.sorted_pass_layout(users, items, vals, batch, axis='item',
+                                    max_window=window,
+                                    locality_sort=locality_sort)
+    W_user, W_item = pl_[-1], ql_[-1]
+    p_layout = tuple(jnp.asarray(x) for x in pl_[:-1])
+    q_layout = tuple(jnp.asarray(x) for x in ql_[:-1])
+    st = sgd_mf.init_state(U + W_user, I + W_item, K, feature_init=0.05,
+                           mode='normal')
+    Paug, Qaug = sgd_mf.augment_factors(
+        st.P, st.Q, jnp.asarray(np.pad(bu_fit, (0, W_user))),
+        jnp.asarray(np.pad(bi_fit, (0, W_item))))
+    ep = sgd_mf.make_alternating_epoch(
+        W_user, W_item, lr=0.15, K=0.02, bias_mode='fixed',
+        inner_steps=INNER, chunk=4096, use_pallas_full=True, donate=False)
+    return ep, (Paug, Qaug), p_layout, q_layout
+
+
+def run_block(ep, state, pl, ql, epochs=3):
+    Pa, Qa = state
+    t0 = time.perf_counter()
+    for _ in range(epochs):
+        Pa, Qa, rmse = ep(Pa, Qa, mu, pl, ql)
+    float(rmse)
+    return (time.perf_counter() - t0) / epochs, (Pa, Qa)
+
+
+def ab(name_a, cfg_a, name_b, cfg_b, blocks=4):
+    ep_a, st_a, pa, qa = build(*cfg_a)
+    ep_b, st_b, pb, qb = build(*cfg_b)
+    # compile both
+    _, st_a = run_block(ep_a, st_a, pa, qa, epochs=1)
+    _, st_b = run_block(ep_b, st_b, pb, qb, epochs=1)
+    ta, tb = [], []
+    for _ in range(blocks):
+        dt, st_a = run_block(ep_a, st_a, pa, qa)
+        ta.append(dt)
+        dt, st_b = run_block(ep_b, st_b, pb, qb)
+        tb.append(dt)
+    print('%s: %s  median %.4f' % (name_a, [round(x, 4) for x in ta],
+                                   float(np.median(ta))))
+    print('%s: %s  median %.4f' % (name_b, [round(x, 4) for x in tb],
+                                   float(np.median(tb))))
+
+
+print('--- A/B: W=128/B=16k vs W=64/B=8k')
+ab('w128', (128, BATCH // 2, False), 'w64', (64, BATCH // 4, False))

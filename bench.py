@@ -166,7 +166,7 @@ def main():
     I = int(os.environ.get('BENCH_I', I))
     N = int(os.environ.get('BENCH_N', N))
     K = int(os.environ.get('BENCH_K', K))
-    batch = int(os.environ.get('BENCH_BATCH', 1 << 15))
+    batch = int(os.environ.get('BENCH_BATCH', 1 << 14))
     epochs_per_block = int(os.environ.get('BENCH_EPOCHS', 5))
     blocks = int(os.environ.get('BENCH_BLOCKS', 3))
 
@@ -191,8 +191,13 @@ def main():
     inner = int(os.environ.get('BENCH_INNER', 4))
 
     if mode == 'implicit':
-        # SVD++ at sorted-window speed (alternating implicit tier)
+        # SVD++ at sorted-window speed (alternating implicit tier).
+        # Keeps its own W=256/batch=32k defaults: the W=128/16k optimum
+        # of the plain tier DIVERGES here (train RMSE 2.20 > floor) —
+        # the Y-aggregation phases couple rows across the batch, so
+        # smaller row_mean batches overshoot at the same lr.
         W = int(os.environ.get('BENCH_WINDOW', 256))
+        batch = int(os.environ.get('BENCH_BATCH', 1 << 15))
         pl_ = sgd_mf.sorted_pass_layout(users, items, vals, batch,
                                         axis='user', max_window=W)
         ql_ = sgd_mf.sorted_pass_layout(users, items, vals, batch,
@@ -228,7 +233,7 @@ def main():
         # scatter-free sorted-window epochs (fastest single-chip path);
         # BENCH_INNER inner gradient iterations per batch (window stays
         # in VMEM) make the planted-structure RMSE fall per epoch
-        W = int(os.environ.get('BENCH_WINDOW', 256))
+        W = int(os.environ.get('BENCH_WINDOW', 128))
         pl_ = sgd_mf.sorted_pass_layout(users, items, vals, batch,
                                         axis='user', max_window=W)
         ql_ = sgd_mf.sorted_pass_layout(users, items, vals, batch,

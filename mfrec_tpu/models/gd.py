@@ -310,10 +310,14 @@ class GDRecommender(MFRecommender):
         path; blockwise-alternating update order.'''
         uidx, iidx, vals = self.ratings.coo()
         chunk = min(4096, self.batch_size)
+        # W=128 beat 256 and 64 in interleaved A/B on v5e (ML-10M:
+        # 0.398 vs 0.433/0.401 s per 4-sweep epoch) and converges better
+        # per epoch than wider windows
+        mw = min(128, max(self.nbr_users, self.nbr_items))
         pl_ = sgd_mf.sorted_pass_layout(uidx, iidx, vals, self.batch_size,
-                                        axis='user')
+                                        axis='user', max_window=mw)
         ql_ = sgd_mf.sorted_pass_layout(uidx, iidx, vals, self.batch_size,
-                                        axis='item')
+                                        axis='item', max_window=mw)
         W_user, W_item = pl_[-1], ql_[-1]
         p_layout = tuple(jnp.asarray(x) for x in pl_[:-1])
         q_layout = tuple(jnp.asarray(x) for x in ql_[:-1])
@@ -456,6 +460,10 @@ class GDRecommender(MFRecommender):
         work (``ops.sgd_mf.make_alternating_implicit_epoch``).'''
         uidx, iidx, vals = self.ratings.coo()
         chunk = min(4096, self.batch_size)
+        # NOT the plain tier's W=128 optimum: the Y-aggregation phases
+        # couple rows across the batch, and narrow windows diverge at
+        # bench-scale learning rates (measured: train RMSE 2.20 > floor
+        # at W=128/batch=16k vs 0.652 at W=512/32k)
         pl_ = sgd_mf.sorted_pass_layout(uidx, iidx, vals, self.batch_size,
                                         axis='user')
         ql_ = sgd_mf.sorted_pass_layout(uidx, iidx, vals, self.batch_size,

@@ -362,7 +362,7 @@ def funk_fused_update_cache(pf, qf, ub, ib, cb, lo=1.0, hi=5.0):
 # --------------------------------------------------------------------------
 
 def sorted_pass_layout(uidx, iidx, vals, batch_size, axis='user',
-                       max_window=512):
+                       max_window=512, locality_sort=False):
     '''Host-side layout for one alternating half-epoch.
 
     Sorts the rating stream by `axis` key so every batch touches a
@@ -402,11 +402,20 @@ def sorted_pass_layout(uidx, iidx, vals, batch_size, axis='user',
     rb = np.zeros((nb, batch_size), np.float32)
     mb = np.zeros((nb, batch_size), np.float32)
     lo = np.zeros((nb,), np.int32)
+    other = i if axis == 'user' else u
     for b, (s, e) in enumerate(bounds):
         m = e - s
-        ub[b, :m] = u[s:e]
-        ib[b, :m] = i[s:e]
-        rb[b, :m] = v[s:e]
+        # optional secondary sort within the batch by the OTHER key: row
+        # order inside a batch is mathematically irrelevant (the one-hot
+        # aggregation sums/means over the batch).  Measured NEUTRAL on
+        # v5e (interleaved A/B, 0.4259 vs 0.4256 s at ML-10M — TPU row
+        # gathers don't reward ascending index order), so default off;
+        # kept as a knob for other HBM generations.
+        sub = (s + np.argsort(other[s:e], kind='stable')) if locality_sort \
+            else np.arange(s, e)
+        ub[b, :m] = u[sub]
+        ib[b, :m] = i[sub]
+        rb[b, :m] = v[sub]
         mb[b, :m] = 1.0
         # pad index slots with the batch's first key (valid window rows)
         ub[b, m:] = u[s]

@@ -158,7 +158,8 @@ def test_wrmf_model_cg_solver(small_dataset):
     (u, i, v), _ = small_dataset
     U, I = int(u.max()) + 1, int(i.max()) + 1
     m = WRMFRecommender(U, I, {'nbr_epochs': 8, 'nbr_features': 8,
-                               'solver': 'cg', 'cg_steps': 4})
+                               'solver': 'cg', 'cg_steps': 4,
+                               'cg_warm_steps': 2, 'cg_warmup_epochs': 1})
     m.set_ratings(u, i, np.ones_like(v))
     m.train()
     assert np.isfinite(m.P).all() and np.isfinite(m.Q).all()
