@@ -15,7 +15,8 @@ floor, bu_fit, bi_fit = bench.bias_floor_rmse(users, items, vals, U, I)
 mu = jnp.float32(vals.mean())
 
 
-def build(window, batch, locality_sort):
+def build(window, batch, locality_sort, inner=INNER, chunk=4096,
+          resident=False):
     pl_ = sgd_mf.sorted_pass_layout(users, items, vals, batch, axis='user',
                                     max_window=window,
                                     locality_sort=locality_sort)
@@ -32,7 +33,8 @@ def build(window, batch, locality_sort):
         jnp.asarray(np.pad(bi_fit, (0, W_item))))
     ep = sgd_mf.make_alternating_epoch(
         W_user, W_item, lr=0.15, K=0.02, bias_mode='fixed',
-        inner_steps=INNER, chunk=4096, use_pallas_full=True, donate=False)
+        inner_steps=inner, chunk=chunk, use_pallas_full=True, donate=False,
+        pallas_resident=resident)
     return ep, (Paug, Qaug), p_layout, q_layout
 
 
@@ -63,5 +65,8 @@ def ab(name_a, cfg_a, name_b, cfg_b, blocks=4):
                                    float(np.median(tb))))
 
 
-print('--- A/B: W=128/B=16k vs W=64/B=8k')
-ab('w128', (128, BATCH // 2, False), 'w64', (64, BATCH // 4, False))
+print('--- A/B at W=128/B=16k: T=4 vs T=8')
+ab('t4', (128, BATCH // 2, False, 4), 't8', (128, BATCH // 2, False, 8))
+print('--- A/B at W=128/B=16k: chunk 4096 vs 8192')
+ab('c4096', (128, BATCH // 2, False, 4, 4096),
+   'c8192', (128, BATCH // 2, False, 4, 8192))

@@ -2,17 +2,23 @@
 GDRecommender — Funk/BellKor SGD matrix factorization.
 
 Re-design of reference ``mfrec/recommendation/gradient_descent.py:27-954``
-plus its Cython inner loops (``gd_estimator.pyx``).  Two training engines:
+plus its Cython inner loops (``gd_estimator.pyx``).  Training engines:
 
-* ``engine='fused'`` (default, the TPU path): all-features mini-batch SGD
-  epochs via ``ops.sgd_mf.make_fused_epoch`` — conflict-free scatter-add
-  updates, one jitted scan per epoch, convergence checked on host with the
-  reference's improvement rule.
-
+* ``engine='fused'`` (default): all-features mini-batch SGD epochs via
+  ``ops.sgd_mf.make_fused_epoch`` — conflict-free scatter-add updates,
+  one jitted scan per epoch, host-checked reference convergence rule.
+* ``engine='alternating'``: the fastest single-chip path — scatter-free
+  sorted-window half-passes (fused Pallas batch kernel, ``inner_steps``
+  in-VMEM gradient sweeps per batch).
+* ``engine='alternating_sharded'`` / ``'alternating_ring'``: the same
+  engine over the device mesh (all_gather per factor side vs ppermute
+  shard rotation); ``'auto'`` picks sharded when >1 device.
+* ``engine='dsgd'``: Gemulla ring DSGD (diagonal blocks over the mesh).
 * ``engine='funk'``: the reference's feature-by-feature semantics (cached
-  partial dot, trailing term, per-feature convergence, rating-cache freeze)
-  via ``ops.sgd_mf.serial_feature_epoch`` — order-faithful, sequential, the
-  exactness oracle and the fold-in retrain path.
+  partial dot, trailing term, per-feature convergence, rating-cache
+  freeze) via ``ops.sgd_mf.serial_feature_epoch`` — order-faithful, the
+  exactness oracle and the fold-in retrain path; ``'funk_fused'`` runs
+  the same schedule at mini-batch speed.
 
 Public surface mirrors the reference: ``train``/``feature_training`` (+
 ``_bias``, ``_implicit``, ``_batch``, ``_online_prototype``, ``2``,
