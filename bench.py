@@ -188,7 +188,7 @@ def main():
         return bench_als(U, I, users, items)
 
     floor, bu_fit, bi_fit = bias_floor_rmse(users, items, vals, U, I)
-    inner = int(os.environ.get('BENCH_INNER', 4))
+    inner = int(os.environ.get('BENCH_INNER', 8))
 
     if mode == 'implicit':
         # SVD++ at sorted-window speed (alternating implicit tier).
@@ -254,7 +254,7 @@ def main():
         ep = sgd_mf.make_alternating_epoch(
             W_user, W_item, lr=float(os.environ.get('BENCH_LR', 0.15)),
             K=0.02, bias_mode='fixed', inner_steps=inner,
-            chunk=int(os.environ.get('BENCH_CHUNK', 4096)),
+            chunk=int(os.environ.get('BENCH_CHUNK', 8192)),
             use_pallas_agg=pallas_mode == 'agg',
             use_pallas_full=pallas_mode in ('full', 'resident'),
             pallas_resident=pallas_mode == 'resident')
