@@ -198,6 +198,7 @@ def main():
         # smaller row_mean batches overshoot at the same lr.
         W = int(os.environ.get('BENCH_WINDOW', 256))
         batch = int(os.environ.get('BENCH_BATCH', 1 << 15))
+        inner = int(os.environ.get('BENCH_INNER', 4))
         pl_ = sgd_mf.sorted_pass_layout(users, items, vals, batch,
                                         axis='user', max_window=W)
         ql_ = sgd_mf.sorted_pass_layout(users, items, vals, batch,
