@@ -45,8 +45,10 @@ class _Batcher:
     '''Coalesce concurrent single-user retrieval requests into one
     batched device call.'''
 
-    def __init__(self, model, nbr_recommendations, window_ms, max_batch):
+    def __init__(self, model, nbr_recommendations, window_ms, max_batch,
+                 lock=None):
         self.model = model
+        self.lock = lock or threading.RLock()
         self.n = int(nbr_recommendations)
         self.window_s = window_ms / 1000.0
         self.max_batch = int(max_batch)
@@ -82,8 +84,9 @@ class _Batcher:
             users = [s['user'] for s in batch]
             n = max(s['n'] for s in batch)
             try:
-                ids, scores = self.model.recommend_batch(
-                    np.asarray(users, np.int64), nbr_recommendations=n)
+                with self.lock:
+                    ids, scores = self.model.recommend_batch(
+                        np.asarray(users, np.int64), nbr_recommendations=n)
                 ids, scores = np.asarray(ids), np.asarray(scores)
                 for j, s in enumerate(batch):
                     s['items'] = ids[j][:s['n']].tolist()
@@ -105,8 +108,12 @@ class RecommenderServer:
                  nbr_recommendations=10, batch_window_ms=2.0,
                  max_batch=1024):
         self.model = model
+        # one coarse lock serializes model access across handler threads
+        # and the batcher (the Ratings store's lazy consolidation is not
+        # thread-safe against concurrent /rate ingestion)
+        self.lock = threading.RLock()
         self.batcher = _Batcher(model, nbr_recommendations,
-                                batch_window_ms, max_batch)
+                                batch_window_ms, max_batch, lock=self.lock)
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -143,16 +150,18 @@ class RecommenderServer:
                     if url.path == '/similar_items':
                         item = int(q['item'])
                         n = int(q.get('n', 5))
-                        ids, sims = server.model.similar_items(
-                            item, nbr_recommendations=n,
-                            similarities_output=True)
+                        with server.lock:
+                            ids, sims = server.model.similar_items(
+                                item, nbr_recommendations=n,
+                                similarities_output=True)
                         return self._json(200, {
                             'item': item,
                             'items': [int(i) for i in ids],
                             'scores': [float(s) for s in sims]})
                     if url.path == '/predict':
                         user, item = int(q['user']), int(q['item'])
-                        score = float(server.model.predict(item, user))
+                        with server.lock:
+                            score = float(server.model.predict(item, user))
                         return self._json(200, {'user': user, 'item': item,
                                                 'score': score})
                     return self._json(404, {'error': 'unknown path'})
@@ -167,9 +176,10 @@ class RecommenderServer:
                     length = int(self.headers.get('Content-Length', 0))
                     payload = json.loads(self.rfile.read(length) or b'{}')
                     if url.path == '/rate':
-                        server.model.set_item_by_id(
-                            int(payload['user']), int(payload['item']),
-                            float(payload['value']))
+                        with server.lock:
+                            server.model.set_item_by_id(
+                                int(payload['user']), int(payload['item']),
+                                float(payload['value']))
                         return self._json(200, {'ok': True})
                     return self._json(404, {'error': 'unknown path'})
                 except Exception as e:
