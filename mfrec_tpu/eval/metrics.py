@@ -208,15 +208,37 @@ def ranking_metrics(recommender, u_test, nbr_recommendations=10,
     ndcg_sum = ap_sum = rr_sum = 0.0
     users_count = 0
     recommended_union = set()
-    for user_index, relevant in relevant_by_user.items():
-        if user_index >= recommender.nbr_users:
-            continue
+
+    eligible = [u for u in relevant_by_user
+                if 0 <= u < recommender.nbr_users]
+    # one batched device call per 1024 users where the model provides the
+    # serving path (recommend_batch) — a per-user find_recommended_items
+    # loop pays one full-catalog dispatch per user, minutes of overhead
+    # at real test-set sizes on a relay-attached TPU
+    recs = {}
+    if hasattr(recommender, 'recommend_batch'):
         try:
-            recommended = recommender.find_recommended_items(
-                user_index=user_index, nbr_recommendations=N,
-                output_label=False, predictor=predictor)[0]
+            for s in range(0, len(eligible), 1024):
+                chunk = eligible[s:s + 1024]
+                ids, _ = recommender.recommend_batch(
+                    np.asarray(chunk, np.int64), nbr_recommendations=N,
+                    predictor=predictor)
+                ids = np.asarray(ids)
+                for j, u in enumerate(chunk):
+                    recs[u] = ids[j].tolist()
         except (KeyError, Error):
-            continue
+            recs = {}
+    for user_index in eligible:
+        relevant = relevant_by_user[user_index]
+        if user_index in recs:
+            recommended = recs[user_index]
+        else:
+            try:
+                recommended = recommender.find_recommended_items(
+                    user_index=user_index, nbr_recommendations=N,
+                    output_label=False, predictor=predictor)[0]
+            except (KeyError, Error):
+                continue
         users_count += 1
         recommended = [int(i) for i in recommended][:N]
         recommended_union.update(recommended)

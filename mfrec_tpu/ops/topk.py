@@ -83,6 +83,10 @@ def pad_rated_lists(ratings, user_indices, cap=None):
     users = np.asarray(user_indices, np.int64)
     counts = ptr[users + 1] - ptr[users]
     L = int(max(counts.max() if counts.size else 0, 1))
+    # round up to a power of two: downstream kernels are jitted on L, so
+    # shape-stable pads avoid a recompile per novel batch composition
+    # (a serving-path requirement; compile costs minutes on the relay)
+    L = 1 << (L - 1).bit_length()
     if cap is not None:
         L = min(L, int(cap))
     cnts = np.minimum(counts, L)[:, None]               # [B, 1]

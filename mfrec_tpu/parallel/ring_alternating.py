@@ -98,7 +98,15 @@ def build_ring_alternating_layout(uidx, iidx, vals, D, nbr_users,
                 bounds = _span_cap_bounds(k, W, batch_size)
                 per[d, s] = (k, o, v, bounds)
                 nb_max = max(nb_max, len(bounds))
-        B = batch_size
+        # Size the batch dim to the largest REAL batch, not batch_size:
+        # each (device, round) cell holds only ~1/D^2 of the ratings
+        # spread over the shard's keys, so the W-span cap usually closes
+        # batches far below batch_size — allocating batch_size would
+        # inflate the layout (and the kernel's masked work) ~D-fold.
+        B = 1
+        for k, o, v, bounds in per.values():
+            for st, e in bounds:
+                B = max(B, e - st)
         kl = np.zeros((D, D, nb_max, B), np.int32)
         og = np.zeros((D, D, nb_max, B), np.int32)
         rb = np.zeros((D, D, nb_max, B), np.float32)

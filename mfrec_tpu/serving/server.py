@@ -83,10 +83,16 @@ class _Batcher:
                     break
             users = [s['user'] for s in batch]
             n = max(s['n'] for s in batch)
+            # pad the user batch to a power of two so the device call is
+            # jitted on a handful of stable shapes instead of one per
+            # batch composition (remote compile costs minutes)
+            B = 1 << (len(users) - 1).bit_length()
+            padded = users + [users[0]] * (B - len(users))
             try:
                 with self.lock:
                     ids, scores = self.model.recommend_batch(
-                        np.asarray(users, np.int64), nbr_recommendations=n)
+                        np.asarray(padded, np.int64),
+                        nbr_recommendations=n)
                 ids, scores = np.asarray(ids), np.asarray(scores)
                 for j, s in enumerate(batch):
                     s['items'] = ids[j][:s['n']].tolist()
@@ -96,6 +102,15 @@ class _Batcher:
                     s['error'] = repr(e)
             for s in batch:
                 s['ev'].set()
+        # drain: fail anything still queued so waiters return promptly
+        # instead of sitting out the submit timeout
+        while True:
+            try:
+                s = self.q.get_nowait()
+            except queue.Empty:
+                break
+            s['error'] = 'server shutting down'
+            s['ev'].set()
 
     def stop(self):
         self._stop = True
@@ -140,15 +155,31 @@ class RecommenderServer:
                     if url.path == '/recommend':
                         if 'label' in q:
                             user = server.model.users.index[q['label']]
-                        else:
+                        elif 'user' in q:
                             user = int(q['user'])
+                        else:
+                            return self._json(400, {
+                                'error': "need 'user' or 'label'"})
+                        if not 0 <= int(user) < server.model.nbr_users:
+                            # reject here: an invalid id inside a
+                            # coalesced batch would otherwise 500 every
+                            # concurrent request in its window (and
+                            # negative ids would silently alias another
+                            # user through numpy indexing)
+                            return self._json(404, {
+                                'error': 'unknown user %s' % user})
                         n = int(q.get('n', server.batcher.n))
                         items, scores = server.batcher.submit(user, n)
                         return self._json(200, {'user': int(user),
                                                 'items': items,
                                                 'scores': scores})
                     if url.path == '/similar_items':
+                        if 'item' not in q:
+                            return self._json(400, {'error': "need 'item'"})
                         item = int(q['item'])
+                        if not 0 <= item < server.model.nbr_items:
+                            return self._json(404, {
+                                'error': 'unknown item %d' % item})
                         n = int(q.get('n', 5))
                         with server.lock:
                             ids, sims = server.model.similar_items(
@@ -159,7 +190,13 @@ class RecommenderServer:
                             'items': [int(i) for i in ids],
                             'scores': [float(s) for s in sims]})
                     if url.path == '/predict':
+                        if 'user' not in q or 'item' not in q:
+                            return self._json(400, {
+                                'error': "need 'user' and 'item'"})
                         user, item = int(q['user']), int(q['item'])
+                        if not (0 <= user < server.model.nbr_users
+                                and 0 <= item < server.model.nbr_items):
+                            return self._json(404, {'error': 'unknown id'})
                         with server.lock:
                             score = float(server.model.predict(item, user))
                         return self._json(200, {'user': user, 'item': item,
@@ -167,6 +204,8 @@ class RecommenderServer:
                     return self._json(404, {'error': 'unknown path'})
                 except KeyError as e:
                     return self._json(404, {'error': 'unknown id %s' % e})
+                except ValueError as e:
+                    return self._json(400, {'error': 'bad parameter: %s' % e})
                 except Exception as e:
                     return self._json(500, {'error': repr(e)})
 

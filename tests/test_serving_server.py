@@ -95,3 +95,28 @@ def test_server_concurrent_requests_batch():
             assert results[u] == ids[u].tolist()
     finally:
         srv.stop()
+
+
+def test_server_input_validation():
+    '''Bad requests get 4xx without poisoning concurrent batches.'''
+    m = _make_model()
+    srv = RecommenderServer(m, batch_window_ms=1.0)
+    port = srv.start()
+    try:
+        code, err = _get(port, '/recommend?user=99999')
+        assert code == 404
+        code, err = _get(port, '/recommend?user=-1')
+        assert code == 404              # negative would alias the last user
+        code, err = _get(port, '/recommend')
+        assert code == 400
+        code, err = _get(port, '/recommend?user=abc')
+        assert code == 400
+        code, err = _get(port, '/similar_items?item=12345')
+        assert code == 404
+        code, err = _get(port, '/predict?user=1')
+        assert code == 400
+        # a valid request right after all those still works
+        code, rec = _get(port, '/recommend?user=2&n=3')
+        assert code == 200 and len(rec['items']) == 3
+    finally:
+        srv.stop()

@@ -1,6 +1,17 @@
-'''Interleaved A/B bench: defeats relay/chip drift by alternating timed
-blocks of two configs within one process.  Temporary experiment tool.'''
+'''Interleaved A/B bench for the alternating tier.
+
+The relay/chip drifts ~20% across hours (CLAUDE.md), so one-shot config
+comparisons are meaningless; this alternates timed blocks of two configs
+in one process (within-run spread measured +-0.3%).  Edit the ab() calls
+at the bottom for the configs under test; run from the repo root:
+
+    python tools/ab_bench.py
+'''
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax.numpy as jnp
 
@@ -10,9 +21,6 @@ from mfrec_tpu.ops import sgd_mf
 U, I, N, K = 69878, 10677, 10_000_000, 64
 BATCH = 1 << 15
 INNER = 4
-users, items, vals = bench.make_data(U, I, N)
-floor, bu_fit, bi_fit = bench.bias_floor_rmse(users, items, vals, U, I)
-mu = jnp.float32(vals.mean())
 
 
 def build(window, batch, locality_sort, inner=INNER, chunk=4096,
@@ -65,8 +73,14 @@ def ab(name_a, cfg_a, name_b, cfg_b, blocks=4):
                                    float(np.median(tb))))
 
 
-print('--- A/B at W=128/B=16k: T=4 vs T=8')
-ab('t4', (128, BATCH // 2, False, 4), 't8', (128, BATCH // 2, False, 8))
-print('--- A/B at W=128/B=16k: chunk 4096 vs 8192')
-ab('c4096', (128, BATCH // 2, False, 4, 4096),
-   'c8192', (128, BATCH // 2, False, 4, 8192))
+if __name__ == '__main__':
+    # data build is deliberately inside the guard: importing this module
+    # must not trigger a 10M-rating generation + TPU runs
+    users, items, vals = bench.make_data(U, I, N)
+    floor, bu_fit, bi_fit = bench.bias_floor_rmse(users, items, vals, U, I)
+    mu = jnp.float32(vals.mean())
+    print('--- A/B at W=128/B=16k: T=4 vs T=8')
+    ab('t4', (128, BATCH // 2, False, 4), 't8', (128, BATCH // 2, False, 8))
+    print('--- A/B at W=128/B=16k: chunk 4096 vs 8192')
+    ab('c4096', (128, BATCH // 2, False, 4, 4096),
+       'c8192', (128, BATCH // 2, False, 4, 8192))
