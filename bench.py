@@ -258,7 +258,8 @@ def main():
             chunk=int(os.environ.get('BENCH_CHUNK', 8192)),
             use_pallas_agg=pallas_mode == 'agg',
             use_pallas_full=pallas_mode in ('full', 'resident'),
-            pallas_resident=pallas_mode == 'resident')
+            pallas_resident=pallas_mode == 'resident',
+            ff_dtype=os.environ.get('BENCH_FF'))
         state = (Paug, Qaug)
 
         def epoch(s):

@@ -51,7 +51,7 @@ def _kernel(W, lo_r, hi_r, clamp_pred, row_mean, bias_none,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    ff = ff_ref[:]                                     # [ch, k]
+    ff = ff_ref[:].astype(jnp.float32)                 # [ch, k]
     kl = kl_ref[:]                                     # [ch]
     m = m_ref[:]
     ch = ff.shape[0]
@@ -112,7 +112,7 @@ def _kernel_resident(W, nj, lo_r, hi_r, clamp_pred, row_mean, bias_none,
     acc = jnp.zeros((W, k + 1), jnp.float32)
     err2 = jnp.zeros((), jnp.float32)
     for j in range(nj):
-        ff = ff_ref[j * ch:(j + 1) * ch, :]
+        ff = ff_ref[j * ch:(j + 1) * ch, :].astype(jnp.float32)
         kl = kl_ref[j * ch:(j + 1) * ch]
         m = m_ref[j * ch:(j + 1) * ch]
         r = r_ref[j * ch:(j + 1) * ch]

@@ -453,7 +453,7 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
                            clamp_pred=True, lo_r=1.0, hi_r=5.0, chunk=4096,
                            donate=True, row_mean=True, use_pallas_agg=False,
                            use_pallas_full=False, inner_steps=1,
-                           pallas_resident=False):
+                           pallas_resident=False, ff_dtype=None):
     '''Build a jitted scatter-free epoch over *augmented* factors: a P
     half-pass over the user-sorted stream (Q fixed), then a Q half-pass
     over the item-sorted stream (P fixed) — blockwise-alternating SGD.
@@ -513,6 +513,14 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
 
     def half_pass(F_upd, F_fix, mu, batches, W, upd_is_user):
         kdim = None
+        if use_pallas_full and ff_dtype == 'bfloat16':
+            # cast the fixed side ONCE per half-pass so the per-batch row
+            # gather and the kernel's per-iteration ff re-stream move
+            # half the bytes (the dominant per-batch HBM cost); the
+            # kernel upcasts to f32 before the elementwise math —
+            # fixed-side bf16 rounding is the same accepted deviation as
+            # the window's bf16 read (see pallas_half_pass.py docstring)
+            F_fix = F_fix.astype(jnp.bfloat16)
 
         def step(carry, batch):
             F_upd, sse = carry
