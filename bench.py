@@ -259,7 +259,7 @@ def main():
             use_pallas_agg=pallas_mode == 'agg',
             use_pallas_full=pallas_mode in ('full', 'resident'),
             pallas_resident=pallas_mode == 'resident',
-            ff_dtype=os.environ.get('BENCH_FF'))
+            ff_dtype=os.environ.get('BENCH_FF', 'bfloat16'))
         state = (Paug, Qaug)
 
         def epoch(s):

@@ -341,8 +341,13 @@ class GDRecommender(MFRecommender):
             K_bu=self.K2, K_bi=self.K3, bias_mode=bias_mode,
             lo_r=self.min_rating, hi_r=self.max_rating, chunk=chunk,
             inner_steps=self.inner_steps,
-            # Pallas kernels only lower on TPU backends
-            use_pallas_full=jax.default_backend() != 'cpu')
+            # Pallas kernels only lower on TPU backends; the bf16 fixed
+            # side is the same accepted mixed-precision deviation as the
+            # kernel's bf16 window read (interleaved A/B: 10% faster at
+            # identical planted-structure RMSE)
+            use_pallas_full=jax.default_backend() != 'cpu',
+            ff_dtype='bfloat16' if jax.default_backend() != 'cpu'
+            else None)
         driver = ConvergenceDriver(self.min_epochs, self.max_epochs,
                                    self.min_improvement)
 

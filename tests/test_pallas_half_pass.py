@@ -84,3 +84,29 @@ def test_half_pass_inner_steps_matches_numpy():
         window = window + lrv[None, :] * gsum / np.maximum(cnt, 1.0)[:, None]
     np.testing.assert_allclose(out, window, atol=2e-2, rtol=5e-2)  # bf16 x3
     assert abs(sse - sse_first) / sse_first < 1e-3
+
+
+def test_half_pass_bf16_fixed_side():
+    '''ff in bfloat16 (the ff_dtype='bfloat16' fast path): same result
+    as f32 ff within bf16 rounding of the fixed side.'''
+    rng = np.random.default_rng(2)
+    B, k, W = 256, 10, 32
+    window = rng.normal(0, 0.3, (W, k)).astype(np.float32)
+    ff = rng.normal(0, 0.3, (B, k)).astype(np.float32)
+    r = rng.uniform(1, 5, B).astype(np.float32)
+    m = np.ones(B, np.float32)
+    kl = np.sort(rng.integers(0, W, B)).astype(np.int32)
+    lrv = np.full(k, 0.1, np.float32)
+    regv = np.full(k, 0.02, np.float32)
+    out32, sse32 = half_pass_batch(
+        jnp.asarray(window), jnp.asarray(ff), jnp.asarray(r),
+        jnp.asarray(m), jnp.asarray(kl), jnp.asarray(lrv),
+        jnp.asarray(regv), 3.4, W, chunk=64, interpret=True)
+    out16, sse16 = half_pass_batch(
+        jnp.asarray(window), jnp.asarray(ff).astype(jnp.bfloat16),
+        jnp.asarray(r), jnp.asarray(m), jnp.asarray(kl),
+        jnp.asarray(lrv), jnp.asarray(regv), 3.4, W, chunk=64,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(out16), np.asarray(out32),
+                               atol=2e-2, rtol=5e-2)
+    assert abs(float(sse16) - float(sse32)) / float(sse32) < 0.05
