@@ -24,7 +24,7 @@ INNER = 4
 
 
 def build(window, batch, locality_sort, inner=INNER, chunk=4096,
-          resident=False):
+          resident=False, ff_dtype=None):
     pl_ = sgd_mf.sorted_pass_layout(users, items, vals, batch, axis='user',
                                     max_window=window,
                                     locality_sort=locality_sort)
@@ -42,7 +42,7 @@ def build(window, batch, locality_sort, inner=INNER, chunk=4096,
     ep = sgd_mf.make_alternating_epoch(
         W_user, W_item, lr=0.15, K=0.02, bias_mode='fixed',
         inner_steps=inner, chunk=chunk, use_pallas_full=True, donate=False,
-        pallas_resident=resident)
+        pallas_resident=resident, ff_dtype=ff_dtype)
     return ep, (Paug, Qaug), p_layout, q_layout
 
 
