@@ -221,7 +221,13 @@ def main():
         mu = jnp.float32(vals.mean())
         ep = sgd_mf.make_alternating_implicit_epoch(
             W_user, W_item, lr=float(os.environ.get('BENCH_LR', 0.15)),
-            lr_y=0.05, K=0.02, K_y=0.02, inner_steps=inner)
+            lr_y=0.05, K=0.02, K_y=0.02, inner_steps=inner,
+            # XLA base measured FASTER here than the fused Pallas kernel
+            # (0.463 vs 0.652 s/epoch, and bf16 rounding visibly hurts
+            # the Y-coupled convergence: RMSE 0.693 -> 0.703) — the
+            # interleaved Y phases break the kernel's pipelining
+            use_pallas_full=os.environ.get('BENCH_IMPLICIT_PALLAS') == '1',
+            ff_dtype=None)
         state = (Paug, Qaug, Ypad)
 
         def epoch(s):

@@ -502,6 +502,10 @@ class GDRecommender(MFRecommender):
             W_user, W_item, self.learning_rate, self.learning_rate,
             self.K, self.K, lo_r=self.min_rating, hi_r=self.max_rating,
             chunk=chunk, inner_steps=self.inner_steps)
+        # (deliberately the XLA base even on TPU: the fused Pallas
+        # half-pass measured slower inside this epoch — its phases
+        # interleave with the Y aggregations — and bf16 rounding hurts
+        # the Y-coupled convergence; see ROADMAP measurement)
         driver = ConvergenceDriver(self.min_epochs, self.max_epochs,
                                    self.min_improvement)
 

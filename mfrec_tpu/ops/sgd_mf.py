@@ -627,7 +627,8 @@ def _agg_window(g, kl, m, W, chunk, row_mean):
 def make_alternating_implicit_epoch(W_user, W_item, lr, lr_y, K, K_y,
                                     clamp_pred=True, lo_r=1.0, hi_r=5.0,
                                     chunk=4096, row_mean=True,
-                                    donate=True, inner_steps=1):
+                                    donate=True, inner_steps=1,
+                                    use_pallas_full=False, ff_dtype=None):
     '''SVD++ (implicit feedback) at sorted-window speed — every phase is
     scatter-free window work:
 
@@ -659,7 +660,9 @@ def make_alternating_implicit_epoch(W_user, W_item, lr, lr_y, K, K_y,
                                   bias_mode='fixed', clamp_pred=clamp_pred,
                                   lo_r=lo_r, hi_r=hi_r, chunk=chunk,
                                   donate=False, row_mean=row_mean,
-                                  inner_steps=inner_steps)
+                                  inner_steps=inner_steps,
+                                  use_pallas_full=use_pallas_full,
+                                  ff_dtype=ff_dtype)
 
     def scan_agg(target, layout, source_fn, W, mean):
         '''Accumulate source_fn(batch) rows into `target` windows.'''
