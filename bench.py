@@ -258,6 +258,10 @@ def main():
             jnp.asarray(np.pad(bi_fit, (0, W_item))))
         mu = jnp.float32(vals.mean())
         pallas_mode = os.environ.get('BENCH_PALLAS', 'full')
+        ff_dtype = os.environ.get('BENCH_FF', 'bfloat16')
+        assert ff_dtype in ('bfloat16', 'float32', ''), \
+            'BENCH_FF must be bfloat16 or float32 (got %r)' % ff_dtype
+        ff_dtype = ff_dtype if ff_dtype == 'bfloat16' else None
         ep = sgd_mf.make_alternating_epoch(
             W_user, W_item, lr=float(os.environ.get('BENCH_LR', 0.15)),
             K=0.02, bias_mode='fixed', inner_steps=inner,
@@ -265,7 +269,7 @@ def main():
             use_pallas_agg=pallas_mode == 'agg',
             use_pallas_full=pallas_mode in ('full', 'resident'),
             pallas_resident=pallas_mode == 'resident',
-            ff_dtype=os.environ.get('BENCH_FF', 'bfloat16'))
+            ff_dtype=ff_dtype)
         state = (Paug, Qaug)
 
         def epoch(s):
@@ -330,6 +334,8 @@ def main():
         'device': str(jax.devices()[0]),
         'batch': batch,
         'mode': mode,
+        'ff_dtype': (ff_dtype or 'float32') if mode == 'alternating'
+        else 'float32',
     }))
 
 

@@ -344,10 +344,10 @@ class GDRecommender(MFRecommender):
             # Pallas kernels only lower on TPU backends; the bf16 fixed
             # side is the same accepted mixed-precision deviation as the
             # kernel's bf16 window read (interleaved A/B: 10% faster at
-            # identical planted-structure RMSE)
+            # identical planted-structure RMSE).  ff_dtype is only
+            # honored when use_pallas_full is true, so one gate suffices.
             use_pallas_full=jax.default_backend() != 'cpu',
-            ff_dtype='bfloat16' if jax.default_backend() != 'cpu'
-            else None)
+            ff_dtype='bfloat16')
         driver = ConvergenceDriver(self.min_epochs, self.max_epochs,
                                    self.min_improvement)
 

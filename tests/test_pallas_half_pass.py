@@ -94,7 +94,7 @@ def test_half_pass_bf16_fixed_side():
     window = rng.normal(0, 0.3, (W, k)).astype(np.float32)
     ff = rng.normal(0, 0.3, (B, k)).astype(np.float32)
     r = rng.uniform(1, 5, B).astype(np.float32)
-    m = np.ones(B, np.float32)
+    m = (rng.random(B) > 0.1).astype(np.float32)   # masked rows too
     kl = np.sort(rng.integers(0, W, B)).astype(np.int32)
     lrv = np.full(k, 0.1, np.float32)
     regv = np.full(k, 0.02, np.float32)
@@ -110,3 +110,13 @@ def test_half_pass_bf16_fixed_side():
     np.testing.assert_allclose(np.asarray(out16), np.asarray(out32),
                                atol=2e-2, rtol=5e-2)
     assert abs(float(sse16) - float(sse32)) / float(sse32) < 0.05
+    # the resident kernel's bf16 slicing/upcast path must agree with the
+    # chunked grid bitwise (same chunk order, same rounding points)
+    out16r, sse16r = half_pass_batch(
+        jnp.asarray(window), jnp.asarray(ff).astype(jnp.bfloat16),
+        jnp.asarray(r), jnp.asarray(m), jnp.asarray(kl),
+        jnp.asarray(lrv), jnp.asarray(regv), 3.4, W, chunk=64,
+        interpret=True, resident=True)
+    np.testing.assert_allclose(np.asarray(out16r), np.asarray(out16),
+                               atol=1e-6)
+    assert abs(float(sse16r) - float(sse16)) < 1e-4 * max(float(sse16), 1)
