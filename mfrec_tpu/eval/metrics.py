@@ -217,17 +217,19 @@ def ranking_metrics(recommender, u_test, nbr_recommendations=10,
     # at real test-set sizes on a relay-attached TPU
     recs = {}
     if hasattr(recommender, 'recommend_batch'):
-        try:
-            for s in range(0, len(eligible), 1024):
-                chunk = eligible[s:s + 1024]
+        for s in range(0, len(eligible), 1024):
+            chunk = eligible[s:s + 1024]
+            try:
                 ids, _ = recommender.recommend_batch(
                     np.asarray(chunk, np.int64), nbr_recommendations=N,
                     predictor=predictor)
-                ids = np.asarray(ids)
-                for j, u in enumerate(chunk):
-                    recs[u] = ids[j].tolist()
-        except (KeyError, Error):
-            recs = {}
+            except (KeyError, Error):
+                # keep already-computed chunks; only THIS chunk's users
+                # fall back to the per-user path below
+                continue
+            ids = np.asarray(ids)
+            for j, u in enumerate(chunk):
+                recs[u] = ids[j].tolist()
     for user_index in eligible:
         relevant = relevant_by_user[user_index]
         if user_index in recs:

@@ -41,6 +41,11 @@ def optimize_k(model, u_test, ks=range(5, 55, 5), nbr_samples=2000,
     For models whose train() precomputes k-sized neighbor caches
     (KNNUsersRecommender), pass ``retrain=True``.'''
     k0 = model.k
+    k_min = int(getattr(model, 'k_min', 1))
+    # k below k_min can never form a usable neighborhood — skip those
+    # points explicitly instead of scoring them to NaN (and tripping
+    # numpy empty-slice warnings inside the predictors)
+    ks = [int(k) for k in ks if int(k) >= k_min]
     scores = []
     for k in ks:
         model.k = int(k)
@@ -50,7 +55,7 @@ def optimize_k(model, u_test, ks=range(5, 55, 5), nbr_samples=2000,
             model, u_test, nbr_samples, predictor=predictor, quiet=True)[0]
         scores.append(rmse)
     model.k = k0
-    return np.asarray(list(ks)), np.asarray(scores)
+    return np.asarray(ks), np.asarray(scores)
 
 
 def optimize_similarity_threshold(factory, train_kwargs, u_test,

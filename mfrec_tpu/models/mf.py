@@ -189,7 +189,7 @@ class MFRecommender(BaseRecommender):
 
     def recommend_batch(self, user_indices, nbr_recommendations=5,
                         predictor='predict', use_pallas=False,
-                        sharded=None, mask_rated=True):
+                        sharded=None, mask_rated=True, rated_pad_to=None):
         '''Batched top-N for many users in one device call — the serving
         path (no reference equivalent; the reference loops users).
 
@@ -210,8 +210,8 @@ class MFRecommender(BaseRecommender):
         mu = float(self.overall_bias or 0.0)
         n = min(int(nbr_recommendations), self.nbr_items)
         if mask_rated:
-            rated_idx, rated_mask = topk_ops.pad_rated_lists(self.ratings,
-                                                             users)
+            rated_idx, rated_mask = topk_ops.pad_rated_lists(
+                self.ratings, users, pad_to=rated_pad_to)
         else:
             rated_idx = np.zeros((len(users), 1), np.int32)
             rated_mask = np.zeros((len(users), 1), np.float32)

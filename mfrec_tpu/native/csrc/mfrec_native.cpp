@@ -83,10 +83,28 @@ long mn_parse_ratings(const char* path, int32_t* users, int32_t* items,
     if (!buf) { std::fclose(f); return -1; }
     size_t have = 0;     // carried-over partial line at buf[0..have)
     long n = 0;
+    bool discarding = false;   // inside a pathological >1MiB line
     for (;;) {
         size_t got = std::fread(buf + have, 1, BUF - have, f);
         size_t len = have + got;
         bool eof = got == 0;
+        if (discarding) {
+            // a line longer than the window is malformed for this
+            // format: skip to its terminating newline WITHOUT parsing
+            // (parsing the window in pieces would split a numeric token
+            // straddling the boundary into two bogus ratings)
+            char* nl = (char*)std::memchr(buf, '\n', len);
+            if (!nl) {
+                if (eof) break;
+                have = 0;
+                continue;
+            }
+            discarding = false;
+            size_t rem = len - (nl + 1 - buf);
+            std::memmove(buf, nl + 1, rem);
+            have = rem;
+            continue;
+        }
         char* parse_end;             // parse complete lines only
         if (eof) {
             parse_end = buf + len;
@@ -94,7 +112,9 @@ long mn_parse_ratings(const char* path, int32_t* users, int32_t* items,
             char* last_nl = (char*)memrchr(buf, '\n', len);  // glibc ext
             if (!last_nl) {
                 if (len < BUF) { have = len; continue; }  // short read
-                parse_end = buf + len;   // pathological >1MiB line
+                discarding = true;   // window full, no newline: drop line
+                have = 0;
+                continue;
             } else {
                 parse_end = last_nl + 1;
             }

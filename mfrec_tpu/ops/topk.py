@@ -76,9 +76,11 @@ def topn_scores(P_rows, Q, bu_rows, bi, mu, rated_idx, rated_mask, n,
     return idx, scores
 
 
-def pad_rated_lists(ratings, user_indices, cap=None):
+def pad_rated_lists(ratings, user_indices, cap=None, pad_to=None):
     '''Host-side: padded already-rated lists for a batch of users —
-    vectorized grid fill (no per-user python loop).'''
+    vectorized grid fill (no per-user python loop).  ``pad_to`` pads the
+    list width UP to a fixed value (serving: one compiled shape across
+    all batch compositions instead of one per batch-max rated count).'''
     ptr, items, _ = ratings.csr()
     users = np.asarray(user_indices, np.int64)
     counts = ptr[users + 1] - ptr[users]
@@ -87,6 +89,8 @@ def pad_rated_lists(ratings, user_indices, cap=None):
     # shape-stable pads avoid a recompile per novel batch composition
     # (a serving-path requirement; compile costs minutes on the relay)
     L = 1 << (L - 1).bit_length()
+    if pad_to is not None:
+        L = max(L, int(pad_to))
     if cap is not None:
         L = min(L, int(cap))
     cnts = np.minimum(counts, L)[:, None]               # [B, 1]

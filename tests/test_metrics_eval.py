@@ -204,6 +204,29 @@ def test_native_parse_streaming_boundaries(tmp_path):
     np.testing.assert_allclose(v, vals.astype(np.float32), rtol=1e-6)
 
 
+def test_native_parse_skips_over_window_sized_line(tmp_path):
+    '''A pathological line longer than the 1 MiB read window is
+    malformed for this format: it must be SKIPPED whole, not parsed in
+    pieces (a numeric token straddling the window boundary would
+    otherwise split into two bogus ratings).'''
+    from mfrec_tpu import native
+    if not native.available():
+        import pytest
+        pytest.skip('no compiler')
+    path = tmp_path / 'longline.tsv'
+    with open(path, 'w') as f:
+        f.write('1\t2\t3.0\n')
+        # >2 windows of digits with no newline: would parse as many
+        # bogus rows if the window contents were parsed piecewise
+        f.write('9' * (3 * (1 << 20)))
+        f.write('\n')
+        f.write('4\t5\t2.0\n')
+    u, i, v = native.parse_ratings(str(path))
+    np.testing.assert_array_equal(u, [1, 4])
+    np.testing.assert_array_equal(i, [2, 5])
+    np.testing.assert_allclose(v, [3.0, 2.0])
+
+
 def test_ranking_metrics_exact_values():
     '''NDCG/MAP/MRR on a hand-computed case.'''
     from mfrec_tpu.eval.metrics import ranking_metrics

@@ -97,6 +97,71 @@ def test_server_concurrent_requests_batch():
         srv.stop()
 
 
+def test_server_reads_unblocked_by_write_stream():
+    '''Snapshot-on-rate: a steady /rate stream must not stall retrieval
+    (reads run lock-free against an immutable view), and writes become
+    visible to readers after a view refresh.'''
+    m = _make_model()
+    srv = RecommenderServer(m, batch_window_ms=1.0, view_refresh_ms=5.0)
+    port = srv.start()
+    try:
+        nnz0 = m.ratings.nnz
+        stop = threading.Event()
+        write_count = [0]
+
+        def writer():
+            u = 0
+            while not stop.is_set():
+                req = urllib.request.Request(
+                    'http://127.0.0.1:%d/rate' % port,
+                    data=json.dumps({'user': u % 80, 'item': (u * 7) % 50,
+                                     'value': 3.0}).encode(),
+                    method='POST')
+                with urllib.request.urlopen(req, timeout=30) as r:
+                    assert json.loads(r.read())['ok']
+                write_count[0] += 1
+                u += 1
+
+        wt = threading.Thread(target=writer)
+        wt.start()
+        try:
+            ok = 0
+            import time
+            t0 = time.monotonic()
+            while time.monotonic() - t0 < 3.0:
+                code, rec = _get(port, '/recommend?user=%d&n=3' % (ok % 80))
+                assert code == 200 and len(rec['items']) == 3
+                ok += 1
+        finally:
+            stop.set()
+            wt.join(timeout=30)
+        assert ok >= 20            # reads kept flowing under write load
+        assert write_count[0] > 0
+        # writes land in the live model immediately (some pairs may
+        # overwrite existing ratings — dedup is last-write-wins)
+        assert m.ratings.nnz >= nnz0
+        # ...and reach readers once the view refreshes: user 0 rated
+        # item 0 above, so a refreshed view must mask it out
+        srv.refresh()
+        code, rec = _get(port, '/recommend?user=0&n=20')
+        assert 0 not in rec['items']
+    finally:
+        srv.stop()
+
+
+def test_server_stop_rejects_submits():
+    m = _make_model()
+    srv = RecommenderServer(m, batch_window_ms=1.0)
+    srv.start()
+    srv.stop()
+    try:
+        srv.batcher.submit(0, 3)
+        assert False, 'submit after stop must raise'
+    except RuntimeError:
+        pass
+    assert not srv.batcher.thread.is_alive()
+
+
 def test_server_input_validation():
     '''Bad requests get 4xx without poisoning concurrent batches.'''
     m = _make_model()
