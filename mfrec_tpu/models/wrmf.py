@@ -31,7 +31,9 @@ class WRMFRecommender(MFRecommender):
                         'solver': 'solver',
                         'cg_steps': 'cg_steps',
                         'cg_warm_steps': 'cg_warm_steps',
-                        'cg_warmup_epochs': 'cg_warmup_epochs'}
+                        'cg_warmup_epochs': 'cg_warmup_epochs',
+                        'engine': 'engine',
+                        'init_mode': 'init_mode'}
 
     _default_predictor_mode = 'dot'
 
@@ -63,6 +65,18 @@ class WRMFRecommender(MFRecommender):
         # half-sweep (warm starts make late epochs cheap; None = no drop).
         self.cg_warm_steps = None
         self.cg_warmup_epochs = 2
+        # engine='auto': single-chip nnz-bucket ALS on one device, the
+        # mesh-sharded epoch (parallel.als_sharded) on >1; 'als' /
+        # 'als_sharded' force either path.
+        self.engine = 'auto'
+        # init_mode='normal' (default): N(0, feature_init) factor init.
+        # The reference's constant f_init (wrmf.py:92-93) is a latent
+        # defect: with every column identical, the ALS normal equations
+        # are permutation-symmetric, so columns stay identical FOREVER —
+        # the model is rank-1 regardless of nbr_features (only float
+        # rounding slowly breaks the tie).  'constant' keeps the
+        # reference behavior for parity runs.
+        self.init_mode = 'normal'
 
         if parameters:
             self.set_parameters(parameters)
@@ -86,13 +100,31 @@ class WRMFRecommender(MFRecommender):
         '''ALS training (reference wrmf.py:83-110): binarized implicit
         preferences, alternating batched normal-equation solves.'''
         if initialize_model or self.P is None:
-            self.P = np.full((self.nbr_users, self.dimensionality),
-                             self.feature_init, np.float32)
-            self.Q = np.full((self.nbr_items, self.dimensionality),
-                             self.feature_init, np.float32)
+            if self.init_mode == 'normal':
+                self.P = self.rng.normal(
+                    0.0, self.feature_init,
+                    (self.nbr_users, self.dimensionality)).astype(np.float32)
+                self.Q = self.rng.normal(
+                    0.0, self.feature_init,
+                    (self.nbr_items, self.dimensionality)).astype(np.float32)
+            else:        # 'constant': reference-faithful (see __init__)
+                self.P = np.full((self.nbr_users, self.dimensionality),
+                                 self.feature_init, np.float32)
+                self.Q = np.full((self.nbr_items, self.dimensionality),
+                                 self.feature_init, np.float32)
 
         self.initialize_rated_feedback()
         self.compute_overall_avg()
+
+        import jax
+        engine = self.engine
+        if engine == 'auto':
+            engine = 'als_sharded' if len(jax.devices()) > 1 else 'als'
+        if engine == 'als_sharded':
+            return self._train_sharded(verbose=verbose)
+        if engine != 'als':
+            from mfrec_tpu.models.base import Error
+            raise Error('unknown engine %r' % (self.engine,))
 
         user_buckets = self.ratings.padded_rows(axis='user')
         item_buckets = self.ratings.padded_rows(axis='item')
@@ -116,5 +148,51 @@ class WRMFRecommender(MFRecommender):
         self.Q = np.array(Q)
         # Rows with no ratings solve to M^-1 @ 0 = 0 in the reference
         # (als_implicit.pyx:296-302); padded buckets skip them, so zero here.
+        self.P[self.ratings.user_counts() == 0] = 0.0
+        self.Q[self.ratings.item_counts() == 0] = 0.0
+
+    def _train_sharded(self, verbose=False, n_devices=None):
+        '''Mesh-sharded ALS (``parallel.als_sharded``): factors
+        row-sharded over the device mesh, one all_gather of the fixed
+        side per half-sweep; honors the same solver/cg/gram knobs as the
+        single-chip path.'''
+        import jax
+        from mfrec_tpu.parallel import als_sharded
+        from mfrec_tpu.parallel.mesh import make_mesh
+        D = n_devices or len(jax.devices())
+        mesh = make_mesh(D)
+        u_idx, u_val, u_mask = als_sharded.padded_uniform(
+            self.ratings, 'user', D)
+        i_idx, i_val, i_mask = als_sharded.padded_uniform(
+            self.ratings, 'item', D)
+        solver = self.solver
+        epoch = als_sharded.make_sharded_als_epoch(
+            mesh, c_pos=float(self.c_pos), alpha=float(self.alpha),
+            reg=float(self.K), solver=solver, cg_steps=int(self.cg_steps),
+            gram_dtype=jnp.bfloat16 if self.gram_dtype == 'bfloat16'
+            else None)
+        warm_epoch = None
+        if solver == 'cg' and self.cg_warm_steps is not None \
+                and int(self.cg_warm_steps) != int(self.cg_steps):
+            warm_epoch = als_sharded.make_sharded_als_epoch(
+                mesh, c_pos=float(self.c_pos), alpha=float(self.alpha),
+                reg=float(self.K), solver='cg',
+                cg_steps=int(self.cg_warm_steps))
+        Ru, Ri = u_idx.shape[0], i_idx.shape[0]
+        P = jnp.asarray(np.pad(np.asarray(self.P, np.float32),
+                               ((0, Ru - self.nbr_users), (0, 0))))
+        Q = jnp.asarray(np.pad(np.asarray(self.Q, np.float32),
+                               ((0, Ri - self.nbr_items), (0, 0))))
+        u_idx, u_val, u_mask, i_idx, i_val, i_mask = (
+            jnp.asarray(x) for x in
+            (u_idx, u_val, u_mask, i_idx, i_val, i_mask))
+        for e in range(int(self.nbr_epochs)):
+            fn = epoch if (warm_epoch is None
+                           or e < int(self.cg_warmup_epochs)) else warm_epoch
+            P, Q = fn(P, Q, u_idx, u_val, u_mask, i_idx, i_val, i_mask)
+            if verbose:
+                self.logger.info('Epoch : %d', e)
+        self.P = np.array(P)[:self.nbr_users]
+        self.Q = np.array(Q)[:self.nbr_items]
         self.P[self.ratings.user_counts() == 0] = 0.0
         self.Q[self.ratings.item_counts() == 0] = 0.0

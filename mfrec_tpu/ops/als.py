@@ -53,26 +53,20 @@ def _bucket_solve(F, out, HH, rows, nbr_idx, nbr_val, mask, c_pos, alpha,
     return out.at[rows].set(sol.astype(out.dtype))
 
 
-def _bucket_cg_body(F, out, HHreg, rows, nbr_idx, nbr_val, mask, c_pos,
-                    alpha, reg, steps):
-    '''Traceable body of ``_bucket_cg`` (shared with the fused one-jit
-    epoch, ``make_cg_epoch``).'''
-    k = F.shape[1]
-    A = F[nbr_idx] * mask[..., None]                  # [R, L, k]
-    cm1 = jnp.where(alpha > 0, alpha * nbr_val, c_pos) * mask   # [R, L]
-    Ab = A.astype(jnp.bfloat16)
-    Awb = (A * cm1[..., None]).astype(jnp.bfloat16)
-    M = HHreg[None] + jnp.einsum('rlk,rlm->rkm', Awb, Ab,
-                                 preferred_element_type=jnp.float32)
-    b = ((1.0 + cm1)[..., None] * A).sum(1)           # [R, k]
-    x = out[rows]
-
+def pcg_solve(M, b, x0, steps):
+    '''Warm-started Jacobi-preconditioned CG on batched materialized
+    systems: M [R, k, k], b [R, k], x0 [R, k] -> x [R, k].  The mat-vec
+    is one batched [k,k]@[k,1] matmul — measured 28x faster than
+    batched Cholesky on v5e at equal fixed points thanks to the warm
+    start (shared by the single-chip bucket sweeps and the sharded ALS
+    epoch).'''
     def Mv(v):
         return jnp.matmul(M, v[..., None],
                           preferred_element_type=jnp.float32)[..., 0]
 
     D = jnp.maximum(jnp.diagonal(M, axis1=1, axis2=2), 1e-12)   # Jacobi
     eps = 1e-20
+    x = x0
     r = b - Mv(x)
     z = r / D
     p = z
@@ -88,6 +82,21 @@ def _bucket_cg_body(F, out, HHreg, rows, nbr_idx, nbr_val, mask, c_pos,
         beta = jnp.where(rz > eps, rz_new / jnp.maximum(rz, eps), 0.0)
         p = z + beta[:, None] * p
         rz = rz_new
+    return x
+
+
+def _bucket_cg_body(F, out, HHreg, rows, nbr_idx, nbr_val, mask, c_pos,
+                    alpha, reg, steps):
+    '''Traceable body of ``_bucket_cg`` (shared with the fused one-jit
+    epoch, ``make_cg_epoch``).'''
+    A = F[nbr_idx] * mask[..., None]                  # [R, L, k]
+    cm1 = jnp.where(alpha > 0, alpha * nbr_val, c_pos) * mask   # [R, L]
+    Ab = A.astype(jnp.bfloat16)
+    Awb = (A * cm1[..., None]).astype(jnp.bfloat16)
+    M = HHreg[None] + jnp.einsum('rlk,rlm->rkm', Awb, Ab,
+                                 preferred_element_type=jnp.float32)
+    b = ((1.0 + cm1)[..., None] * A).sum(1)           # [R, k]
+    x = pcg_solve(M, b, out[rows], steps)
     return out.at[rows].set(x.astype(out.dtype))
 
 

@@ -6,7 +6,14 @@ updated side is row-sharded over the mesh, the fixed side is replicated
 (its Gram HH is computed locally — it is tiny, [k, k]).  Between
 half-sweeps the freshly-updated side is all-gathered to become the next
 fixed side.  Uses a uniform-L padded layout so every shard has identical
-shapes.
+shapes (trades padding memory for shard-uniformity; the single-chip
+nnz-bucket ladder of ``ops.als`` stays the memory-lean option).
+
+Reachable from the public model API: ``WRMFRecommender`` with
+``engine='als_sharded'`` (or the default ``'auto'`` on >1 device); both
+the exact batched-Cholesky solver and the warm-started Jacobi-PCG fast
+path (``solver='cg'``) run sharded.  Reference seed:
+``als_implicit.pyx:211-352`` (per-row normal equations).
 '''
 from __future__ import annotations
 
@@ -46,7 +53,8 @@ def padded_uniform(ratings, axis, D):
 
 
 def make_sharded_als_epoch(mesh, c_pos=1.0, alpha=0.0, reg=0.015,
-                           axis='dp'):
+                           axis='dp', solver='exact', cg_steps=6,
+                           gram_dtype=None):
     '''Build a jitted sharded ALS epoch:
 
         (P, Q, u_idx, u_val, u_mask, i_idx, i_val, i_mask) -> (P, Q)
@@ -54,29 +62,46 @@ def make_sharded_als_epoch(mesh, c_pos=1.0, alpha=0.0, reg=0.015,
     P [Up, k] row-sharded, Q [Ip, k] row-sharded; neighbor-list tensors
     row-sharded to match their side.  Each half-sweep all-gathers the
     fixed side (one ICI all_gather), computes HH locally, then runs the
-    batched normal-equation + Cholesky solve on the local rows.
+    batched normal-equation solve on the local rows.
+
+    ``solver='cg'``: warm-started Jacobi-PCG (``ops.als.pcg_solve``)
+    instead of the exact Cholesky — the same fast path as the
+    single-chip tier, now over the mesh.  ``gram_dtype`` (e.g.
+    ``jnp.bfloat16``) runs the rank-L Gram corrections at bf16 MXU rate
+    with f32 accumulation; the CG path always uses bf16 Gram like the
+    single-chip ``_bucket_cg_body``.
     '''
 
-    def solve_rows(F_fixed, nbr_idx, nbr_val, mask):
+    def solve_rows(F_fixed, x0, nbr_idx, nbr_val, mask):
+        from mfrec_tpu.ops.als import pcg_solve
         k = F_fixed.shape[1]
-        HH = F_fixed.T @ F_fixed
+        HH = (F_fixed.T @ F_fixed).astype(jnp.float32)
         A = F_fixed[nbr_idx] * mask[..., None]
         cm1 = jnp.where(alpha > 0, alpha * nbr_val, c_pos) * mask
-        M = HH[None] + jnp.einsum('rlk,rlm->rkm', A * cm1[..., None], A,
+        gd = jnp.bfloat16 if solver == 'cg' else gram_dtype
+        Ag = A if gd is None else A.astype(gd)
+        Aw = (A * cm1[..., None]) if gd is None \
+            else (A * cm1[..., None]).astype(gd)
+        M = HH[None] + jnp.einsum('rlk,rlm->rkm', Aw, Ag,
                                   preferred_element_type=jnp.float32)
-        M = M + reg * jnp.eye(k, dtype=F_fixed.dtype)[None]
+        M = M + reg * jnp.eye(k, dtype=jnp.float32)[None]
         b = ((1.0 + cm1)[..., None] * A).sum(1)
+        # rows with no neighbors solve to 0 in the reference
+        # (als_implicit.pyx:296-302, b = 0); force it exactly so their
+        # residue never leaks into the next half-sweep's Gram (CG only
+        # drives them NEAR zero from a warm start)
+        alive = (mask.sum(1) > 0).astype(jnp.float32)[:, None]
+        if solver == 'cg':
+            return pcg_solve(M, b, x0, int(cg_steps)) * alive
         L = jnp.linalg.cholesky(M)
         sol = jax.scipy.linalg.cho_solve((L, True), b[..., None])[..., 0]
-        # rows with no neighbors solve to ~0 like the reference
-        # (als_implicit.pyx:296-302) since b = 0 there
-        return sol
+        return sol * alive
 
     def device_fn(P, Q, u_idx, u_val, u_mask, i_idx, i_val, i_mask):
         Q_full = jax.lax.all_gather(Q, axis, tiled=True)
-        P = solve_rows(Q_full, u_idx, u_val, u_mask).astype(P.dtype)
+        P = solve_rows(Q_full, P, u_idx, u_val, u_mask).astype(P.dtype)
         P_full = jax.lax.all_gather(P, axis, tiled=True)
-        Q = solve_rows(P_full, i_idx, i_val, i_mask).astype(Q.dtype)
+        Q = solve_rows(P_full, Q, i_idx, i_val, i_mask).astype(Q.dtype)
         return P, Q
 
     sharded = shard_map(
