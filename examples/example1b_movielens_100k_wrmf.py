@@ -20,10 +20,18 @@ import numpy as np
 from mfrec_tpu.eval.metrics import test_predict_rating, precision_recall
 from mfrec_tpu.models.wrmf import WRMFRecommender
 from mfrec_tpu.graph.similarity_graph import SimilarityGraph
-from mfrec_tpu.data.movielens import (load_ratings_file, synthetic_ratings,
-                                      train_test_split)
+from mfrec_tpu.data.movielens import load_ratings_file
+from mfrec_tpu.data import ml100k_like
 
 logging.basicConfig(level=logging.INFO)
+
+# Acceptance floors at this operating point (30 epochs / 20 features /
+# reg 0.015, the reference driver's hyperparameters).  Pinned on the
+# ML-100K-faithful generator (exact published rating histogram, >=20
+# ratings/user, Zipf items — see mfrec_tpu/data/ml100k_like.py) and
+# asserted in CI (tests/test_acceptance_ml100k.py).
+P5_FLOOR = 0.30
+P10_FLOOR = 0.22
 
 
 def load_dataset(dataset='u1'):
@@ -36,12 +44,10 @@ def load_dataset(dataset='u1'):
         u_test = np.stack([tu, ti, tv], axis=1).astype(np.float64)
         return (bu, bi, bv), u_test, os.path.join(home,
                                                   'datasets/ml-100k/u.item')
-    print('ml-100k not found locally — using a synthetic stand-in')
-    users, items, values = synthetic_ratings(nbr_users=943, nbr_items=1682,
-                                             nbr_ratings=100_000, rank=12,
-                                             seed=0)
-    train, u_test = train_test_split(users, items, values, 0.2, seed=1)
-    return train, u_test, None
+    print('ml-100k not found locally — using the ML-100K-faithful '
+          'synthetic u1 split (exact published marginals)')
+    train, u_test = ml100k_like.u1_split(seed=0)
+    return train, u_test.astype(np.float64), None
 
 
 if __name__ == '__main__':
@@ -74,8 +80,13 @@ if __name__ == '__main__':
     MovieLensRecommender.train(verbose=True)
     print('train time: %.2fs' % (time.time() - t0))
 
-    print(precision_recall(MovieLensRecommender, u_test,
-                           nbr_recommendations=5, verbose=True))
+    p5 = precision_recall(MovieLensRecommender, u_test,
+                          nbr_recommendations=5, verbose=True)[0]
+    p10 = precision_recall(MovieLensRecommender, u_test,
+                           nbr_recommendations=10, verbose=True)[0]
+    print('acceptance: P@5 %.4f (floor %.2f) %s | P@10 %.4f (floor %.2f) %s'
+          % (p5, P5_FLOOR, 'PASS' if p5 >= P5_FLOOR else 'FAIL',
+             p10, P10_FLOOR, 'PASS' if p10 >= P10_FLOOR else 'FAIL'))
 
     # similar items for an arbitrary title
     some_item = MovieLensRecommender.items_label[50]

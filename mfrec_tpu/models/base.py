@@ -179,12 +179,19 @@ class BaseRecommender(object):
 
     def set_parameters(self, parameters):
         '''Map public parameter names to attributes (reference
-        base.py:180-199); unknown key -> Error.'''
+        base.py:180-199); unknown key -> Error.  Explicitly-set
+        attribute names are recorded in ``_explicit_params`` so engines
+        with different step semantics (e.g. the row-mean alternating
+        tier) can tell a user-chosen value from a class default.'''
+        if not hasattr(self, '_explicit_params'):
+            self._explicit_params = set()
         for k, v in parameters.items():
             try:
-                setattr(self, self.PARAMETERS_INDEX[k], v)
+                attr = self.PARAMETERS_INDEX[k]
             except KeyError:
                 raise Error('Wrong parameters')
+            setattr(self, attr, v)
+            self._explicit_params.add(attr)
 
     def set_dimensionality(self, new_dim_value):
         self.dimensionality = int(new_dim_value)

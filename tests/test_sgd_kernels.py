@@ -281,28 +281,67 @@ def test_funk_fused_learned_bias(tiny_dataset):
 
 
 def test_alternating_implicit_converges(small_dataset):
-    '''SVD++ at sorted-window speed: rmse falls, Y learns, and the final
-    rmse lands near the fused implicit tier's.'''
+    '''SVD++ at sorted-window speed: rmse falls, Y learns, and every
+    engine routes through the exact windowed tier (the capped fused
+    implicit path was removed — r2 verdict weak #3).'''
     from mfrec_tpu.models.gd import GDRecommender
     (u, i, v), _ = small_dataset
     U, I = int(u.max()) + 1, int(i.max()) + 1
-    outs = {}
-    for engine in ('alternating', 'fused'):
-        m = GDRecommender(U, I, {'min_epochs': 25, 'max_epochs': 25,
-                                 'nbr_features': 6,
-                                 'learning_rate': 0.2 if
-                                 engine == 'alternating' else 0.02,
-                                 'regularization_model': 0.02,
-                                 'engine': engine, 'batch_size': 1024,
-                                 'inner_steps': 4})
-        m.seed(0)
-        m.set_ratings(u, i, v)
-        m.feature_training_implicit()
-        outs[engine] = m
-    m = outs['alternating']
+    m = GDRecommender(U, I, {'min_epochs': 25, 'max_epochs': 25,
+                             'nbr_features': 6, 'learning_rate': 0.2,
+                             'regularization_model': 0.02,
+                             'engine': 'alternating', 'batch_size': 1024,
+                             'inner_steps': 4})
+    m.seed(0)
+    m.set_ratings(u, i, v)
+    m.feature_training_implicit()
     hist = m.get_rmse_history()
     assert hist[-1] < hist[0] - 0.03
     assert np.abs(m.Y).max() > 0                  # y factors learned
     assert np.isfinite(m.predict_rating_implicit(1, 1))
-    assert abs(hist[-1] - outs['fused'].rmse_history[-1]) < 0.15, (
-        hist[-1], outs['fused'].rmse_history[-1])
+    # engine='fused' lands on the SAME exact tier (no capped path left)
+    m2 = GDRecommender(U, I, {'min_epochs': 25, 'max_epochs': 25,
+                              'nbr_features': 6, 'learning_rate': 0.2,
+                              'regularization_model': 0.02,
+                              'engine': 'fused', 'batch_size': 1024,
+                              'inner_steps': 4})
+    m2.seed(0)
+    m2.set_ratings(u, i, v)
+    m2.feature_training_implicit()
+    np.testing.assert_allclose(m2.Y, m.Y, atol=1e-6)
+
+
+def test_implicit_heavy_user_exact_feedback():
+    '''r2 verdict weak #3 "done" criterion: a user with MORE than 128
+    ratings (the old feedback_cap) must contribute their FULL rated set
+    to the SVD++ feedback sum — verified against a direct numpy
+    recomputation of the predictor from the trained factors.'''
+    from mfrec_tpu.models.gd import GDRecommender
+    rng = np.random.default_rng(0)
+    U, I = 40, 200
+    # user 0 rates 180 items (> the old 128 cap); others rate a few
+    heavy_items = rng.choice(I, 180, replace=False)
+    uu = [0] * 180
+    ii = list(heavy_items)
+    for usr in range(1, U):
+        its = rng.choice(I, 6, replace=False)
+        uu += [usr] * 6
+        ii += list(its)
+    vv = rng.integers(1, 6, len(uu)).astype(np.float32)
+    u, i, v = (np.asarray(uu, np.int32), np.asarray(ii, np.int32), vv)
+    m = GDRecommender(U, I, {'min_epochs': 5, 'max_epochs': 5,
+                             'nbr_features': 4, 'learning_rate': 0.1,
+                             'engine': 'alternating', 'batch_size': 512,
+                             'inner_steps': 2})
+    m.seed(1)
+    m.set_ratings(u, i, v)
+    m.feature_training_implicit()
+    # predictor must use ALL 180 rated items of user 0
+    seek, span = m.feedback_hash[0]
+    assert span == 180
+    items_id = m.feedback_rated[seek:seek + span, 1]
+    p_u = m.P[0] + m.Y[items_id].sum(0) / np.sqrt(180)
+    want = float(m.Q[3] @ p_u + m.overall_bias + m.items_bias[3]
+                 + m.users_bias[0])
+    got = m.predict_rating_implicit(3, 0)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
