@@ -530,6 +530,72 @@ class GDRecommender(MFRecommender):
             for e, r in enumerate(driver.history):
                 self.logger.info('epoch %d rmse %.5f', e, r)
 
+    def _run_alternating_implicit_sharded(self, verbose=False,
+                                          n_devices=None):
+        '''SVD++ over the device mesh (``parallel.implicit_sharded``):
+        the five windowed phases of the single-chip implicit tier, with
+        users/items range-partitioned like the plain sharded engine and
+        4 ICI all_gathers per epoch (Y, Q, Peff, G).'''
+        import jax
+        from mfrec_tpu.parallel import alternating_sharded as alt
+        from mfrec_tpu.parallel import implicit_sharded as imp
+        from mfrec_tpu.parallel.mesh import make_mesh
+        D = n_devices or len(jax.devices())
+        mesh = make_mesh(D)
+        uidx, iidx, vals = self.ratings.coo()
+        # same wide-window rule as the single-chip implicit tier: the
+        # Y-aggregation phases couple rows across the batch, and narrow
+        # windows diverge at bench-scale learning rates
+        max_window = min(512, max(self.nbr_users, self.nbr_items))
+        p_layout, q_layout, (Ushard, Ishard, W) = \
+            alt.build_sharded_alternating_layout(
+                uidx, iidx, vals, D, self.nbr_users, self.nbr_items,
+                batch_size=self.batch_size, max_window=max_window)
+        self._ensure_bias_arrays()
+        k = self.dimensionality
+        Paug, Qaug = sgd_mf.augment_factors(
+            np.asarray(self.P, np.float32), np.asarray(self.Q, np.float32),
+            np.asarray(self.users_bias, np.float32),
+            np.asarray(self.items_bias, np.float32))
+        Paug = jnp.asarray(alt.pad_factors_sharded(Paug, Ushard, W, D))
+        Qaug = jnp.asarray(alt.pad_factors_sharded(Qaug, Ishard, W, D))
+        Ypad = jnp.zeros((D * (Ishard + W), k), jnp.float32)
+        counts = self.ratings.user_counts().astype(np.float32)
+        nrm_host = np.where(counts > 0,
+                            1.0 / np.sqrt(np.maximum(counts, 1.0)),
+                            0.0).astype(np.float32)
+        nrm = jnp.asarray(alt.pad_factors_sharded(
+            nrm_host[:, None], Ushard, W, D)[:, 0])
+        mu = jnp.float32(self.overall_bias or 0.0)
+        lr, _, _ = self._alt_lrs()
+        epoch = imp.make_sharded_implicit_epoch(
+            mesh, W, lr=lr, lr_y=lr, K=self.K, K_y=self.K,
+            lo_r=self.min_rating, hi_r=self.max_rating,
+            chunk=min(8192, self.batch_size),
+            inner_steps=self.inner_steps)
+        p_dev = tuple(jnp.asarray(x) for x in p_layout)
+        q_dev = tuple(jnp.asarray(x) for x in q_layout)
+        driver = ConvergenceDriver(self.min_epochs, self.max_epochs,
+                                   self.min_improvement)
+
+        def one_epoch(st):
+            Pa, Qa, Yp = st
+            Pa, Qa, Yp, rmse = epoch(Pa, Qa, Yp, mu, nrm, *p_dev, *q_dev)
+            return (Pa, Qa, Yp), rmse
+
+        Paug, Qaug, Ypad = driver.run(one_epoch, (Paug, Qaug, Ypad))
+        self.rmse_history = driver.history
+        Pa = alt.unpad_factors_sharded(np.asarray(Paug), Ushard, W, D,
+                                       self.nbr_users)
+        Qa = alt.unpad_factors_sharded(np.asarray(Qaug), Ishard, W, D,
+                                       self.nbr_items)
+        self.P, self.Q = Pa[:, :k], Qa[:, :k]
+        self.Y = alt.unpad_factors_sharded(np.asarray(Ypad), Ishard, W, D,
+                                           self.nbr_items)
+        if verbose:
+            for e, r in enumerate(driver.history):
+                self.logger.info('epoch %d rmse %.5f', e, r)
+
     # -------------------------------------------------------- dsgd engine
     def _run_dsgd(self, bias_mode, verbose=False, n_devices=None):
         '''Ring-DSGD training over all visible devices
@@ -711,7 +777,15 @@ class GDRecommender(MFRecommender):
         self.compute_users_bias_bk()
         self.initialize_rated_feedback()
         self.Y = np.zeros_like(self.Q)
-        self._run_alternating_implicit(verbose=verbose)
+        engine = self.engine
+        if engine == 'auto':
+            import jax
+            engine = ('alternating_sharded' if len(jax.devices()) > 1
+                      else 'alternating')
+        if engine == 'alternating_sharded':
+            self._run_alternating_implicit_sharded(verbose=verbose)
+        else:
+            self._run_alternating_implicit(verbose=verbose)
 
     def feature_training2(self, initialize_model=True, verbose=False):
         '''Caller-controlled funk subloops (reference

