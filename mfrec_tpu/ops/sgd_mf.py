@@ -453,7 +453,8 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
                            clamp_pred=True, lo_r=1.0, hi_r=5.0, chunk=4096,
                            donate=True, row_mean=True, use_pallas_agg=False,
                            use_pallas_full=False, inner_steps=1,
-                           pallas_resident=False, ff_dtype=None):
+                           pallas_resident=False, ff_dtype=None,
+                           link='identity', K_u=None, K_i=None):
     '''Build a jitted scatter-free epoch over *augmented* factors: a P
     half-pass over the user-sorted stream (Q fixed), then a Q half-pass
     over the item-sorted stream (P fixed) — blockwise-alternating SGD.
@@ -482,13 +483,26 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
     layouts are the device-resident tensors of ``sorted_pass_layout``
     minus W.  Build/unpack Paug/Qaug with ``augment_factors`` /
     ``split_factors``.
+
+    ``link``: prediction link function — 'identity' (explicit MF) or
+    'logistic' (kernel MF, Rendle: pred = lo + sigmoid(s)*(hi-lo) with
+    s = dot + biases; the gradient picks up sigmoid'(s)*(hi-lo)) —
+    the sorted-window re-expression of ``kmf_train.pyx:103-193``.
+    ``K_u``/``K_i``: per-side factor regularization overrides (KMF's
+    regularization_users/items split); default both = K.  The logistic
+    link is XLA-path only (use_pallas_full must be False).
     '''
     learned = bias_mode == 'learned'
+    K_u = K if K_u is None else K_u
+    K_i = K if K_i is None else K_i
+    if link != 'identity':
+        assert not (use_pallas_full or use_pallas_agg), \
+            'non-identity links run on the XLA path'
 
     def col_vectors(kdim, upd_is_user):
         # per-column lr and regularization for [factors | bu | 1] rows
         lrv = np.full(kdim + 2, lr, np.float32)
-        regv = np.full(kdim + 2, K, np.float32)
+        regv = np.full(kdim + 2, K_u if upd_is_user else K_i, np.float32)
         own_bias_col = kdim if upd_is_user else kdim + 1
         const_col = kdim + 1 if upd_is_user else kdim
         lrv[own_bias_col] = (lr_bu if upd_is_user else lr_bi) if learned \
@@ -560,13 +574,24 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
             for t in range(inner_steps):
                 fu = win[klp]             # [B, k] gather from the window
                 dot = (fu * ffp).sum(-1)
-                pred = (1.0 + dot) if bias_mode == 'none' else (mu + dot)
-                if clamp_pred:
-                    pred = clamp(pred, lo_r, hi_r)
-                err = (rp - pred) * mp
+                if link == 'logistic':
+                    # kernel MF: s = dot(+biases via aug cols); pred =
+                    # lo + sigmoid(s)*range; grad factor sigmoid'(s)*range
+                    # (kmf_train.pyx:158-165)
+                    rng_w = hi_r - lo_r
+                    sig = jax.nn.sigmoid(dot)
+                    pred = lo_r + sig * rng_w
+                    err = (rp - pred) * mp
+                    eff = err * sig * (1.0 - sig) * rng_w
+                else:
+                    pred = (1.0 + dot) if bias_mode == 'none' else (mu + dot)
+                    if clamp_pred:
+                        pred = clamp(pred, lo_r, hi_r)
+                    err = (rp - pred) * mp
+                    eff = err
                 if t == 0:
                     sse = sse + (err * err).sum()
-                g = err[:, None] * ffp - regv[None, :] * fu * mp[:, None]
+                g = eff[:, None] * ffp - regv[None, :] * fu * mp[:, None]
                 if use_pallas_agg:
                     from mfrec_tpu.ops.pallas_window_agg import \
                         window_aggregate
