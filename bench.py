@@ -336,7 +336,22 @@ def main():
         'mode': mode,
         'ff_dtype': (ff_dtype or 'float32') if mode == 'alternating'
         else 'float32',
+        # out-of-the-box == benchmarked (r2 verdict weak #5): the bench's
+        # tuned operating point must equal the shipped GDRecommender
+        # defaults — engine auto->alternating, batch, inner_steps, and
+        # the row-mean lr default
+        'engine_defaults_match': _defaults_match(batch, inner, mode),
     }))
+
+
+def _defaults_match(batch, inner, mode):
+    if mode != 'alternating' or os.environ.get('BENCH_LR'):
+        return None            # only meaningful for the headline config
+    from mfrec_tpu.models.gd import GDRecommender
+    m = GDRecommender(4, 4)
+    return bool(m.engine == 'auto' and m.batch_size == batch
+                and m.inner_steps == inner
+                and abs(m._alt_lrs()[0] - 0.15) < 1e-9)
 
 
 def _main_with_retry():
