@@ -88,14 +88,22 @@ def pcg_solve(M, b, x0, steps):
 def _bucket_cg_body(F, out, HHreg, rows, nbr_idx, nbr_val, mask, c_pos,
                     alpha, reg, steps):
     '''Traceable body of ``_bucket_cg`` (shared with the fused one-jit
-    epoch, ``make_cg_epoch``).'''
-    A = F[nbr_idx] * mask[..., None]                  # [R, L, k]
+    epoch, ``make_cg_epoch``).
+
+    ``F`` may be pre-cast to bfloat16 by the caller (one cast per
+    half-sweep): the [R, L, k] neighbor gather — the dominant HBM
+    traffic of the Gram assembly — then moves half the bytes and never
+    materializes in f32.  The Gram contraction weights carry mask*cm1,
+    so the unmasked bf16 gather is correct for M; the rhs b applies
+    (1+cm1)*mask as an MXU batched mat-vec with f32 accumulation.'''
+    A = F[nbr_idx]                                    # [R, L, k] (bf16 ok)
     cm1 = jnp.where(alpha > 0, alpha * nbr_val, c_pos) * mask   # [R, L]
     Ab = A.astype(jnp.bfloat16)
-    Awb = (A * cm1[..., None]).astype(jnp.bfloat16)
+    Awb = Ab * cm1[..., None].astype(jnp.bfloat16)
     M = HHreg[None] + jnp.einsum('rlk,rlm->rkm', Awb, Ab,
                                  preferred_element_type=jnp.float32)
-    b = ((1.0 + cm1)[..., None] * A).sum(1)           # [R, k]
+    b = jnp.einsum('rl,rlk->rk', (1.0 + cm1) * mask, Ab,
+                   preferred_element_type=jnp.float32)
     x = pcg_solve(M, b, out[rows], steps)
     return out.at[rows].set(x.astype(out.dtype))
 
@@ -139,13 +147,15 @@ def make_cg_epoch(n_user_buckets, n_item_buckets, c_pos, alpha, reg,
         ib = [tuple(flat[off + 4 * j:off + 4 * j + 4])
               for j in range(n_item_buckets)]
         HHreg = (Q.T @ Q + eye).astype(jnp.float32)
-        for rows, nidx, nval, mask in ub:
-            P = _bucket_cg_body(Q, P, HHreg, rows, nidx, nval, mask,
+        Qb = Q.astype(jnp.bfloat16)        # one cast per half-sweep:
+        for rows, nidx, nval, mask in ub:  # gathers move half the bytes
+            P = _bucket_cg_body(Qb, P, HHreg, rows, nidx, nval, mask,
                                 c_pos, alpha, reg, steps)
         P = P * u_alive
         HHreg = (P.T @ P + eye).astype(jnp.float32)
+        Pb = P.astype(jnp.bfloat16)
         for rows, nidx, nval, mask in ib:
-            Q = _bucket_cg_body(P, Q, HHreg, rows, nidx, nval, mask,
+            Q = _bucket_cg_body(Pb, Q, HHreg, rows, nidx, nval, mask,
                                 c_pos, alpha, reg, steps)
         Q = Q * i_alive
         return P, Q
@@ -170,9 +180,10 @@ def als_half_sweep_cg(F_fixed, F_update, buckets, c_pos=1.0, alpha=0.0,
     k = F_fixed.shape[1]
     HHreg = (F_fixed.T @ F_fixed
              + reg * jnp.eye(k, dtype=jnp.float32)).astype(jnp.float32)
+    Fb = F_fixed.astype(jnp.bfloat16)
     for rows, nbr_idx, nbr_val, mask in buckets:
         F_update = _bucket_cg(
-            F_fixed, F_update, HHreg,
+            Fb, F_update, HHreg,
             jnp.asarray(rows), jnp.asarray(nbr_idx), jnp.asarray(nbr_val),
             jnp.asarray(mask), jnp.float32(c_pos), jnp.float32(alpha),
             jnp.float32(reg), steps=int(cg_steps))

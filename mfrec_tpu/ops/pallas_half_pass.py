@@ -34,9 +34,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(W, lo_r, hi_r, clamp_pred, row_mean, bias_none,
+def _kernel(W, lo_r, hi_r, clamp_pred, row_mean, bias_none, cache_onehot,
             mu_ref, win_ref, ff_ref, r_ref, m_ref, kl_ref, lrv_ref,
-            regv_ref, out_ref, sse_ref, acc_ref, win_scr):
+            regv_ref, out_ref, sse_ref, acc_ref, win_scr, oh_scr):
     t = pl.program_id(0)          # inner gradient iteration
     j = pl.program_id(1)          # ff chunk
     nt = pl.num_programs(0)
@@ -55,8 +55,18 @@ def _kernel(W, lo_r, hi_r, clamp_pred, row_mean, bias_none,
     kl = kl_ref[:]                                     # [ch]
     m = m_ref[:]
     ch = ff.shape[0]
-    onehot = (kl[:, None] == jax.lax.broadcasted_iota(
-        jnp.int32, (ch, W), 1)).astype(jnp.bfloat16)
+    if cache_onehot:
+        # the one-hot tile is t-invariant: build once per chunk (t == 0)
+        # into a persistent scratch slab, re-read on later sweeps
+        @pl.when(t == 0)
+        def _():
+            oh_scr[pl.ds(j * ch, ch), :] = (
+                kl[:, None] == jax.lax.broadcasted_iota(
+                    jnp.int32, (ch, W), 1)).astype(jnp.bfloat16)
+        onehot = oh_scr[pl.ds(j * ch, ch), :]
+    else:
+        onehot = (kl[:, None] == jax.lax.broadcasted_iota(
+            jnp.int32, (ch, W), 1)).astype(jnp.bfloat16)
     fu = jax.lax.dot_general(
         onehot, win_scr[:].astype(jnp.bfloat16),
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -91,13 +101,17 @@ def _kernel(W, lo_r, hi_r, clamp_pred, row_mean, bias_none,
 
 def _kernel_resident(W, nj, lo_r, hi_r, clamp_pred, row_mean, bias_none,
                      mu_ref, win_ref, ff_ref, r_ref, m_ref, kl_ref,
-                     lrv_ref, regv_ref, out_ref, sse_ref, win_scr):
+                     lrv_ref, regv_ref, out_ref, sse_ref, win_scr,
+                     oh_scr):
     '''Whole-batch-resident variant: the full ff/r/m/kl tensors live in
     VMEM for the batch (constant block index: one DMA per pallas_call,
     not one per (t, chunk) grid step), and the chunk loop is unrolled
     inside the kernel.  Cuts the marginal inner-iteration HBM traffic
     from ~|ff| per iteration to zero — the inner sweeps become
-    MXU-bound.'''
+    MXU-bound.  The one-hot tile is invariant across iterations, so it
+    is built ONCE (t == 0) into a VMEM scratch and re-read by later
+    sweeps — the marginal sweep loses the [ch, W] compare+cast VPU work
+    (ROADMAP r2: the sweep floor is onehot build + elementwise).'''
     t = pl.program_id(0)
     nt = pl.num_programs(0)
 
@@ -116,8 +130,14 @@ def _kernel_resident(W, nj, lo_r, hi_r, clamp_pred, row_mean, bias_none,
         kl = kl_ref[j * ch:(j + 1) * ch]
         m = m_ref[j * ch:(j + 1) * ch]
         r = r_ref[j * ch:(j + 1) * ch]
-        onehot = (kl[:, None] == jax.lax.broadcasted_iota(
-            jnp.int32, (ch, W), 1)).astype(jnp.bfloat16)
+
+        @pl.when(t == 0)
+        def _(j=j, kl=kl):
+            oh_scr[j * ch:(j + 1) * ch, :] = (
+                kl[:, None] == jax.lax.broadcasted_iota(
+                    jnp.int32, (ch, W), 1)).astype(jnp.bfloat16)
+
+        onehot = oh_scr[j * ch:(j + 1) * ch, :]
         fu = jax.lax.dot_general(
             onehot, winb,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -151,11 +171,12 @@ def _kernel_resident(W, nj, lo_r, hi_r, clamp_pred, row_mean, bias_none,
 @functools.partial(jax.jit, static_argnames=('W', 'chunk', 'clamp_pred',
                                              'lo_r', 'hi_r', 'row_mean',
                                              'bias_none', 'interpret',
-                                             'inner_steps', 'resident'))
+                                             'inner_steps', 'resident',
+                                             'cache_onehot'))
 def half_pass_batch(window, ff, r, m, kl, lrv, regv, mu, W, chunk=4096,
                     clamp_pred=True, lo_r=1.0, hi_r=5.0, row_mean=True,
                     bias_none=False, interpret=False, inner_steps=1,
-                    resident=False):
+                    resident=False, cache_onehot=False):
     '''One fused batch step.  window [W, k]; ff [B, k] pre-gathered fixed
     rows; kl [B] window-local updated-row ids (masked rows may point
     anywhere valid — their gradients are zero); lrv/regv [k] per-column
@@ -206,12 +227,13 @@ def half_pass_batch(window, ff, r, m, kl, lrv, regv, mu, W, chunk=4096,
                 jax.ShapeDtypeStruct((W, k), jnp.float32),
                 jax.ShapeDtypeStruct((1, 1), jnp.float32),
             ),
-            scratch_shapes=[pltpu.VMEM((W, k), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((W, k), jnp.float32),
+                            pltpu.VMEM((B, W), jnp.bfloat16)],
             # the unrolled chunk loop keeps each iteration's onehot/fu/g
             # tiles live on the scoped-vmem stack (Mosaic does not reuse
             # stack slots across unrolled iterations): ~3.4 MB x nj.
             # Raise the 16 MB default; physical VMEM is 128 MB and the
-            # resident inputs take only ~9 MB.
+            # resident inputs take only ~9 MB (+2BW onehot cache).
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
@@ -219,7 +241,7 @@ def half_pass_batch(window, ff, r, m, kl, lrv, regv, mu, W, chunk=4096,
         return out, sse[0, 0]
     kernel = functools.partial(_kernel, int(W), lo_r, hi_r,
                                bool(clamp_pred), bool(row_mean),
-                               bool(bias_none))
+                               bool(bias_none), bool(cache_onehot))
     out, sse = pl.pallas_call(
         kernel,
         grid=(int(inner_steps), B // ch),
@@ -252,7 +274,9 @@ def half_pass_batch(window, ff, r, m, kl, lrv, regv, mu, W, chunk=4096,
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((W, k + 1), jnp.float32),
-                        pltpu.VMEM((W, k), jnp.float32)],
+                        pltpu.VMEM((W, k), jnp.float32),
+                        pltpu.VMEM((B if cache_onehot else ch, W),
+                                   jnp.bfloat16)],
         # let chunk sizes above 4096 fit their per-iteration onehot/fu/g
         # tiles (the 16 MB default scoped-vmem stack caps chunk at ~4k)
         compiler_params=pltpu.CompilerParams(

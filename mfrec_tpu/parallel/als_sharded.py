@@ -76,16 +76,27 @@ def make_sharded_als_epoch(mesh, c_pos=1.0, alpha=0.0, reg=0.015,
         from mfrec_tpu.ops.als import pcg_solve
         k = F_fixed.shape[1]
         HH = (F_fixed.T @ F_fixed).astype(jnp.float32)
-        A = F_fixed[nbr_idx] * mask[..., None]
         cm1 = jnp.where(alpha > 0, alpha * nbr_val, c_pos) * mask
-        gd = jnp.bfloat16 if solver == 'cg' else gram_dtype
-        Ag = A if gd is None else A.astype(gd)
-        Aw = (A * cm1[..., None]) if gd is None \
-            else (A * cm1[..., None]).astype(gd)
-        M = HH[None] + jnp.einsum('rlk,rlm->rkm', Aw, Ag,
-                                  preferred_element_type=jnp.float32)
+        if solver == 'cg':
+            # bf16 gather, like the single-chip CG tier (ops.als
+            # _bucket_cg_body): the neighbor gather moves half the
+            # bytes; mask rides the contraction weights
+            Ab = F_fixed.astype(jnp.bfloat16)[nbr_idx]
+            Aw = Ab * cm1[..., None].astype(jnp.bfloat16)
+            M = HH[None] + jnp.einsum('rlk,rlm->rkm', Aw, Ab,
+                                      preferred_element_type=jnp.float32)
+            b = jnp.einsum('rl,rlk->rk', (1.0 + cm1) * mask, Ab,
+                           preferred_element_type=jnp.float32)
+        else:
+            A = F_fixed[nbr_idx] * mask[..., None]
+            gd = gram_dtype
+            Ag = A if gd is None else A.astype(gd)
+            Aw = (A * cm1[..., None]) if gd is None \
+                else (A * cm1[..., None]).astype(gd)
+            M = HH[None] + jnp.einsum('rlk,rlm->rkm', Aw, Ag,
+                                      preferred_element_type=jnp.float32)
+            b = ((1.0 + cm1)[..., None] * A).sum(1)
         M = M + reg * jnp.eye(k, dtype=jnp.float32)[None]
-        b = ((1.0 + cm1)[..., None] * A).sum(1)
         # rows with no neighbors solve to 0 in the reference
         # (als_implicit.pyx:296-302, b = 0); force it exactly so their
         # residue never leaks into the next half-sweep's Gram (CG only

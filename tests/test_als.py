@@ -149,7 +149,12 @@ def test_cg_solver_matches_exact(small_dataset):
     Pc, Qc = als_ops.als_wrmf_train(P0, Q0, ub, ib, nbr_epochs=10,
                                     solver='cg', cg_steps=5)
     d = np.asarray(Pe @ Qe.T) - np.asarray(Pc @ Qc.T)
-    assert float(np.sqrt((d ** 2).mean())) < 1e-3
+    # the CG tier assembles its Gram AND rhs from a bf16 gather of the
+    # fixed side (one cast per half-sweep, 12.7% epoch-rate win measured
+    # interleaved on v5e — tools/ab_als.py); prediction-space agreement
+    # with the all-f32 exact solver carries that rounding (~1.6e-3 here),
+    # well inside the 2e-2 accepted for the bf16 Gram corrections alone
+    assert float(np.sqrt((d ** 2).mean())) < 3e-3
 
 
 def test_wrmf_model_cg_solver(small_dataset):

@@ -67,6 +67,15 @@ def test_half_pass_inner_steps_matches_numpy():
         resident=True)
     np.testing.assert_allclose(np.asarray(out_res), out, atol=1e-6)
     assert abs(float(sse_res) - sse) < 1e-4 * max(sse, 1.0)
+    # the onehot-cache variant (tile built once at t==0 into VMEM scratch,
+    # re-read by later sweeps) must be bitwise: identical onehot values
+    out_c, sse_c = half_pass_batch(
+        jnp.asarray(window0), jnp.asarray(ff), jnp.asarray(r),
+        jnp.asarray(m), jnp.asarray(kl), jnp.asarray(lrv),
+        jnp.asarray(regv), mu, W, chunk=64, interpret=True, inner_steps=T,
+        cache_onehot=True)
+    np.testing.assert_allclose(np.asarray(out_c), out, atol=1e-6)
+    assert abs(float(sse_c) - sse) < 1e-4 * max(sse, 1.0)
 
     window = window0.copy()
     sse_first = None

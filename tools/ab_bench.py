@@ -24,7 +24,7 @@ INNER = 4
 
 
 def build(window, batch, locality_sort, inner=INNER, chunk=4096,
-          resident=False, ff_dtype=None):
+          resident=False, ff_dtype=None, cache_onehot=False):
     pl_ = sgd_mf.sorted_pass_layout(users, items, vals, batch, axis='user',
                                     max_window=window,
                                     locality_sort=locality_sort)
@@ -42,7 +42,8 @@ def build(window, batch, locality_sort, inner=INNER, chunk=4096,
     ep = sgd_mf.make_alternating_epoch(
         W_user, W_item, lr=0.15, K=0.02, bias_mode='fixed',
         inner_steps=inner, chunk=chunk, use_pallas_full=True, donate=False,
-        pallas_resident=resident, ff_dtype=ff_dtype)
+        pallas_resident=resident, ff_dtype=ff_dtype,
+        pallas_cache_onehot=cache_onehot)
     return ep, (Paug, Qaug), p_layout, q_layout
 
 
@@ -76,11 +77,44 @@ def ab(name_a, cfg_a, name_b, cfg_b, blocks=4):
 if __name__ == '__main__':
     # data build is deliberately inside the guard: importing this module
     # must not trigger a 10M-rating generation + TPU runs
+    mode = os.environ.get('AB', 'default')
+    if mode.startswith('netflix'):
+        # Netflix-prize shape (bench.py config 5): the rank-128 one-hot
+        # matmuls are the suspected bottleneck there (ROADMAP r2), so
+        # the window/chunk optimum may sit elsewhere than rank 64's
+        U, I, N, K = 480_189, 17_770, 100_000_000, 128
     users, items, vals = bench.make_data(U, I, N)
     floor, bu_fit, bi_fit = bench.bias_floor_rmse(users, items, vals, U, I)
     mu = jnp.float32(vals.mean())
-    print('--- A/B at W=128/B=16k: T=4 vs T=8')
-    ab('t4', (128, BATCH // 2, False, 4), 't8', (128, BATCH // 2, False, 8))
-    print('--- A/B at W=128/B=16k: chunk 4096 vs 8192')
-    ab('c4096', (128, BATCH // 2, False, 4, 4096),
-       'c8192', (128, BATCH // 2, False, 4, 8192))
+    if mode == 'netflix_window':
+        # Netflix rank 128: wider window halves the number of one-hot
+        # aggregation matmuls per batch at 2x their [ch, W] width
+        print('--- Netflix r128 A/B: W=128/B=16k vs W=256/B=32k '
+              '(T=8, chunk=8k, bf16 ff)')
+        ab('w128', (128, 1 << 14, False, 8, 8192, False, 'bfloat16'),
+           'w256', (256, 1 << 15, False, 8, 8192, False, 'bfloat16'),
+           blocks=3)
+    elif mode == 'netflix_chunk':
+        print('--- Netflix r128 A/B: chunk 8192 vs 4096 (W=128/B=16k, T=8)')
+        ab('c8192', (128, 1 << 14, False, 8, 8192, False, 'bfloat16'),
+           'c4096', (128, 1 << 14, False, 8, 4096, False, 'bfloat16'),
+           blocks=3)
+    elif mode == 'resident_cached':
+        # headline config (W=128/B=16k/chunk=8k/T=8/bf16 ff): the chunked
+        # grid vs the resident variant with the t-invariant onehot cached
+        # in VMEM scratch (r3: attacks the marginal-sweep onehot build)
+        print('--- A/B: full-grid vs resident+onehot-cache (T=8, bf16 ff)')
+        ab('full', (128, BATCH // 2, False, 8, 8192, False, 'bfloat16'),
+           'res_cache', (128, BATCH // 2, False, 8, 8192, True, 'bfloat16'))
+    elif mode == 'grid_cached':
+        print('--- A/B: full-grid vs full-grid+onehot-cache (T=8, bf16 ff)')
+        ab('full', (128, BATCH // 2, False, 8, 8192, False, 'bfloat16'),
+           'full_cache',
+           (128, BATCH // 2, False, 8, 8192, False, 'bfloat16', True))
+    else:
+        print('--- A/B at W=128/B=16k: T=4 vs T=8')
+        ab('t4', (128, BATCH // 2, False, 4),
+           't8', (128, BATCH // 2, False, 8))
+        print('--- A/B at W=128/B=16k: chunk 4096 vs 8192')
+        ab('c4096', (128, BATCH // 2, False, 4, 4096),
+           'c8192', (128, BATCH // 2, False, 4, 8192))
