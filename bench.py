@@ -78,6 +78,8 @@ def bench_als(U, I, users, items, K=64, epochs=3):
     # residual is small, so late epochs need fewer iterations for the
     # same trajectory — see ops/als.py cg_warm_steps).  0 disables.
     cg_warm = int(os.environ.get('BENCH_CG_WARM', 3))
+    # BENCH_ALS_PCG=pallas: VMEM-resident-M blocked CG (ops/pallas_cg.py)
+    pcg_impl = os.environ.get('BENCH_ALS_PCG', 'xla')
     r = ratings_from_arrays(users, items, np.ones(users.shape[0],
                                                   np.float32), U, I)
     ub = als_ops.device_buckets(r.padded_rows(axis='user'))
@@ -85,7 +87,8 @@ def bench_als(U, I, users, items, K=64, epochs=3):
     rng = np.random.default_rng(0)
     P = jnp.asarray(rng.normal(0, 0.1, (U, K)), jnp.float32)
     Q = jnp.asarray(rng.normal(0, 0.1, (I, K)), jnp.float32)
-    kw = dict(gram_dtype=gram_dtype, solver=solver, cg_steps=cg_steps)
+    kw = dict(gram_dtype=gram_dtype, solver=solver, cg_steps=cg_steps,
+              pcg_impl=pcg_impl)
     P, Q = als_ops.als_wrmf_train(P, Q, ub, ib, nbr_epochs=1, **kw)
     float(P[0, 0])                                              # compile
     steady = cg_steps
@@ -94,7 +97,8 @@ def bench_als(U, I, users, items, K=64, epochs=3):
         # count, then time pure warm epochs (what a 20-epoch run spends
         # 90% of its time in)
         steady = cg_warm
-        kw = dict(gram_dtype=gram_dtype, solver=solver, cg_steps=cg_warm)
+        kw = dict(gram_dtype=gram_dtype, solver=solver, cg_steps=cg_warm,
+                  pcg_impl=pcg_impl)
         P, Q = als_ops.als_wrmf_train(P, Q, ub, ib, nbr_epochs=1, **kw)
         float(P[0, 0])
     t0 = time.perf_counter()

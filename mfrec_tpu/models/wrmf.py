@@ -32,6 +32,7 @@ class WRMFRecommender(MFRecommender):
                         'cg_steps': 'cg_steps',
                         'cg_warm_steps': 'cg_warm_steps',
                         'cg_warmup_epochs': 'cg_warmup_epochs',
+                        'pcg_impl': 'pcg_impl',
                         'engine': 'engine',
                         'init_mode': 'init_mode'}
 
@@ -65,6 +66,10 @@ class WRMFRecommender(MFRecommender):
         # half-sweep (warm starts make late epochs cheap; None = no drop).
         self.cg_warm_steps = None
         self.cg_warmup_epochs = 2
+        # pcg_impl='pallas': the CG iterations run in the VMEM-resident-M
+        # blocked kernel (ops/pallas_cg.py) instead of the XLA loop that
+        # re-reads [R, k, k] from HBM every step.
+        self.pcg_impl = 'xla'
         # engine='auto': single-chip nnz-bucket ALS on one device, the
         # mesh-sharded epoch (parallel.als_sharded) on >1; 'als' /
         # 'als_sharded' force either path.
@@ -142,6 +147,7 @@ class WRMFRecommender(MFRecommender):
             cg_warm_steps=(None if self.cg_warm_steps is None
                            else int(self.cg_warm_steps)),
             cg_warmup_epochs=int(self.cg_warmup_epochs),
+            pcg_impl=self.pcg_impl,
             callback=(lambda e, P, Q: self.logger.info('Epoch : %d', e))
             if verbose else None)
         self.P = np.array(P)

@@ -86,7 +86,7 @@ def pcg_solve(M, b, x0, steps):
 
 
 def _bucket_cg_body(F, out, HHreg, rows, nbr_idx, nbr_val, mask, c_pos,
-                    alpha, reg, steps):
+                    alpha, reg, steps, pcg_impl='xla'):
     '''Traceable body of ``_bucket_cg`` (shared with the fused one-jit
     epoch, ``make_cg_epoch``).
 
@@ -104,7 +104,15 @@ def _bucket_cg_body(F, out, HHreg, rows, nbr_idx, nbr_val, mask, c_pos,
                                  preferred_element_type=jnp.float32)
     b = jnp.einsum('rl,rlk->rk', (1.0 + cm1) * mask, Ab,
                    preferred_element_type=jnp.float32)
-    x = pcg_solve(M, b, out[rows], steps)
+    if pcg_impl == 'pallas':
+        # VMEM-resident-M blocked CG (ops.pallas_cg): each block's
+        # [rb, k, k] systems are DMA'd once and iterated in VMEM
+        # (interpret-mode on CPU, the mf.py topn pattern)
+        from mfrec_tpu.ops.pallas_cg import pcg_solve_resident
+        x = pcg_solve_resident(M, b, out[rows], steps,
+                               interpret=jax.default_backend() == 'cpu')
+    else:
+        x = pcg_solve(M, b, out[rows], steps)
     return out.at[rows].set(x.astype(out.dtype))
 
 
@@ -127,7 +135,7 @@ def _bucket_cg(F, out, HHreg, rows, nbr_idx, nbr_val, mask, c_pos, alpha,
 
 @functools.lru_cache(maxsize=64)
 def make_cg_epoch(n_user_buckets, n_item_buckets, c_pos, alpha, reg,
-                  steps):
+                  steps, pcg_impl='xla'):
     '''One-jit CG epoch: both half-sweeps over every nnz-bucket compiled
     into a single device program.  On a relay-attached TPU the unfused
     path pays one dispatch round-trip PER BUCKET per half-sweep (~20
@@ -150,13 +158,13 @@ def make_cg_epoch(n_user_buckets, n_item_buckets, c_pos, alpha, reg,
         Qb = Q.astype(jnp.bfloat16)        # one cast per half-sweep:
         for rows, nidx, nval, mask in ub:  # gathers move half the bytes
             P = _bucket_cg_body(Qb, P, HHreg, rows, nidx, nval, mask,
-                                c_pos, alpha, reg, steps)
+                                c_pos, alpha, reg, steps, pcg_impl)
         P = P * u_alive
         HHreg = (P.T @ P + eye).astype(jnp.float32)
         Pb = P.astype(jnp.bfloat16)
         for rows, nidx, nval, mask in ib:
             Q = _bucket_cg_body(Pb, Q, HHreg, rows, nidx, nval, mask,
-                                c_pos, alpha, reg, steps)
+                                c_pos, alpha, reg, steps, pcg_impl)
         Q = Q * i_alive
         return P, Q
 
@@ -217,7 +225,8 @@ def _alive_mask(buckets, nrows):
 def als_wrmf_train(P, Q, user_buckets, item_buckets, nbr_epochs=20,
                    c_pos=1.0, alpha=0.0, reg=0.015, callback=None,
                    gram_dtype=None, solver='exact', cg_steps=6,
-                   cg_warm_steps=None, cg_warmup_epochs=2):
+                   cg_warm_steps=None, cg_warmup_epochs=2,
+                   pcg_impl='xla'):
     '''Full WRMF training: alternate user and item half-sweeps
     (reference main loop ``als_implicit.pyx:250-352``).
 
@@ -259,7 +268,8 @@ def als_wrmf_train(P, Q, user_buckets, item_buckets, nbr_epochs=20,
         for steps in {cg_steps, cg_warm_steps}:
             epoch_fns[steps] = make_cg_epoch(
                 len(user_buckets), len(item_buckets),
-                float(c_pos), float(alpha), float(reg), int(steps))
+                float(c_pos), float(alpha), float(reg), int(steps),
+                pcg_impl)
     for epoch in range(nbr_epochs):
         if solver == 'cg':
             steps = cg_steps if epoch < cg_warmup_epochs else cg_warm_steps

@@ -282,3 +282,42 @@ def test_wrmf_engine_sharded_cg(small_dataset):
 
     assert pred_rms(cg, cg_single) < 1e-3
     assert pred_rms(cg, exact) < 3e-2
+
+
+def test_pallas_pcg_matches_xla_pcg():
+    '''VMEM-resident blocked PCG (ops.pallas_cg, interpret mode) agrees
+    with the XLA loop on random SPD systems, including warm starts,
+    non-block-multiple R, and the identity-padded tail rows.'''
+    from mfrec_tpu.ops.pallas_cg import pcg_solve_resident
+    rng = np.random.default_rng(3)
+    R, k, steps = 37, 16, 5
+    B = rng.normal(0, 1, (R, k, k)).astype(np.float32)
+    M = np.einsum('rij,rkj->rik', B, B) + 3.0 * np.eye(k, dtype=np.float32)
+    b = rng.normal(0, 1, (R, k)).astype(np.float32)
+    x0 = rng.normal(0, 0.1, (R, k)).astype(np.float32)
+    want = np.asarray(als_ops.pcg_solve(jnp.asarray(M), jnp.asarray(b),
+                                        jnp.asarray(x0), steps))
+    got = np.asarray(pcg_solve_resident(jnp.asarray(M), jnp.asarray(b),
+                                        jnp.asarray(x0), steps, rb=16,
+                                        interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-3)
+
+
+def test_cg_epoch_pallas_pcg_matches_xla(small_dataset):
+    '''One-jit CG epochs with pcg_impl='pallas' track the XLA-PCG epochs
+    in prediction space.'''
+    from mfrec_tpu.data.movielens import ratings_from_arrays as rfa
+    (u, i, v), _ = small_dataset
+    U, I = int(u.max()) + 1, int(i.max()) + 1
+    r = rfa(u, i, np.ones_like(v), U, I)
+    ub, ib = r.padded_rows(axis='user'), r.padded_rows(axis='item')
+    rng = np.random.default_rng(0)
+    P0 = jnp.asarray(rng.normal(0, 0.1, (U, 8)), jnp.float32)
+    Q0 = jnp.asarray(rng.normal(0, 0.1, (I, 8)), jnp.float32)
+    Px, Qx = als_ops.als_wrmf_train(P0, Q0, ub, ib, nbr_epochs=6,
+                                    solver='cg', cg_steps=4)
+    Pp, Qp = als_ops.als_wrmf_train(P0, Q0, ub, ib, nbr_epochs=6,
+                                    solver='cg', cg_steps=4,
+                                    pcg_impl='pallas')
+    d = np.asarray(Px @ Qx.T) - np.asarray(Pp @ Qp.T)
+    assert float(np.sqrt((d ** 2).mean())) < 1e-3
