@@ -36,7 +36,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(W, lo_r, hi_r, clamp_pred, row_mean, bias_none, cache_onehot,
             mu_ref, win_ref, ff_ref, r_ref, m_ref, kl_ref, lrv_ref,
-            regv_ref, out_ref, sse_ref, acc_ref, win_scr, oh_scr):
+            regv_ref, out_ref, sse_ref, acc_ref, win_scr, oh_scr,
+            cnt_scr):
     t = pl.program_id(0)          # inner gradient iteration
     j = pl.program_id(1)          # ff chunk
     nt = pl.num_programs(0)
@@ -46,6 +47,7 @@ def _kernel(W, lo_r, hi_r, clamp_pred, row_mean, bias_none, cache_onehot,
     def _():
         win_scr[:] = win_ref[:]
         sse_ref[0, 0] = 0.0
+        cnt_scr[:] = jnp.zeros_like(cnt_scr)
 
     @pl.when(j == 0)
     def _():
@@ -67,6 +69,17 @@ def _kernel(W, lo_r, hi_r, clamp_pred, row_mean, bias_none, cache_onehot,
     else:
         onehot = (kl[:, None] == jax.lax.broadcasted_iota(
             jnp.int32, (ch, W), 1)).astype(jnp.bfloat16)
+
+    @pl.when(t == 0)
+    def _():
+        # per-window-row rating counts are t-invariant: one [W] matvec
+        # per chunk on the first sweep (0/1 inputs: the bf16 products are
+        # exact, accumulation is f32)
+        cnt_scr[:] += jax.lax.dot_general(
+            onehot, m[:, None].astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [W, 1]
+
     fu = jax.lax.dot_general(
         onehot, win_scr[:].astype(jnp.bfloat16),
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -81,17 +94,26 @@ def _kernel(W, lo_r, hi_r, clamp_pred, row_mean, bias_none, cache_onehot,
     def _():
         sse_ref[0, 0] += (err * err).sum()
 
-    g = err[:, None] * ff - regv_ref[:][None, :] * fu * m[:, None]
-    gx = jnp.concatenate([g, m[:, None]], axis=1).astype(jnp.bfloat16)
+    # Aggregate only the error term.  The regularization term needs no
+    # per-rating matmul: every rating maps to exactly ONE window row
+    # (fu_b == win[kl_b]), so onehot^T diag(m) onehot is diagonal with
+    # the counts — sum_b m_b regv*fu_b lands on row w as
+    # regv * win_w * cnt_w, applied once at the window update below.
     acc_ref[:] += jax.lax.dot_general(
-        onehot, gx, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)            # [W, k+1]
+        onehot, (err[:, None] * ff).astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [W, k]
 
     @pl.when(j == nj - 1)
     def _():
-        gsum = acc_ref[:, :-1]
+        cnt = cnt_scr[:]
+        alive = (cnt > 0.0).astype(jnp.float32)
+        reg = regv_ref[:][None, :] * win_scr[:]
         if row_mean:
-            gsum = gsum / jnp.maximum(acc_ref[:, -1:], 1.0)
+            # (acc - reg*cnt)/cnt == acc/cnt - reg (rows with cnt=0 get 0)
+            gsum = acc_ref[:] / jnp.maximum(cnt, 1.0) - reg * alive
+        else:
+            gsum = acc_ref[:] - reg * cnt
         win_scr[:] = win_scr[:] + lrv_ref[:][None, :] * gsum
 
     @pl.when((t == nt - 1) & (j == nj - 1))
@@ -123,7 +145,8 @@ def _kernel_resident(W, nj, lo_r, hi_r, clamp_pred, row_mean, bias_none,
     B, k = ff_ref.shape
     ch = B // nj
     winb = win_scr[:].astype(jnp.bfloat16)
-    acc = jnp.zeros((W, k + 1), jnp.float32)
+    acc = jnp.zeros((W, k), jnp.float32)
+    cnt = jnp.zeros((W, 1), jnp.float32)
     err2 = jnp.zeros((), jnp.float32)
     for j in range(nj):
         ff = ff_ref[j * ch:(j + 1) * ch, :].astype(jnp.float32)
@@ -138,6 +161,12 @@ def _kernel_resident(W, nj, lo_r, hi_r, clamp_pred, row_mean, bias_none,
                     jnp.int32, (ch, W), 1)).astype(jnp.bfloat16)
 
         onehot = oh_scr[j * ch:(j + 1) * ch, :]
+        # t-invariant counts recomputed per sweep here (cheap [W] matvec;
+        # the resident variant has no persistent cnt scratch)
+        cnt = cnt + jax.lax.dot_general(
+            onehot, m[:, None].astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         fu = jax.lax.dot_general(
             onehot, winb,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -148,19 +177,23 @@ def _kernel_resident(W, nj, lo_r, hi_r, clamp_pred, row_mean, bias_none,
             pred = jnp.clip(pred, lo_r, hi_r)
         err = (r - pred) * m
         err2 = err2 + (err * err).sum()
-        g = err[:, None] * ff - regv_ref[:][None, :] * fu * m[:, None]
-        gx = jnp.concatenate([g, m[:, None]], axis=1).astype(jnp.bfloat16)
+        # error term only; the diagonal-regularization identity (see
+        # _kernel) folds the reg term into the window update below
         acc = acc + jax.lax.dot_general(
-            onehot, gx, dimension_numbers=(((0,), (0,)), ((), ())),
+            onehot, (err[:, None] * ff).astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     @pl.when(t == 0)      # epoch RMSE = pre-update residual
     def _():
         sse_ref[0, 0] = err2
 
-    gsum = acc[:, :-1]
+    alive = (cnt > 0.0).astype(jnp.float32)
+    reg = regv_ref[:][None, :] * win_scr[:]
     if row_mean:
-        gsum = gsum / jnp.maximum(acc[:, -1:], 1.0)
+        gsum = acc / jnp.maximum(cnt, 1.0) - reg * alive
+    else:
+        gsum = acc - reg * cnt
     win_scr[:] = win_scr[:] + lrv_ref[:][None, :] * gsum
 
     @pl.when(t == nt - 1)
@@ -273,10 +306,11 @@ def half_pass_batch(window, ff, r, m, kl, lrv, regv, mu, W, chunk=4096,
             jax.ShapeDtypeStruct((W, k), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ),
-        scratch_shapes=[pltpu.VMEM((W, k + 1), jnp.float32),
-                        pltpu.VMEM((W, k), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((W, k), jnp.float32),      # acc
+                        pltpu.VMEM((W, k), jnp.float32),      # window
                         pltpu.VMEM((B if cache_onehot else ch, W),
-                                   jnp.bfloat16)],
+                                   jnp.bfloat16),             # onehot
+                        pltpu.VMEM((W, 1), jnp.float32)],     # counts
         # let chunk sizes above 4096 fit their per-iteration onehot/fu/g
         # tiles (the 16 MB default scoped-vmem stack caps chunk at ~4k)
         compiler_params=pltpu.CompilerParams(
