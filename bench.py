@@ -78,8 +78,9 @@ def bench_als(U, I, users, items, K=64, epochs=3):
     # residual is small, so late epochs need fewer iterations for the
     # same trajectory — see ops/als.py cg_warm_steps).  0 disables.
     cg_warm = int(os.environ.get('BENCH_CG_WARM', 3))
-    # BENCH_ALS_PCG=pallas: VMEM-resident-M blocked CG (ops/pallas_cg.py)
-    pcg_impl = os.environ.get('BENCH_ALS_PCG', 'xla')
+    # BENCH_ALS_PCG: 'auto' (default; pallas resident-M CG on TPU),
+    # 'xla'/'pallas' force either (ops/pallas_cg.py)
+    pcg_impl = os.environ.get('BENCH_ALS_PCG', 'auto')
     r = ratings_from_arrays(users, items, np.ones(users.shape[0],
                                                   np.float32), U, I)
     ub = als_ops.device_buckets(r.padded_rows(axis='user'))

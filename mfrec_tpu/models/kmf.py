@@ -13,6 +13,7 @@ Factorization Models for Large-Scale Recommender Systems, RecSys 2008.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from mfrec_tpu.models.base import Error
@@ -208,7 +209,11 @@ class KMFRecommender(MFRecommender):
             lo_r=self.min_rating, hi_r=self.max_rating, chunk=chunk,
             inner_steps=self.inner_steps,
             link='logistic' if link == 'logistic' else 'identity',
-            K_u=self.K_users, K_i=self.K_items)
+            K_u=self.K_users, K_i=self.K_items,
+            # the fused kernel implements both links in-kernel (r3);
+            # interpret-mode Pallas on CPU is slower than XLA, so gate
+            # like the GD flagship (gd.py)
+            use_pallas_full=jax.default_backend() != 'cpu')
         mu = jnp.float32(0.0)      # KMF has no global-mean term
         state = (Paug, Qaug)
         for e in range(int(self.nbr_epochs)):

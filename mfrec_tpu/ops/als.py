@@ -226,7 +226,7 @@ def als_wrmf_train(P, Q, user_buckets, item_buckets, nbr_epochs=20,
                    c_pos=1.0, alpha=0.0, reg=0.015, callback=None,
                    gram_dtype=None, solver='exact', cg_steps=6,
                    cg_warm_steps=None, cg_warmup_epochs=2,
-                   pcg_impl='xla'):
+                   pcg_impl='auto'):
     '''Full WRMF training: alternate user and item half-sweeps
     (reference main loop ``als_implicit.pyx:250-352``).
 
@@ -253,6 +253,11 @@ def als_wrmf_train(P, Q, user_buckets, item_buckets, nbr_epochs=20,
     unchanged final objective (see tests/test_als.py warm-schedule
     parity).
     '''
+    if pcg_impl in (None, 'auto'):
+        # VMEM-resident-M blocked CG measured 12.6% faster interleaved on
+        # v5e (tools/ab_als.py AB_ALS=pcg); interpret-mode Pallas on CPU
+        # is slower than the XLA loop, so gate by backend
+        pcg_impl = 'pallas' if jax.default_backend() != 'cpu' else 'xla'
     u_alive = jnp.asarray(_alive_mask(user_buckets, P.shape[0]))
     i_alive = jnp.asarray(_alive_mask(item_buckets, Q.shape[0]))
     user_buckets = device_buckets(user_buckets)

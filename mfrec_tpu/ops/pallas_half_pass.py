@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(W, lo_r, hi_r, clamp_pred, row_mean, bias_none, cache_onehot,
-            mu_ref, win_ref, ff_ref, r_ref, m_ref, kl_ref, lrv_ref,
+            link, mu_ref, win_ref, ff_ref, r_ref, m_ref, kl_ref, lrv_ref,
             regv_ref, out_ref, sse_ref, acc_ref, win_scr, oh_scr,
             cnt_scr):
     t = pl.program_id(0)          # inner gradient iteration
@@ -85,10 +85,21 @@ def _kernel(W, lo_r, hi_r, clamp_pred, row_mean, bias_none, cache_onehot,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)            # [ch, k]
     dot = (fu * ff).sum(-1)
-    pred = (1.0 + dot) if bias_none else (mu_ref[0, 0] + dot)
-    if clamp_pred:
-        pred = jnp.clip(pred, lo_r, hi_r)
-    err = (r_ref[:] - pred) * m
+    if link == 'logistic':
+        # kernel MF (kmf_train.pyx:158-165): s = dot (aug bias cols
+        # included); pred = lo + sigmoid(s)*range; gradient picks up
+        # sigmoid'(s)*range — same math as the XLA tier
+        rng_w = hi_r - lo_r
+        sig = jax.nn.sigmoid(dot)
+        pred = lo_r + sig * rng_w
+        err = (r_ref[:] - pred) * m
+        eff = err * sig * (1.0 - sig) * rng_w
+    else:
+        pred = (1.0 + dot) if bias_none else (mu_ref[0, 0] + dot)
+        if clamp_pred:
+            pred = jnp.clip(pred, lo_r, hi_r)
+        err = (r_ref[:] - pred) * m
+        eff = err
 
     @pl.when(t == 0)      # epoch RMSE = pre-update residual, like XLA path
     def _():
@@ -100,7 +111,7 @@ def _kernel(W, lo_r, hi_r, clamp_pred, row_mean, bias_none, cache_onehot,
     # the counts — sum_b m_b regv*fu_b lands on row w as
     # regv * win_w * cnt_w, applied once at the window update below.
     acc_ref[:] += jax.lax.dot_general(
-        onehot, (err[:, None] * ff).astype(jnp.bfloat16),
+        onehot, (eff[:, None] * ff).astype(jnp.bfloat16),
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)            # [W, k]
 
@@ -122,7 +133,7 @@ def _kernel(W, lo_r, hi_r, clamp_pred, row_mean, bias_none, cache_onehot,
 
 
 def _kernel_resident(W, nj, lo_r, hi_r, clamp_pred, row_mean, bias_none,
-                     mu_ref, win_ref, ff_ref, r_ref, m_ref, kl_ref,
+                     link, mu_ref, win_ref, ff_ref, r_ref, m_ref, kl_ref,
                      lrv_ref, regv_ref, out_ref, sse_ref, win_scr,
                      oh_scr):
     '''Whole-batch-resident variant: the full ff/r/m/kl tensors live in
@@ -172,15 +183,23 @@ def _kernel_resident(W, nj, lo_r, hi_r, clamp_pred, row_mean, bias_none,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dot = (fu * ff).sum(-1)
-        pred = (1.0 + dot) if bias_none else (mu_ref[0, 0] + dot)
-        if clamp_pred:
-            pred = jnp.clip(pred, lo_r, hi_r)
-        err = (r - pred) * m
+        if link == 'logistic':
+            rng_w = hi_r - lo_r
+            sig = jax.nn.sigmoid(dot)
+            pred = lo_r + sig * rng_w
+            err = (r - pred) * m
+            eff = err * sig * (1.0 - sig) * rng_w
+        else:
+            pred = (1.0 + dot) if bias_none else (mu_ref[0, 0] + dot)
+            if clamp_pred:
+                pred = jnp.clip(pred, lo_r, hi_r)
+            err = (r - pred) * m
+            eff = err
         err2 = err2 + (err * err).sum()
         # error term only; the diagonal-regularization identity (see
         # _kernel) folds the reg term into the window update below
         acc = acc + jax.lax.dot_general(
-            onehot, (err[:, None] * ff).astype(jnp.bfloat16),
+            onehot, (eff[:, None] * ff).astype(jnp.bfloat16),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
@@ -205,11 +224,11 @@ def _kernel_resident(W, nj, lo_r, hi_r, clamp_pred, row_mean, bias_none,
                                              'lo_r', 'hi_r', 'row_mean',
                                              'bias_none', 'interpret',
                                              'inner_steps', 'resident',
-                                             'cache_onehot'))
+                                             'cache_onehot', 'link'))
 def half_pass_batch(window, ff, r, m, kl, lrv, regv, mu, W, chunk=4096,
                     clamp_pred=True, lo_r=1.0, hi_r=5.0, row_mean=True,
                     bias_none=False, interpret=False, inner_steps=1,
-                    resident=False, cache_onehot=False):
+                    resident=False, cache_onehot=False, link='identity'):
     '''One fused batch step.  window [W, k]; ff [B, k] pre-gathered fixed
     rows; kl [B] window-local updated-row ids (masked rows may point
     anywhere valid — their gradients are zero); lrv/regv [k] per-column
@@ -228,7 +247,7 @@ def half_pass_batch(window, ff, r, m, kl, lrv, regv, mu, W, chunk=4096,
     if resident:
         kernel = functools.partial(_kernel_resident, int(W), B // ch,
                                    lo_r, hi_r, bool(clamp_pred),
-                                   bool(row_mean), bool(bias_none))
+                                   bool(row_mean), bool(bias_none), link)
         out, sse = pl.pallas_call(
             kernel,
             grid=(int(inner_steps),),
@@ -274,7 +293,7 @@ def half_pass_batch(window, ff, r, m, kl, lrv, regv, mu, W, chunk=4096,
         return out, sse[0, 0]
     kernel = functools.partial(_kernel, int(W), lo_r, hi_r,
                                bool(clamp_pred), bool(row_mean),
-                               bool(bias_none), bool(cache_onehot))
+                               bool(bias_none), bool(cache_onehot), link)
     out, sse = pl.pallas_call(
         kernel,
         grid=(int(inner_steps), B // ch),

@@ -491,7 +491,8 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
     the sorted-window re-expression of ``kmf_train.pyx:103-193``.
     ``K_u``/``K_i``: per-side factor regularization overrides (KMF's
     regularization_users/items split); default both = K.  The logistic
-    link is XLA-path only (use_pallas_full must be False).
+    link runs in-kernel on the fused Pallas tier too (r3); only the
+    agg-only tier is identity-link.
     '''
     learned = bias_mode == 'learned'
     K_u = K if K_u is None else K_u
@@ -504,8 +505,10 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
         # round-trip
         pallas_cache_onehot = inner_steps > 1
     if link != 'identity':
-        assert not (use_pallas_full or use_pallas_agg), \
-            'non-identity links run on the XLA path'
+        # the fused kernel implements the logistic link in-kernel
+        # (pallas_half_pass._kernel); only the agg-only tier lacks it
+        assert not use_pallas_agg, \
+            'non-identity links: use the fused kernel or the XLA path'
 
     def col_vectors(kdim, upd_is_user):
         # per-column lr and regularization for [factors | bu | 1] rows
@@ -564,7 +567,8 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
                     bias_none=(bias_mode == 'none'),
                     inner_steps=inner_steps,
                     resident=pallas_resident,
-                    cache_onehot=pallas_cache_onehot)
+                    cache_onehot=pallas_cache_onehot,
+                    link=link)
                 F_upd = jax.lax.dynamic_update_slice_in_dim(
                     F_upd, win_out, lo, 0)
                 return (F_upd, sse + sse_b), None

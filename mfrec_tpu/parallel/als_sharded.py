@@ -54,7 +54,7 @@ def padded_uniform(ratings, axis, D):
 
 def make_sharded_als_epoch(mesh, c_pos=1.0, alpha=0.0, reg=0.015,
                            axis='dp', solver='exact', cg_steps=6,
-                           gram_dtype=None):
+                           gram_dtype=None, pcg_impl='auto'):
     '''Build a jitted sharded ALS epoch:
 
         (P, Q, u_idx, u_val, u_mask, i_idx, i_val, i_mask) -> (P, Q)
@@ -103,6 +103,16 @@ def make_sharded_als_epoch(mesh, c_pos=1.0, alpha=0.0, reg=0.015,
         # drives them NEAR zero from a warm start)
         alive = (mask.sum(1) > 0).astype(jnp.float32)[:, None]
         if solver == 'cg':
+            impl = pcg_impl
+            if impl in (None, 'auto'):
+                impl = 'pallas' if jax.default_backend() != 'cpu' else 'xla'
+            if impl == 'pallas':
+                # per-shard VMEM-resident-M blocked CG (ops.pallas_cg);
+                # runs inside shard_map on the local rows
+                from mfrec_tpu.ops.pallas_cg import pcg_solve_resident
+                return pcg_solve_resident(
+                    M, b, x0, int(cg_steps),
+                    interpret=jax.default_backend() == 'cpu') * alive
             return pcg_solve(M, b, x0, int(cg_steps)) * alive
         L = jnp.linalg.cholesky(M)
         sol = jax.scipy.linalg.cho_solve((L, True), b[..., None])[..., 0]

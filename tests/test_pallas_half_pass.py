@@ -129,3 +129,42 @@ def test_half_pass_bf16_fixed_side():
     np.testing.assert_allclose(np.asarray(out16r), np.asarray(out16),
                                atol=1e-6)
     assert abs(float(sse16r) - float(sse16)) < 1e-4 * max(float(sse16), 1)
+
+
+def test_half_pass_logistic_link_matches_numpy():
+    '''link='logistic' (kernel MF, kmf_train.pyx:158-165 semantics): the
+    in-kernel sigmoid prediction/gradient must match the numpy math the
+    XLA tier implements; sse reports the raw (pre-link-derivative)
+    residual.'''
+    rng = np.random.default_rng(4)
+    B, k, W = 256, 10, 32
+    lo, hi = 1.0, 5.0
+    window = rng.normal(0, 0.3, (W, k)).astype(np.float32)
+    ff = rng.normal(0, 0.3, (B, k)).astype(np.float32)
+    r = rng.uniform(lo, hi, B).astype(np.float32)
+    m = (rng.random(B) > 0.1).astype(np.float32)
+    kl = np.sort(rng.integers(0, W, B)).astype(np.int32)
+    lrv = np.full(k, 0.1, np.float32); lrv[-1] = 0.0
+    regv = np.full(k, 0.02, np.float32); regv[-1] = 0.0
+
+    out, sse = half_pass_batch(
+        jnp.asarray(window), jnp.asarray(ff), jnp.asarray(r),
+        jnp.asarray(m), jnp.asarray(kl), jnp.asarray(lrv),
+        jnp.asarray(regv), 0.0, W, chunk=64, interpret=True,
+        clamp_pred=False, lo_r=lo, hi_r=hi, link='logistic')
+    out, sse = np.asarray(out), float(sse)
+
+    fu = window[kl]
+    s = (fu * ff).sum(-1)
+    sig = 1.0 / (1.0 + np.exp(-s))
+    pred = lo + sig * (hi - lo)
+    err = (r - pred) * m
+    eff = err * sig * (1.0 - sig) * (hi - lo)
+    g = eff[:, None] * ff - regv[None, :] * fu * m[:, None]
+    gsum = np.zeros((W, k)); cnt = np.zeros(W)
+    for b in range(B):
+        gsum[kl[b]] += g[b] * m[b]
+        cnt[kl[b]] += m[b]
+    want = window + lrv[None, :] * gsum / np.maximum(cnt, 1.0)[:, None]
+    np.testing.assert_allclose(out, want, atol=5e-3, rtol=5e-2)   # bf16
+    assert abs(sse - (err ** 2).sum()) / max((err ** 2).sum(), 1e-9) < 1e-3

@@ -74,22 +74,33 @@ if __name__ == '__main__':
     i_alive = jnp.asarray(als_ops._alive_mask(
         [tuple(np.asarray(x) for x in b) for b in ib], I))
 
-    ep_old = make_epoch_f32(len(ub), len(ib))
-    ep_new = als_ops.make_cg_epoch(len(ub), len(ib), C_POS, ALPHA, REG,
-                                   STEPS)
+    if os.environ.get('AB_ALS') == 'pcg':
+        # XLA CG loop (re-reads [R, k, k] per step) vs the VMEM-resident
+        # blocked Pallas CG (ops/pallas_cg.py) — both on the bf16 gather
+        names = ('xla', 'pallas')
+        ep_old = als_ops.make_cg_epoch(len(ub), len(ib), C_POS, ALPHA,
+                                       REG, STEPS, 'xla')
+        ep_new = als_ops.make_cg_epoch(len(ub), len(ib), C_POS, ALPHA,
+                                       REG, STEPS, 'pallas')
+    else:
+        names = ('f32', 'bf16')
+        ep_old = make_epoch_f32(len(ub), len(ib))
+        ep_new = als_ops.make_cg_epoch(len(ub), len(ib), C_POS, ALPHA,
+                                       REG, STEPS)
 
     # settle both to warm steady state + compile
     state = {}
-    for name, ep in (('f32', ep_old), ('bf16', ep_new)):
+    legs = tuple(zip(names, (ep_old, ep_new)))
+    for name, ep in legs:
         P, Q = P0, Q0
         for _ in range(4):
             P, Q = ep(P, Q, u_alive, i_alive, *flat)
         float(P[0, 0])
         state[name] = (P, Q)
 
-    times = {'f32': [], 'bf16': []}
+    times = {n: [] for n in names}
     for rep in range(REPS):
-        for name, ep in (('f32', ep_old), ('bf16', ep_new)):
+        for name, ep in legs:
             P, Q = state[name]
             t0 = time.perf_counter()
             for _ in range(EPOCHS_PER_BLOCK):
@@ -100,10 +111,11 @@ if __name__ == '__main__':
             state[name] = (P, Q)
             print('rep %d %-5s %.4f s/epoch' % (rep, name, dt), flush=True)
 
-    for name in ('f32', 'bf16'):
-        print('%-5s median %.4f s/epoch (spread %.4f..%.4f)' % (
+    for name in names:
+        print('%-6s median %.4f s/epoch (spread %.4f..%.4f)' % (
             name, statistics.median(times[name]),
             min(times[name]), max(times[name])))
-    m_old = statistics.median(times['f32'])
-    m_new = statistics.median(times['bf16'])
-    print('bf16 gather speedup: %.1f%%' % (100 * (m_old - m_new) / m_old))
+    m_old = statistics.median(times[names[0]])
+    m_new = statistics.median(times[names[1]])
+    print('%s-vs-%s speedup: %.1f%%'
+          % (names[1], names[0], 100 * (m_old - m_new) / m_old))
