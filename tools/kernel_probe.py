@@ -1,0 +1,221 @@
+'''Deletion profiling of the fused half-pass kernel's marginal sweep.
+
+The marginal in-VMEM sweep (~50 us/batch at W=128/B=16k/k=66) sits well
+above the MXU+VPU floor (~5 us by FLOP count).  This probe times kernel
+VARIANTS that each delete one cost component, at inner_steps T=2 vs
+T=10, so
+
+    marginal_sweep = (t(T=10) - t(T=2)) / (8 * N_BATCH)
+
+isolates the per-sweep cost of each deleted part (compile-time constants
+and DMA setup cancel).  Each timed call chains N_BATCH kernel calls in
+one lax.scan (the window carried batch-to-batch, so calls serialize on
+device) — per-dispatch relay jitter here is ms-scale and a single-call
+T-difference (~0.4 ms) is unmeasurable through it.  Variants (math
+intentionally wrong where parts are deleted — timing only):
+
+  full      — the shipped kernel body
+  no_fu     — skip the onehot@win gather matmul (fu := ff)
+  no_acc    — skip the onehot^T@(eff*ff) aggregation matmul
+  no_elem   — skip the prediction/error chain (eff := r)
+  k64 / k128— lane-alignment probe: full body at k=64 / 128 vs the 66
+              the augmented layout uses
+
+Interleaved reps in one process.  Run from /root/repo on the TPU.
+'''
+import functools
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+B, K, W, CH = 1 << 14, 66, 128, 8192
+REPS = 5
+N_BATCH = 200
+
+
+def make_kernel(variant):
+    def kernel(mu_ref, win_ref, ff_ref, r_ref, m_ref, kl_ref, lrv_ref,
+               regv_ref, out_ref, sse_ref, acc_ref, win_scr, oh_scr,
+               cnt_scr):
+        t = pl.program_id(0)
+        j = pl.program_id(1)
+        nt = pl.num_programs(0)
+        nj = pl.num_programs(1)
+
+        @pl.when((t == 0) & (j == 0))
+        def _():
+            win_scr[:] = win_ref[:]
+            sse_ref[0, 0] = 0.0
+            cnt_scr[:] = jnp.zeros_like(cnt_scr)
+
+        @pl.when(j == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        ff = ff_ref[:].astype(jnp.float32)
+        kl = kl_ref[:]
+        m = m_ref[:]
+        ch = ff.shape[0]
+
+        @pl.when(t == 0)
+        def _():
+            oh_scr[pl.ds(j * ch, ch), :] = (
+                kl[:, None] == jax.lax.broadcasted_iota(
+                    jnp.int32, (ch, W), 1)).astype(jnp.bfloat16)
+            cnt_scr[:] += jax.lax.dot_general(
+                oh_scr[pl.ds(j * ch, ch), :],
+                m[:, None].astype(jnp.bfloat16),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        onehot = oh_scr[pl.ds(j * ch, ch), :]
+        if variant == 'no_fu':
+            fu = ff
+        else:
+            fu = jax.lax.dot_general(
+                onehot, win_scr[:].astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        if variant == 'no_elem':
+            err = r_ref[:]
+            eff = err
+        else:
+            dot = (fu * ff).sum(-1)
+            pred = jnp.clip(mu_ref[0, 0] + dot, 1.0, 5.0)
+            err = (r_ref[:] - pred) * m
+            eff = err
+
+        @pl.when(t == 0)
+        def _():
+            sse_ref[0, 0] += (err * err).sum()
+
+        if variant == 'no_acc':
+            acc_ref[:] += eff[0] * ff[:W, :] * 1e-6   # keep deps alive
+        else:
+            acc_ref[:] += jax.lax.dot_general(
+                onehot, (eff[:, None] * ff).astype(jnp.bfloat16),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        @pl.when(j == nj - 1)
+        def _():
+            cnt = cnt_scr[:]
+            alive = (cnt > 0.0).astype(jnp.float32)
+            reg = regv_ref[:][None, :] * win_scr[:]
+            gsum = acc_ref[:] / jnp.maximum(cnt, 1.0) - reg * alive
+            win_scr[:] = win_scr[:] + lrv_ref[:][None, :] * gsum
+
+        @pl.when((t == nt - 1) & (j == nj - 1))
+        def _():
+            out_ref[:] = win_scr[:]
+    return kernel
+
+
+def run_one(window, ff, r, m, kl, lrv, regv, variant, T, k):
+    mu_arr = jnp.full((1, 1), 3.5, jnp.float32)
+    out, sse = pl.pallas_call(
+        make_kernel(variant),
+        grid=(T, B // CH),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda t, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((W, k), lambda t, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CH, k), lambda t, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CH,), lambda t, j: (j,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CH,), lambda t, j: (j,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CH,), lambda t, j: (j,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k,), lambda t, j: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k,), lambda t, j: (0,),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((W, k), lambda t, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda t, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((W, k), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((W, k), jnp.float32),
+                        pltpu.VMEM((W, k), jnp.float32),
+                        pltpu.VMEM((B, W), jnp.bfloat16),
+                        pltpu.VMEM((W, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(mu_arr, window, ff, r, m, kl, lrv, regv)
+    return out, sse[0, 0]
+
+
+@functools.partial(jax.jit, static_argnames=('variant', 'T', 'k'))
+def run_chain(window, ff, r, m, kl, lrv, regv, variant, T, k):
+    '''N_BATCH serialized kernel calls: the window output feeds the next
+    call, so the device cannot overlap or elide them; one dispatch.'''
+    def step(win, _):
+        out, sse = run_one(win, ff, r, m, kl, lrv, regv, variant, T, k)
+        return out, sse
+    win, sses = jax.lax.scan(step, window, None, length=N_BATCH)
+    return win, sses.sum()
+
+
+def time_case(data, variant, T, k, iters=5):
+    window, ff, r, m, kl, lrv, regv = data[k]
+    out, sse = run_chain(window, ff, r, m, kl, lrv, regv, variant, T, k)
+    float(sse)
+    best = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out, sse = run_chain(window, ff, r, m, kl, lrv, regv, variant,
+                             T, k)
+        float(sse)
+        float(out[0, 0])
+        best.append(time.perf_counter() - t0)
+    return min(best) / N_BATCH
+
+
+if __name__ == '__main__':
+    rng = np.random.default_rng(0)
+    data = {}
+    for k in (64, 66, 128):
+        data[k] = tuple(jnp.asarray(x) for x in (
+            rng.normal(0, 0.3, (W, k)).astype(np.float32),
+            rng.normal(0, 0.3, (B, k)).astype(np.float32),
+            rng.uniform(1, 5, B).astype(np.float32),
+            np.ones(B, np.float32),
+            np.sort(rng.integers(0, W, B)).astype(np.int32),
+            np.full(k, 0.1, np.float32),
+            np.full(k, 0.02, np.float32)))
+    cases = [('full', 66), ('no_fu', 66), ('no_acc', 66),
+             ('no_elem', 66), ('full', 64), ('full', 128)]
+    res = {c: [] for c in cases}
+    for rep in range(REPS):
+        for c in cases:
+            v, k = c
+            t2 = time_case(data, v, 2, k)
+            t10 = time_case(data, v, 10, k)
+            marg = (t10 - t2) / 8
+            res[c].append(marg)
+            print('rep %d %-8s k=%-3d marginal sweep %7.1f us/batch'
+                  % (rep, v, k, marg * 1e6), flush=True)
+    print()
+    base = statistics.median(res[('full', 66)])
+    for c in cases:
+        med = statistics.median(res[c])
+        print('%-8s k=%-3d median %7.1f us/batch  (delta vs full %.1f us)'
+              % (c[0], c[1], med * 1e6, (base - med) * 1e6))
