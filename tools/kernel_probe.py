@@ -21,6 +21,36 @@ intentionally wrong where parts are deleted — timing only):
   k64 / k128— lane-alignment probe: full body at k=64 / 128 vs the 66
               the augmented layout uses
 
+Fix variants (probe round 2 — the no_elem delta showed the VPU chain,
+dominated by the lane-dim reduction (fu*ff).sum(-1), costs ~26 of the
+39 us/sweep):
+
+  dot_mxu     — dot via f32 ones-matmul (fu*ff)@ones_k on the MXU
+                (numerics-identical accumulation order aside)
+                [MEASURED rep0: 43 us — f32 MXU matmul loses, drop]
+  dot_mxu_b16 — same but the product is cast bf16 before the matmul
+                [MEASURED rep0: 34.5 vs 38.6 — only ~4 us of the 26]
+  bf16_chain  — no [ch,k] f32 intermediates at all: fu cast bf16 off the
+                matmul, product/acc-operand bf16, dot via bf16 ones-matmul
+
+Round 3 (the 1D-layout hypothesis): [ch] 1D vectors (r, m, err, the
+squeezed dot) are lane-major while [ch,k] arrays are sublane-major on
+dim 0 — every 1D<->2D broadcast/squeeze is a vreg relayout.  The all2d
+variants pass r/m/kl as [ch,1] COLUMNS and keep every intermediate 2D
+(lane-broadcasts are native; nothing squeezes):
+
+  all2d       — 2D chain, f32 products, dot via bf16 ones-matmul
+  all2d_bf16  — 2D chain, bf16 products everywhere (halves vreg traffic)
+
+MEASURED (5 interleaved reps, medians, us/batch marginal sweep):
+  full 39.0 | dot_mxu_b16 39.3 | bf16_chain 27.6 | all2d 19.6 |
+  all2d_bf16 20.5 | no_elem 13.6
+The 1D-layout hypothesis CONFIRMED: the all-2D chain halves the sweep
+(19.4 us of the 25.4 us no_elem delta recovered); the MXU dot alone
+(dot_mxu_b16, still 1D operands) is neutral — it was never the
+arithmetic, it was the [ch] 1D <-> [ch,k] relayouts.  f32 products
+(all2d) edge out full-bf16 (all2d_bf16): adopt all2d.
+
 Interleaved reps in one process.  Run from /root/repo on the TPU.
 '''
 import functools
@@ -78,33 +108,157 @@ def make_kernel(variant):
                 preferred_element_type=jnp.float32)
 
         onehot = oh_scr[pl.ds(j * ch, ch), :]
-        if variant == 'no_fu':
-            fu = ff
+        k = win_scr.shape[1]
+        if variant == 'bf16_chain':
+            ffb = ff_ref[:].astype(jnp.bfloat16)
+            fu = jax.lax.dot_general(
+                onehot, win_scr[:].astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            prod = fu * ffb
+            dot = jax.lax.dot_general(
+                prod, jnp.ones((k, 1), jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)[:, 0]
+            pred = jnp.clip(mu_ref[0, 0] + dot, 1.0, 5.0)
+            err = (r_ref[:] - pred) * m
+            acc_ref[:] += jax.lax.dot_general(
+                onehot, err[:, None].astype(jnp.bfloat16) * ffb,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            @pl.when(t == 0)
+            def _():
+                sse_ref[0, 0] += (err * err).sum()
         else:
+            if variant == 'no_fu':
+                fu = ff
+            else:
+                fu = jax.lax.dot_general(
+                    onehot, win_scr[:].astype(jnp.bfloat16),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            if variant == 'no_elem':
+                err = r_ref[:]
+                eff = err
+            elif variant == 'dot_mxu':
+                dot = jax.lax.dot_general(
+                    fu * ff, jnp.ones((k, 1), jnp.float32),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)[:, 0]
+                pred = jnp.clip(mu_ref[0, 0] + dot, 1.0, 5.0)
+                err = (r_ref[:] - pred) * m
+                eff = err
+            elif variant == 'dot_mxu_b16':
+                dot = jax.lax.dot_general(
+                    (fu * ff).astype(jnp.bfloat16),
+                    jnp.ones((k, 1), jnp.bfloat16),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)[:, 0]
+                pred = jnp.clip(mu_ref[0, 0] + dot, 1.0, 5.0)
+                err = (r_ref[:] - pred) * m
+                eff = err
+            else:
+                dot = (fu * ff).sum(-1)
+                pred = jnp.clip(mu_ref[0, 0] + dot, 1.0, 5.0)
+                err = (r_ref[:] - pred) * m
+                eff = err
+
+            @pl.when(t == 0)
+            def _():
+                sse_ref[0, 0] += (err * err).sum()
+
+            if variant == 'no_acc':
+                acc_ref[:] += eff[0] * ff[:W, :] * 1e-6   # keep deps alive
+            else:
+                acc_ref[:] += jax.lax.dot_general(
+                    onehot, (eff[:, None] * ff).astype(jnp.bfloat16),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+        @pl.when(j == nj - 1)
+        def _():
+            cnt = cnt_scr[:]
+            alive = (cnt > 0.0).astype(jnp.float32)
+            reg = regv_ref[:][None, :] * win_scr[:]
+            gsum = acc_ref[:] / jnp.maximum(cnt, 1.0) - reg * alive
+            win_scr[:] = win_scr[:] + lrv_ref[:][None, :] * gsum
+
+        @pl.when((t == nt - 1) & (j == nj - 1))
+        def _():
+            out_ref[:] = win_scr[:]
+    return kernel
+
+
+def make_kernel_2d(variant):
+    '''All-2D variant: r/m/kl arrive as [ch, 1] columns; no [ch] 1D
+    intermediate exists anywhere in the kernel.'''
+    def kernel(mu_ref, win_ref, ff_ref, r_ref, m_ref, kl_ref, lrv_ref,
+               regv_ref, out_ref, sse_ref, acc_ref, win_scr, oh_scr,
+               cnt_scr):
+        t = pl.program_id(0)
+        j = pl.program_id(1)
+        nt = pl.num_programs(0)
+        nj = pl.num_programs(1)
+
+        @pl.when((t == 0) & (j == 0))
+        def _():
+            win_scr[:] = win_ref[:]
+            sse_ref[0, 0] = 0.0
+            cnt_scr[:] = jnp.zeros_like(cnt_scr)
+
+        @pl.when(j == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        kl = kl_ref[:]                                  # [ch, 1]
+        m = m_ref[:]                                    # [ch, 1]
+        ch = kl.shape[0]
+        k = win_scr.shape[1]
+
+        @pl.when(t == 0)
+        def _():
+            oh_scr[pl.ds(j * ch, ch), :] = (
+                kl == jax.lax.broadcasted_iota(
+                    jnp.int32, (ch, W), 1)).astype(jnp.bfloat16)
+            cnt_scr[:] += jax.lax.dot_general(
+                oh_scr[pl.ds(j * ch, ch), :], m.astype(jnp.bfloat16),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        onehot = oh_scr[pl.ds(j * ch, ch), :]
+        if variant == 'all2d_bf16':
+            ffb = ff_ref[:].astype(jnp.bfloat16)
+            fu = jax.lax.dot_general(
+                onehot, win_scr[:].astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            prod = fu * ffb
+        else:
+            ffb = ff_ref[:].astype(jnp.float32)
             fu = jax.lax.dot_general(
                 onehot, win_scr[:].astype(jnp.bfloat16),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-        if variant == 'no_elem':
-            err = r_ref[:]
-            eff = err
-        else:
-            dot = (fu * ff).sum(-1)
-            pred = jnp.clip(mu_ref[0, 0] + dot, 1.0, 5.0)
-            err = (r_ref[:] - pred) * m
-            eff = err
+            prod = (fu * ffb).astype(jnp.bfloat16)
+        dot = jax.lax.dot_general(
+            prod, jnp.ones((k, 1), jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [ch, 1]
+        pred = jnp.clip(mu_ref[0, 0] + dot, 1.0, 5.0)
+        err = (r_ref[:] - pred) * m                      # [ch, 1]
 
         @pl.when(t == 0)
         def _():
             sse_ref[0, 0] += (err * err).sum()
 
-        if variant == 'no_acc':
-            acc_ref[:] += eff[0] * ff[:W, :] * 1e-6   # keep deps alive
+        if variant == 'all2d_bf16':
+            gops = err.astype(jnp.bfloat16) * ffb
         else:
-            acc_ref[:] += jax.lax.dot_general(
-                onehot, (eff[:, None] * ff).astype(jnp.bfloat16),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            gops = (err * ffb).astype(jnp.bfloat16)
+        acc_ref[:] += jax.lax.dot_general(
+            onehot, gops,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
         @pl.when(j == nj - 1)
         def _():
@@ -122,6 +276,47 @@ def make_kernel(variant):
 
 def run_one(window, ff, r, m, kl, lrv, regv, variant, T, k):
     mu_arr = jnp.full((1, 1), 3.5, jnp.float32)
+    if variant.startswith('all2d'):
+        out, sse = pl.pallas_call(
+            make_kernel_2d(variant),
+            grid=(T, B // CH),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda t, j: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((W, k), lambda t, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((CH, k), lambda t, j: (j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((CH, 1), lambda t, j: (j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((CH, 1), lambda t, j: (j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((CH, 1), lambda t, j: (j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k,), lambda t, j: (0,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k,), lambda t, j: (0,),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((W, k), lambda t, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda t, j: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((W, k), jnp.float32),
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            ),
+            scratch_shapes=[pltpu.VMEM((W, k), jnp.float32),
+                            pltpu.VMEM((W, k), jnp.float32),
+                            pltpu.VMEM((B, W), jnp.bfloat16),
+                            pltpu.VMEM((W, 1), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(mu_arr, window, ff, r[:, None], m[:, None], kl[:, None],
+          lrv, regv)
+        return out, sse[0, 0]
     out, sse = pl.pallas_call(
         make_kernel(variant),
         grid=(T, B // CH),
@@ -201,8 +396,12 @@ if __name__ == '__main__':
             np.sort(rng.integers(0, W, B)).astype(np.int32),
             np.full(k, 0.1, np.float32),
             np.full(k, 0.02, np.float32)))
-    cases = [('full', 66), ('no_fu', 66), ('no_acc', 66),
-             ('no_elem', 66), ('full', 64), ('full', 128)]
+    if len(sys.argv) > 1 and sys.argv[1] == 'fix':
+        cases = [('full', 66), ('dot_mxu_b16', 66), ('bf16_chain', 66),
+                 ('all2d', 66), ('all2d_bf16', 66), ('no_elem', 66)]
+    else:
+        cases = [('full', 66), ('no_fu', 66), ('no_acc', 66),
+                 ('no_elem', 66), ('full', 64), ('full', 128)]
     res = {c: [] for c in cases}
     for rep in range(REPS):
         for c in cases:
