@@ -274,7 +274,11 @@ def main():
             use_pallas_agg=pallas_mode == 'agg',
             use_pallas_full=pallas_mode in ('full', 'resident'),
             pallas_resident=pallas_mode == 'resident',
-            ff_dtype=ff_dtype)
+            ff_dtype=ff_dtype,
+            # BENCH_ALL2D: 'auto' (default: on for the fused kernel),
+            # '1'/'0' force either — keeps the 1D chain measurable
+            pallas_all2d={'auto': None, '1': True, '0': False}[
+                os.environ.get('BENCH_ALL2D', 'auto')])
         state = (Paug, Qaug)
 
         def epoch(s):

@@ -35,8 +35,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(W, lo_r, hi_r, clamp_pred, row_mean, bias_none, cache_onehot,
-            link, mu_ref, win_ref, ff_ref, r_ref, m_ref, kl_ref, lrv_ref,
-            regv_ref, out_ref, sse_ref, acc_ref, win_scr, oh_scr,
+            link, all2d, mu_ref, win_ref, ff_ref, r_ref, m_ref, kl_ref,
+            lrv_ref, regv_ref, out_ref, sse_ref, acc_ref, win_scr, oh_scr,
             cnt_scr):
     t = pl.program_id(0)          # inner gradient iteration
     j = pl.program_id(1)          # ff chunk
@@ -54,20 +54,30 @@ def _kernel(W, lo_r, hi_r, clamp_pred, row_mean, bias_none, cache_onehot,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     ff = ff_ref[:].astype(jnp.float32)                 # [ch, k]
-    kl = kl_ref[:]                                     # [ch]
+    # all2d: r/m/kl arrive as [ch, 1] COLUMNS and every per-sample
+    # intermediate stays 2D.  [ch] 1D vectors are lane-major while
+    # [ch, k] arrays are sublane-major on dim 0, so each 1D<->2D
+    # broadcast/squeeze in the per-sweep chain is a vreg relayout —
+    # deletion profiling (tools/kernel_probe.py) measured the relayouts
+    # at ~19 of the 39 us marginal sweep; the all-2D chain halves it.
+    kl = kl_ref[:]                                     # [ch, 1] | [ch]
     m = m_ref[:]
+    r = r_ref[:]
     ch = ff.shape[0]
+    k = win_scr.shape[1]
+    kl2 = kl if all2d else kl[:, None]
+    m2 = m if all2d else m[:, None]
     if cache_onehot:
         # the one-hot tile is t-invariant: build once per chunk (t == 0)
         # into a persistent scratch slab, re-read on later sweeps
         @pl.when(t == 0)
         def _():
             oh_scr[pl.ds(j * ch, ch), :] = (
-                kl[:, None] == jax.lax.broadcasted_iota(
+                kl2 == jax.lax.broadcasted_iota(
                     jnp.int32, (ch, W), 1)).astype(jnp.bfloat16)
         onehot = oh_scr[pl.ds(j * ch, ch), :]
     else:
-        onehot = (kl[:, None] == jax.lax.broadcasted_iota(
+        onehot = (kl2 == jax.lax.broadcasted_iota(
             jnp.int32, (ch, W), 1)).astype(jnp.bfloat16)
 
     @pl.when(t == 0)
@@ -76,7 +86,7 @@ def _kernel(W, lo_r, hi_r, clamp_pred, row_mean, bias_none, cache_onehot,
         # per chunk on the first sweep (0/1 inputs: the bf16 products are
         # exact, accumulation is f32)
         cnt_scr[:] += jax.lax.dot_general(
-            onehot, m[:, None].astype(jnp.bfloat16),
+            onehot, m2.astype(jnp.bfloat16),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)        # [W, 1]
 
@@ -84,7 +94,17 @@ def _kernel(W, lo_r, hi_r, clamp_pred, row_mean, bias_none, cache_onehot,
         onehot, win_scr[:].astype(jnp.bfloat16),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)            # [ch, k]
-    dot = (fu * ff).sum(-1)
+    if all2d:
+        # the k-dim reduction rides the MXU as a bf16 ones-matvec and the
+        # result STAYS [ch, 1] (no squeeze).  bf16-rounding the products
+        # before the f32-accumulated matmul is the same accepted
+        # deviation class as the bf16 window read above.
+        dot = jax.lax.dot_general(
+            (fu * ff).astype(jnp.bfloat16), jnp.ones((k, 1), jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [ch, 1]
+    else:
+        dot = (fu * ff).sum(-1)                        # [ch]
     if link == 'logistic':
         # kernel MF (kmf_train.pyx:158-165): s = dot (aug bias cols
         # included); pred = lo + sigmoid(s)*range; gradient picks up
@@ -92,13 +112,13 @@ def _kernel(W, lo_r, hi_r, clamp_pred, row_mean, bias_none, cache_onehot,
         rng_w = hi_r - lo_r
         sig = jax.nn.sigmoid(dot)
         pred = lo_r + sig * rng_w
-        err = (r_ref[:] - pred) * m
+        err = (r - pred) * m
         eff = err * sig * (1.0 - sig) * rng_w
     else:
         pred = (1.0 + dot) if bias_none else (mu_ref[0, 0] + dot)
         if clamp_pred:
             pred = jnp.clip(pred, lo_r, hi_r)
-        err = (r_ref[:] - pred) * m
+        err = (r - pred) * m
         eff = err
 
     @pl.when(t == 0)      # epoch RMSE = pre-update residual, like XLA path
@@ -110,8 +130,9 @@ def _kernel(W, lo_r, hi_r, clamp_pred, row_mean, bias_none, cache_onehot,
     # (fu_b == win[kl_b]), so onehot^T diag(m) onehot is diagonal with
     # the counts — sum_b m_b regv*fu_b lands on row w as
     # regv * win_w * cnt_w, applied once at the window update below.
+    eff2 = eff if all2d else eff[:, None]
     acc_ref[:] += jax.lax.dot_general(
-        onehot, (eff[:, None] * ff).astype(jnp.bfloat16),
+        onehot, (eff2 * ff).astype(jnp.bfloat16),
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)            # [W, k]
 
@@ -133,8 +154,8 @@ def _kernel(W, lo_r, hi_r, clamp_pred, row_mean, bias_none, cache_onehot,
 
 
 def _kernel_resident(W, nj, lo_r, hi_r, clamp_pred, row_mean, bias_none,
-                     link, mu_ref, win_ref, ff_ref, r_ref, m_ref, kl_ref,
-                     lrv_ref, regv_ref, out_ref, sse_ref, win_scr,
+                     link, all2d, mu_ref, win_ref, ff_ref, r_ref, m_ref,
+                     kl_ref, lrv_ref, regv_ref, out_ref, sse_ref, win_scr,
                      oh_scr):
     '''Whole-batch-resident variant: the full ff/r/m/kl tensors live in
     VMEM for the batch (constant block index: one DMA per pallas_call,
@@ -161,28 +182,39 @@ def _kernel_resident(W, nj, lo_r, hi_r, clamp_pred, row_mean, bias_none,
     err2 = jnp.zeros((), jnp.float32)
     for j in range(nj):
         ff = ff_ref[j * ch:(j + 1) * ch, :].astype(jnp.float32)
-        kl = kl_ref[j * ch:(j + 1) * ch]
+        kl = kl_ref[j * ch:(j + 1) * ch]    # [ch, 1] if all2d else [ch]
         m = m_ref[j * ch:(j + 1) * ch]
         r = r_ref[j * ch:(j + 1) * ch]
+        kl2 = kl if all2d else kl[:, None]
+        m2 = m if all2d else m[:, None]
 
         @pl.when(t == 0)
-        def _(j=j, kl=kl):
+        def _(j=j, kl2=kl2):
             oh_scr[j * ch:(j + 1) * ch, :] = (
-                kl[:, None] == jax.lax.broadcasted_iota(
+                kl2 == jax.lax.broadcasted_iota(
                     jnp.int32, (ch, W), 1)).astype(jnp.bfloat16)
 
         onehot = oh_scr[j * ch:(j + 1) * ch, :]
         # t-invariant counts recomputed per sweep here (cheap [W] matvec;
         # the resident variant has no persistent cnt scratch)
         cnt = cnt + jax.lax.dot_general(
-            onehot, m[:, None].astype(jnp.bfloat16),
+            onehot, m2.astype(jnp.bfloat16),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         fu = jax.lax.dot_general(
             onehot, winb,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        dot = (fu * ff).sum(-1)
+        if all2d:
+            # see _kernel: the k-dim reduction stays [ch, 1] via a bf16
+            # ones-matvec — no 1D intermediate, no vreg relayout
+            dot = jax.lax.dot_general(
+                (fu * ff).astype(jnp.bfloat16),
+                jnp.ones((k, 1), jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            dot = (fu * ff).sum(-1)
         if link == 'logistic':
             rng_w = hi_r - lo_r
             sig = jax.nn.sigmoid(dot)
@@ -198,8 +230,9 @@ def _kernel_resident(W, nj, lo_r, hi_r, clamp_pred, row_mean, bias_none,
         err2 = err2 + (err * err).sum()
         # error term only; the diagonal-regularization identity (see
         # _kernel) folds the reg term into the window update below
+        eff2 = eff if all2d else eff[:, None]
         acc = acc + jax.lax.dot_general(
-            onehot, (eff[:, None] * ff).astype(jnp.bfloat16),
+            onehot, (eff2 * ff).astype(jnp.bfloat16),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
@@ -224,11 +257,13 @@ def _kernel_resident(W, nj, lo_r, hi_r, clamp_pred, row_mean, bias_none,
                                              'lo_r', 'hi_r', 'row_mean',
                                              'bias_none', 'interpret',
                                              'inner_steps', 'resident',
-                                             'cache_onehot', 'link'))
+                                             'cache_onehot', 'link',
+                                             'all2d'))
 def half_pass_batch(window, ff, r, m, kl, lrv, regv, mu, W, chunk=4096,
                     clamp_pred=True, lo_r=1.0, hi_r=5.0, row_mean=True,
                     bias_none=False, interpret=False, inner_steps=1,
-                    resident=False, cache_onehot=False, link='identity'):
+                    resident=False, cache_onehot=False, link='identity',
+                    all2d=False):
     '''One fused batch step.  window [W, k]; ff [B, k] pre-gathered fixed
     rows; kl [B] window-local updated-row ids (masked rows may point
     anywhere valid — their gradients are zero); lrv/regv [k] per-column
@@ -239,6 +274,12 @@ def half_pass_batch(window, ff, r, m, kl, lrv, regv, mu, W, chunk=4096,
     VMEM across iterations — one DMA per batch instead of one per
     (iteration, chunk); the chunk loop unrolls inside the kernel
     (``_kernel_resident``).  Identical numerics to the chunked grid.
+    ``all2d=True``: feed r/m/kl as [B, 1] columns and keep every
+    per-sample intermediate 2D inside the kernel — eliminates the
+    1D<->2D vreg relayouts that dominate the marginal sweep (measured
+    39 -> 20 us/batch, tools/kernel_probe.py); the k-dim prediction dot
+    becomes a bf16 ones-matvec on the MXU (bf16-rounded products,
+    f32 accumulation — accepted deviation, see module docstring).
     Returns (window_out [W, k], sse of the FIRST iteration's residual).'''
     B, k = ff.shape
     ch = min(chunk, B)
@@ -247,7 +288,15 @@ def half_pass_batch(window, ff, r, m, kl, lrv, regv, mu, W, chunk=4096,
     if resident:
         kernel = functools.partial(_kernel_resident, int(W), B // ch,
                                    lo_r, hi_r, bool(clamp_pred),
-                                   bool(row_mean), bool(bias_none), link)
+                                   bool(row_mean), bool(bias_none), link,
+                                   bool(all2d))
+        if all2d:
+            r, m, kl = r[:, None], m[:, None], kl[:, None]
+            colr = lambda: pl.BlockSpec((B, 1), lambda t: (0, 0),
+                                        memory_space=pltpu.VMEM)
+        else:
+            colr = lambda: pl.BlockSpec((B,), lambda t: (0,),
+                                        memory_space=pltpu.VMEM)
         out, sse = pl.pallas_call(
             kernel,
             grid=(int(inner_steps),),
@@ -258,12 +307,9 @@ def half_pass_batch(window, ff, r, m, kl, lrv, regv, mu, W, chunk=4096,
                              memory_space=pltpu.VMEM),      # window
                 pl.BlockSpec((B, k), lambda t: (0, 0),
                              memory_space=pltpu.VMEM),      # ff (whole)
-                pl.BlockSpec((B,), lambda t: (0,),
-                             memory_space=pltpu.VMEM),      # r
-                pl.BlockSpec((B,), lambda t: (0,),
-                             memory_space=pltpu.VMEM),      # m
-                pl.BlockSpec((B,), lambda t: (0,),
-                             memory_space=pltpu.VMEM),      # kl
+                colr(),                                     # r
+                colr(),                                     # m
+                colr(),                                     # kl
                 pl.BlockSpec((k,), lambda t: (0,),
                              memory_space=pltpu.VMEM),      # lrv
                 pl.BlockSpec((k,), lambda t: (0,),
@@ -293,7 +339,15 @@ def half_pass_batch(window, ff, r, m, kl, lrv, regv, mu, W, chunk=4096,
         return out, sse[0, 0]
     kernel = functools.partial(_kernel, int(W), lo_r, hi_r,
                                bool(clamp_pred), bool(row_mean),
-                               bool(bias_none), bool(cache_onehot), link)
+                               bool(bias_none), bool(cache_onehot), link,
+                               bool(all2d))
+    if all2d:
+        r, m, kl = r[:, None], m[:, None], kl[:, None]
+        col = lambda: pl.BlockSpec((ch, 1), lambda t, j: (j, 0),
+                                   memory_space=pltpu.VMEM)
+    else:
+        col = lambda: pl.BlockSpec((ch,), lambda t, j: (j,),
+                                   memory_space=pltpu.VMEM)
     out, sse = pl.pallas_call(
         kernel,
         grid=(int(inner_steps), B // ch),
@@ -304,12 +358,9 @@ def half_pass_batch(window, ff, r, m, kl, lrv, regv, mu, W, chunk=4096,
                          memory_space=pltpu.VMEM),      # window
             pl.BlockSpec((ch, k), lambda t, j: (j, 0),
                          memory_space=pltpu.VMEM),      # ff
-            pl.BlockSpec((ch,), lambda t, j: (j,),
-                         memory_space=pltpu.VMEM),      # r
-            pl.BlockSpec((ch,), lambda t, j: (j,),
-                         memory_space=pltpu.VMEM),      # m
-            pl.BlockSpec((ch,), lambda t, j: (j,),
-                         memory_space=pltpu.VMEM),      # kl
+            col(),                                      # r
+            col(),                                      # m
+            col(),                                      # kl
             pl.BlockSpec((k,), lambda t, j: (0,),
                          memory_space=pltpu.VMEM),      # lrv
             pl.BlockSpec((k,), lambda t, j: (0,),

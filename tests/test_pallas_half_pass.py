@@ -39,6 +39,69 @@ def test_half_pass_batch_matches_numpy():
     np.testing.assert_allclose(out[:, -1], window[:, -1], atol=1e-6)
 
 
+def test_half_pass_all2d_matches_numpy():
+    '''all2d=True (r/m/kl as [B,1] columns, MXU ones-matvec dot): same
+    math as the 1D kernel up to bf16 rounding of the dot products.'''
+    rng = np.random.default_rng(7)
+    B, k, W, T = 256, 10, 32, 3
+    window = rng.normal(0, 0.3, (W, k)).astype(np.float32)
+    ff = rng.normal(0, 0.3, (B, k)).astype(np.float32)
+    r = rng.uniform(1, 5, B).astype(np.float32)
+    m = (rng.random(B) > 0.1).astype(np.float32)
+    kl = np.sort(rng.integers(0, W, B)).astype(np.int32)
+    lrv = np.full(k, 0.1, np.float32); lrv[-1] = 0.0
+    regv = np.full(k, 0.02, np.float32); regv[-1] = 0.0
+    mu = 3.4
+
+    out, sse = half_pass_batch(
+        jnp.asarray(window), jnp.asarray(ff), jnp.asarray(r),
+        jnp.asarray(m), jnp.asarray(kl), jnp.asarray(lrv),
+        jnp.asarray(regv), mu, W, chunk=64, interpret=True,
+        inner_steps=T, cache_onehot=True, all2d=True)
+    out, sse = np.asarray(out), float(sse)
+
+    win = window.copy()
+    sse_first = None
+    for t in range(T):
+        fu = win[kl]
+        pred = np.clip(mu + (fu * ff).sum(-1), 1.0, 5.0)
+        err = (r - pred) * m
+        if t == 0:
+            sse_first = (err ** 2).sum()
+        g = err[:, None] * ff - regv[None, :] * fu * m[:, None]
+        gsum = np.zeros((W, k)); cnt = np.zeros(W)
+        for b in range(B):
+            gsum[kl[b]] += g[b] * m[b]
+            cnt[kl[b]] += m[b]
+        win = win + lrv[None, :] * gsum / np.maximum(cnt, 1.0)[:, None]
+    np.testing.assert_allclose(out, win, atol=2e-2, rtol=5e-2)  # bf16 x3
+    assert abs(sse - sse_first) / sse_first < 5e-3   # bf16-rounded dot
+    # frozen column untouched
+    np.testing.assert_allclose(out[:, -1], window[:, -1], atol=1e-6)
+    # resident + all2d: same chunk order and rounding points -> bitwise
+    out_r, sse_r = half_pass_batch(
+        jnp.asarray(window), jnp.asarray(ff), jnp.asarray(r),
+        jnp.asarray(m), jnp.asarray(kl), jnp.asarray(lrv),
+        jnp.asarray(regv), mu, W, chunk=64, interpret=True,
+        inner_steps=T, resident=True, all2d=True)
+    np.testing.assert_allclose(np.asarray(out_r), out, atol=1e-6)
+    assert abs(float(sse_r) - sse) < 1e-4 * max(sse, 1.0)
+    # logistic link through the 2D chain
+    out_l, sse_l = half_pass_batch(
+        jnp.asarray(window), jnp.asarray(ff), jnp.asarray(r),
+        jnp.asarray(m), jnp.asarray(kl), jnp.asarray(lrv),
+        jnp.asarray(regv), 0.0, W, chunk=64, interpret=True,
+        clamp_pred=False, link='logistic', all2d=True)
+    out_l1, sse_l1 = half_pass_batch(
+        jnp.asarray(window), jnp.asarray(ff), jnp.asarray(r),
+        jnp.asarray(m), jnp.asarray(kl), jnp.asarray(lrv),
+        jnp.asarray(regv), 0.0, W, chunk=64, interpret=True,
+        clamp_pred=False, link='logistic', all2d=False)
+    np.testing.assert_allclose(np.asarray(out_l), np.asarray(out_l1),
+                               atol=5e-3, rtol=5e-2)
+    assert abs(float(sse_l) - float(sse_l1)) < 5e-3 * max(float(sse_l1), 1)
+
+
 def test_half_pass_inner_steps_matches_numpy():
     '''inner_steps=3: the kernel's persistent-window grid iteration must
     equal three sequential numpy half-steps (sse = first iteration's).'''

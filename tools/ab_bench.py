@@ -24,7 +24,7 @@ INNER = 4
 
 
 def build(window, batch, locality_sort, inner=INNER, chunk=4096,
-          resident=False, ff_dtype=None, cache_onehot=False):
+          resident=False, ff_dtype=None, cache_onehot=False, all2d=False):
     pl_ = sgd_mf.sorted_pass_layout(users, items, vals, batch, axis='user',
                                     max_window=window,
                                     locality_sort=locality_sort)
@@ -43,7 +43,7 @@ def build(window, batch, locality_sort, inner=INNER, chunk=4096,
         W_user, W_item, lr=0.15, K=0.02, bias_mode='fixed',
         inner_steps=inner, chunk=chunk, use_pallas_full=True, donate=False,
         pallas_resident=resident, ff_dtype=ff_dtype,
-        pallas_cache_onehot=cache_onehot)
+        pallas_cache_onehot=cache_onehot, pallas_all2d=all2d)
     return ep, (Paug, Qaug), p_layout, q_layout
 
 
@@ -106,6 +106,25 @@ if __name__ == '__main__':
         print('--- A/B: full-grid vs resident+onehot-cache (T=8, bf16 ff)')
         ab('full', (128, BATCH // 2, False, 8, 8192, False, 'bfloat16'),
            'res_cache', (128, BATCH // 2, False, 8, 8192, True, 'bfloat16'))
+    elif mode == 'all2d':
+        # headline config: the 1D-chain kernel vs the all-2D chain
+        # ([B,1] columns, MXU ones-matvec dot — kernel_probe r3 measured
+        # the marginal sweep 39 -> 20 us/batch; this is the epoch-level
+        # adoption A/B)
+        print('--- A/B: 1D chain vs all2d (T=8, chunk=8k, bf16 ff, '
+              'onehot cache)')
+        ab('chain1d',
+           (128, BATCH // 2, False, 8, 8192, False, 'bfloat16', True),
+           'all2d',
+           (128, BATCH // 2, False, 8, 8192, False, 'bfloat16', True, True))
+    elif mode == 'netflix_all2d':
+        print('--- Netflix r128 A/B: 1D chain vs all2d (T=8, chunk=8k, '
+              'bf16 ff, onehot cache)')
+        ab('chain1d',
+           (128, BATCH // 2, False, 8, 8192, False, 'bfloat16', True),
+           'all2d',
+           (128, BATCH // 2, False, 8, 8192, False, 'bfloat16', True, True),
+           blocks=3)
     elif mode == 'grid_cached':
         print('--- A/B: full-grid vs full-grid+onehot-cache (T=8, bf16 ff)')
         ab('full', (128, BATCH // 2, False, 8, 8192, False, 'bfloat16'),
