@@ -235,17 +235,32 @@ def make_kernel_2d(variant):
             prod = fu * ffb
         else:
             ffb = ff_ref[:].astype(jnp.float32)
-            fu = jax.lax.dot_general(
-                onehot, win_scr[:].astype(jnp.bfloat16),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            if variant == 'all2d_no_fu':
+                fu = ffb
+            else:
+                fu = jax.lax.dot_general(
+                    onehot, win_scr[:].astype(jnp.bfloat16),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
             prod = (fu * ffb).astype(jnp.bfloat16)
-        dot = jax.lax.dot_general(
-            prod, jnp.ones((k, 1), jnp.bfloat16),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [ch, 1]
-        pred = jnp.clip(mu_ref[0, 0] + dot, 1.0, 5.0)
-        err = (r_ref[:] - pred) * m                      # [ch, 1]
+        if variant == 'all2d_no_dot':
+            # delete just the k-dim ones-matvec; keep prod alive via a
+            # single-lane read (timing only — math wrong by design)
+            dot = prod[:, :1].astype(jnp.float32)
+        elif variant == 'all2d_no_prod':
+            # delete the [ch,k] elementwise product AND the matvec
+            # (prod is unused -> DCE'd): dot from a single fu lane
+            dot = fu[:, :1].astype(jnp.float32)
+        else:
+            dot = jax.lax.dot_general(
+                prod, jnp.ones((k, 1), jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [ch, 1]
+        if variant == 'all2d_no_elem':
+            err = r_ref[:] + dot * 1e-6
+        else:
+            pred = jnp.clip(mu_ref[0, 0] + dot, 1.0, 5.0)
+            err = (r_ref[:] - pred) * m                  # [ch, 1]
 
         @pl.when(t == 0)
         def _():
@@ -255,10 +270,13 @@ def make_kernel_2d(variant):
             gops = err.astype(jnp.bfloat16) * ffb
         else:
             gops = (err * ffb).astype(jnp.bfloat16)
-        acc_ref[:] += jax.lax.dot_general(
-            onehot, gops,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        if variant == 'all2d_no_acc':
+            acc_ref[:] += gops[:W, :].astype(jnp.float32) * 1e-6
+        else:
+            acc_ref[:] += jax.lax.dot_general(
+                onehot, gops,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
         @pl.when(j == nj - 1)
         def _():
@@ -274,24 +292,24 @@ def make_kernel_2d(variant):
     return kernel
 
 
-def run_one(window, ff, r, m, kl, lrv, regv, variant, T, k):
+def run_one(window, ff, r, m, kl, lrv, regv, variant, T, k, ch=CH):
     mu_arr = jnp.full((1, 1), 3.5, jnp.float32)
     if variant.startswith('all2d'):
         out, sse = pl.pallas_call(
             make_kernel_2d(variant),
-            grid=(T, B // CH),
+            grid=(T, B // ch),
             in_specs=[
                 pl.BlockSpec((1, 1), lambda t, j: (0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((W, k), lambda t, j: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((CH, k), lambda t, j: (j, 0),
+                pl.BlockSpec((ch, k), lambda t, j: (j, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((CH, 1), lambda t, j: (j, 0),
+                pl.BlockSpec((ch, 1), lambda t, j: (j, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((CH, 1), lambda t, j: (j, 0),
+                pl.BlockSpec((ch, 1), lambda t, j: (j, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((CH, 1), lambda t, j: (j, 0),
+                pl.BlockSpec((ch, 1), lambda t, j: (j, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((k,), lambda t, j: (0,),
                              memory_space=pltpu.VMEM),
@@ -358,26 +376,28 @@ def run_one(window, ff, r, m, kl, lrv, regv, variant, T, k):
     return out, sse[0, 0]
 
 
-@functools.partial(jax.jit, static_argnames=('variant', 'T', 'k'))
-def run_chain(window, ff, r, m, kl, lrv, regv, variant, T, k):
+@functools.partial(jax.jit, static_argnames=('variant', 'T', 'k', 'ch'))
+def run_chain(window, ff, r, m, kl, lrv, regv, variant, T, k, ch):
     '''N_BATCH serialized kernel calls: the window output feeds the next
     call, so the device cannot overlap or elide them; one dispatch.'''
     def step(win, _):
-        out, sse = run_one(win, ff, r, m, kl, lrv, regv, variant, T, k)
+        out, sse = run_one(win, ff, r, m, kl, lrv, regv, variant, T, k,
+                           ch)
         return out, sse
     win, sses = jax.lax.scan(step, window, None, length=N_BATCH)
     return win, sses.sum()
 
 
-def time_case(data, variant, T, k, iters=5):
+def time_case(data, variant, T, k, iters=5, ch=CH):
     window, ff, r, m, kl, lrv, regv = data[k]
-    out, sse = run_chain(window, ff, r, m, kl, lrv, regv, variant, T, k)
+    out, sse = run_chain(window, ff, r, m, kl, lrv, regv, variant, T, k,
+                         ch)
     float(sse)
     best = []
     for _ in range(iters):
         t0 = time.perf_counter()
         out, sse = run_chain(window, ff, r, m, kl, lrv, regv, variant,
-                             T, k)
+                             T, k, ch)
         float(sse)
         float(out[0, 0])
         best.append(time.perf_counter() - t0)
@@ -396,25 +416,40 @@ if __name__ == '__main__':
             np.sort(rng.integers(0, W, B)).astype(np.int32),
             np.full(k, 0.1, np.float32),
             np.full(k, 0.02, np.float32)))
-    if len(sys.argv) > 1 and sys.argv[1] == 'fix':
-        cases = [('full', 66), ('dot_mxu_b16', 66), ('bf16_chain', 66),
-                 ('all2d', 66), ('all2d_bf16', 66), ('no_elem', 66)]
+    mode = sys.argv[1] if len(sys.argv) > 1 else ''
+    if mode == 'fix':
+        cases = [('full', 66, CH), ('dot_mxu_b16', 66, CH),
+                 ('bf16_chain', 66, CH), ('all2d', 66, CH),
+                 ('all2d_bf16', 66, CH), ('no_elem', 66, CH)]
+    elif mode == 'all2d':
+        # decompose the remaining all2d sweep + chunk-size axis (per-
+        # grid-step overhead shows up as a win at ch=16384 / loss at 4096)
+        cases = [('all2d', 66, CH), ('all2d_no_dot', 66, CH),
+                 ('all2d_no_prod', 66, CH), ('all2d_no_fu', 66, CH),
+                 ('all2d_no_acc', 66, CH), ('all2d_no_elem', 66, CH),
+                 ('all2d', 66, B), ('all2d', 66, 4096)]
     else:
-        cases = [('full', 66), ('no_fu', 66), ('no_acc', 66),
-                 ('no_elem', 66), ('full', 64), ('full', 128)]
+        cases = [('full', 66, CH), ('no_fu', 66, CH), ('no_acc', 66, CH),
+                 ('no_elem', 66, CH), ('full', 64, CH), ('full', 128, CH)]
     res = {c: [] for c in cases}
+    abs2 = {c: [] for c in cases}
     for rep in range(REPS):
         for c in cases:
-            v, k = c
-            t2 = time_case(data, v, 2, k)
-            t10 = time_case(data, v, 10, k)
+            v, k, ch = c
+            t2 = time_case(data, v, 2, k, ch=ch)
+            t10 = time_case(data, v, 10, k, ch=ch)
             marg = (t10 - t2) / 8
             res[c].append(marg)
-            print('rep %d %-8s k=%-3d marginal sweep %7.1f us/batch'
-                  % (rep, v, k, marg * 1e6), flush=True)
+            abs2[c].append(t2)
+            print('rep %d %-14s k=%-3d ch=%-5d marginal %6.1f us/batch'
+                  '  t2_abs %6.1f us' % (rep, v, k, ch, marg * 1e6,
+                                         t2 * 1e6), flush=True)
     print()
-    base = statistics.median(res[('full', 66)])
+    base = statistics.median(res[cases[0]])
     for c in cases:
         med = statistics.median(res[c])
-        print('%-8s k=%-3d median %7.1f us/batch  (delta vs full %.1f us)'
-              % (c[0], c[1], med * 1e6, (base - med) * 1e6))
+        t2m = statistics.median(abs2[c])
+        print('%-14s k=%-3d ch=%-5d median %6.1f us/batch (delta vs %s'
+              ' %.1f us)  t2_abs %6.1f (fixed ~%.1f)'
+              % (c[0], c[1], c[2], med * 1e6, cases[0][0],
+                 (base - med) * 1e6, t2m * 1e6, (t2m - 2 * med) * 1e6))
