@@ -278,7 +278,11 @@ def main():
             # BENCH_ALL2D: 'auto' (default: on for the fused kernel),
             # '1'/'0' force either — keeps the 1D chain measurable
             pallas_all2d={'auto': None, '1': True, '0': False}[
-                os.environ.get('BENCH_ALL2D', 'auto')])
+                os.environ.get('BENCH_ALL2D', 'auto')],
+            # BENCH_GROUP=G: batch-group kernel (G batches per
+            # pallas_call, HBM factors + in-kernel window DMA); 0 = the
+            # scanned per-batch kernel
+            pallas_group=int(os.environ.get('BENCH_GROUP', 0)))
         state = (Paug, Qaug)
 
         def epoch(s):

@@ -388,3 +388,199 @@ def half_pass_batch(window, ff, r, m, kl, lrv, regv, mu, W, chunk=4096,
         interpret=interpret,
     )(mu_arr, window, ff, r, m, kl, lrv, regv)
     return out, sse[0, 0]
+
+
+def _kernel_group(W, lo_r, hi_r, clamp_pred, row_mean, bias_none, link,
+                  lo_ref, mu_ref, fupd_ref, ff_ref, r_ref, m_ref, kl_ref,
+                  lrv_ref, regv_ref, out_ref, sse_ref, acc_ref, win_scr,
+                  oh_scr, cnt_scr, sem_in, sem_out):
+    '''Batch-group variant of ``_kernel`` (all-2D chain only): grid
+    (g, t, j) processes G consecutive sorted-window batches in ONE
+    pallas_call.  The updated factor matrix stays in HBM
+    (``memory_space=ANY``, aliased in/out); each batch's W-row window is
+    moved by an in-kernel async copy at the scalar-prefetched row offset
+    ``lo_ref[g]`` — replacing the per-batch XLA dynamic_slice /
+    dynamic_update_slice pair AND the per-batch pallas dispatch, which
+    the grouped grid amortizes G-fold.  Batches execute in stream order
+    (grid dims are arbitrary/sequential), so update semantics match the
+    scanned per-batch kernel exactly: the window read of batch g happens
+    after the writeback of batch g-1 (synchronous DMA waits).'''
+    g = pl.program_id(0)          # batch within the group
+    t = pl.program_id(1)          # inner gradient iteration
+    j = pl.program_id(2)          # chunk
+    nt = pl.num_programs(1)
+    nj = pl.num_programs(2)
+    ch = ff_ref.shape[0]
+    k = win_scr.shape[1]
+    lo = lo_ref[g]
+
+    @pl.when((g == 0) & (t == 0) & (j == 0))
+    def _():
+        # seed the output with the input factors ONCE per call (HBM->HBM
+        # bulk copy, ~1 us/batch amortized over the group); every window
+        # read/write below goes through out_ref, so batch g always sees
+        # batch g-1's writeback even though windows overlap
+        pltpu.make_async_copy(fupd_ref, out_ref, sem_in).start()
+        pltpu.make_async_copy(fupd_ref, out_ref, sem_in).wait()
+        sse_ref[0, 0] = 0.0
+
+    @pl.when((t == 0) & (j == 0))
+    def _():
+        # fetch this batch's window (the previous batch's writeback has
+        # completed — see the tail of this kernel)
+        pltpu.make_async_copy(
+            out_ref.at[pl.ds(lo, W), :], win_scr, sem_in).start()
+        pltpu.make_async_copy(
+            out_ref.at[pl.ds(lo, W), :], win_scr, sem_in).wait()
+        cnt_scr[:] = jnp.zeros_like(cnt_scr)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    ff = ff_ref[:].astype(jnp.float32)                 # [ch, k]
+    kl = kl_ref[:]                                     # [ch, 1]
+    m = m_ref[:]
+    r = r_ref[:]
+
+    @pl.when(t == 0)
+    def _():
+        oh_scr[pl.ds(j * ch, ch), :] = (
+            kl == jax.lax.broadcasted_iota(
+                jnp.int32, (ch, W), 1)).astype(jnp.bfloat16)
+
+    onehot = oh_scr[pl.ds(j * ch, ch), :]
+
+    @pl.when(t == 0)
+    def _():
+        cnt_scr[:] += jax.lax.dot_general(
+            onehot, m.astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [W, 1]
+
+    fu = jax.lax.dot_general(
+        onehot, win_scr[:].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [ch, k]
+    dot = jax.lax.dot_general(
+        (fu * ff).astype(jnp.bfloat16), jnp.ones((k, 1), jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [ch, 1]
+    if link == 'logistic':
+        rng_w = hi_r - lo_r
+        sig = jax.nn.sigmoid(dot)
+        pred = lo_r + sig * rng_w
+        err = (r - pred) * m
+        eff = err * sig * (1.0 - sig) * rng_w
+    else:
+        pred = (1.0 + dot) if bias_none else (mu_ref[0, 0] + dot)
+        if clamp_pred:
+            pred = jnp.clip(pred, lo_r, hi_r)
+        err = (r - pred) * m
+        eff = err
+
+    @pl.when(t == 0)      # epoch RMSE = pre-update residual
+    def _():
+        sse_ref[0, 0] += (err * err).sum()
+
+    # error term only; diagonal-regularization identity (see _kernel)
+    acc_ref[:] += jax.lax.dot_general(
+        onehot, (eff * ff).astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [W, k]
+
+    @pl.when(j == nj - 1)
+    def _():
+        cnt = cnt_scr[:]
+        alive = (cnt > 0.0).astype(jnp.float32)
+        reg = regv_ref[:][None, :] * win_scr[:]
+        if row_mean:
+            gsum = acc_ref[:] / jnp.maximum(cnt, 1.0) - reg * alive
+        else:
+            gsum = acc_ref[:] - reg * cnt
+        win_scr[:] = win_scr[:] + lrv_ref[:][None, :] * gsum
+
+    @pl.when((t == nt - 1) & (j == nj - 1))
+    def _():
+        # write the finished window back before the next batch's read
+        # (windows of consecutive batches may share rows)
+        pltpu.make_async_copy(
+            win_scr, out_ref.at[pl.ds(lo, W), :], sem_out).start()
+        pltpu.make_async_copy(
+            win_scr, out_ref.at[pl.ds(lo, W), :], sem_out).wait()
+
+
+@functools.partial(jax.jit, static_argnames=('W', 'chunk', 'clamp_pred',
+                                             'lo_r', 'hi_r', 'row_mean',
+                                             'bias_none', 'interpret',
+                                             'inner_steps', 'link'))
+def half_pass_group(F_upd, ff, r, m, kl, lo, lrv, regv, mu, W, chunk=4096,
+                    clamp_pred=True, lo_r=1.0, hi_r=5.0, row_mean=True,
+                    bias_none=False, interpret=False, inner_steps=1,
+                    link='identity'):
+    '''G sorted-window batch steps in ONE pallas_call (all-2D chain).
+
+    F_upd [n_rows_padded, k]: the full updated-side factor matrix; it
+    stays in HBM and is aliased to the output (donated).  ff [G, B, k]
+    pre-gathered fixed rows; r/m/kl [G, B]; lo [G] int32 window starts
+    (each window [lo, lo+W) must be in range — the augmented factor
+    layout already pads W extra rows).  Batches run in order with the
+    same numerics as ``half_pass_batch(..., all2d=True)`` per batch.
+
+    Returns (F_upd_out, sse) with sse summed over the G batches' first
+    sweeps.'''
+    G, B, k = ff.shape
+    ch = min(chunk, B)
+    assert B % ch == 0, (B, ch)
+    nj = B // ch
+    mu_arr = jnp.full((1, 1), mu, jnp.float32)
+    kernel = functools.partial(_kernel_group, int(W), lo_r, hi_r,
+                               bool(clamp_pred), bool(row_mean),
+                               bool(bias_none), link)
+    ff2 = ff.reshape(G * B, k)
+    col = lambda: pl.BlockSpec((ch, 1), lambda g, t, j, lo: (g * nj + j, 0),
+                               memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G, int(inner_steps), nj),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda g, t, j, lo: (0, 0),
+                         memory_space=pltpu.SMEM),          # mu
+            pl.BlockSpec(memory_space=pltpu.ANY),           # F_upd (HBM)
+            pl.BlockSpec((ch, k), lambda g, t, j, lo: (g * nj + j, 0),
+                         memory_space=pltpu.VMEM),          # ff
+            col(),                                          # r
+            col(),                                          # m
+            col(),                                          # kl
+            pl.BlockSpec((k,), lambda g, t, j, lo: (0,),
+                         memory_space=pltpu.VMEM),          # lrv
+            pl.BlockSpec((k,), lambda g, t, j, lo: (0,),
+                         memory_space=pltpu.VMEM),          # regv
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),           # F_upd out
+            pl.BlockSpec((1, 1), lambda g, t, j, lo: (0, 0),
+                         memory_space=pltpu.SMEM),          # sse
+        ),
+        scratch_shapes=[pltpu.VMEM((W, k), jnp.float32),    # acc
+                        pltpu.VMEM((W, k), jnp.float32),    # win
+                        pltpu.VMEM((B, W), jnp.bfloat16),   # onehot slab
+                        pltpu.VMEM((W, 1), jnp.float32),    # counts
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SemaphoreType.DMA(())],
+    )
+    out, sse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct(F_upd.shape, F_upd.dtype),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',) * 3,
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=bool(interpret),
+    )(lo, mu_arr, F_upd,
+      ff2, r.reshape(G * B, 1), m.reshape(G * B, 1),
+      kl.reshape(G * B, 1), lrv, regv)
+    return out, sse[0, 0]

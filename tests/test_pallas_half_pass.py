@@ -1,5 +1,6 @@
 '''Fused Pallas half-pass batch step vs. a numpy reference (interpret).'''
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from mfrec_tpu.ops.pallas_half_pass import half_pass_batch
@@ -231,3 +232,68 @@ def test_half_pass_logistic_link_matches_numpy():
     want = window + lrv[None, :] * gsum / np.maximum(cnt, 1.0)[:, None]
     np.testing.assert_allclose(out, want, atol=5e-3, rtol=5e-2)   # bf16
     assert abs(sse - (err ** 2).sum()) / max((err ** 2).sum(), 1e-9) < 1e-3
+
+
+def test_half_pass_group_matches_scanned():
+    '''half_pass_group (G batches per call, HBM-resident factors,
+    in-kernel window DMA at scalar-prefetched offsets) must equal the
+    per-batch all2d kernel applied sequentially with dynamic
+    slice/update — including OVERLAPPING windows between consecutive
+    batches and masked filler rows.'''
+    from mfrec_tpu.ops.pallas_half_pass import half_pass_group
+
+    rng = np.random.default_rng(3)
+    G, B, k, W, T = 4, 128, 10, 32, 3
+    n_rows = 80
+    F = rng.normal(0, 0.3, (n_rows + W, k)).astype(np.float32)
+    ff = rng.normal(0, 0.3, (G, B, k)).astype(np.float32)
+    r = rng.uniform(1, 5, (G, B)).astype(np.float32)
+    m = (rng.random((G, B)) > 0.1).astype(np.float32)
+    m[-1, B // 2:] = 0.0                      # short (filler-ish) batch
+    kl = np.sort(rng.integers(0, W, (G, B)), axis=1).astype(np.int32)
+    lo = np.array([0, 20, 45, 46], np.int32)  # 0/20, 45/46 overlap
+    lrv = np.full(k, 0.1, np.float32); lrv[-1] = 0.0
+    regv = np.full(k, 0.02, np.float32); regv[-1] = 0.0
+    mu = 3.4
+
+    Fref = jnp.asarray(F)
+    sse_ref = 0.0
+    for g in range(G):
+        win = jax.lax.dynamic_slice_in_dim(Fref, int(lo[g]), W, 0)
+        win_out, sse_b = half_pass_batch(
+            win, jnp.asarray(ff[g]), jnp.asarray(r[g]), jnp.asarray(m[g]),
+            jnp.asarray(kl[g]), jnp.asarray(lrv), jnp.asarray(regv), mu,
+            W, chunk=64, interpret=True, inner_steps=T, cache_onehot=True,
+            all2d=True)
+        Fref = jax.lax.dynamic_update_slice_in_dim(
+            Fref, win_out, int(lo[g]), 0)
+        sse_ref += float(sse_b)
+
+    Fg, sse_g = half_pass_group(
+        jnp.asarray(F), jnp.asarray(ff), jnp.asarray(r), jnp.asarray(m),
+        jnp.asarray(kl), jnp.asarray(lo), jnp.asarray(lrv),
+        jnp.asarray(regv), mu, W, chunk=64, interpret=True, inner_steps=T)
+    np.testing.assert_allclose(np.asarray(Fg), np.asarray(Fref),
+                               atol=1e-5, rtol=1e-5)
+    assert abs(float(sse_g) - sse_ref) < 1e-3 * max(sse_ref, 1.0)
+    # rows outside every window carried through untouched
+    np.testing.assert_allclose(np.asarray(Fg)[n_rows:], F[n_rows:],
+                               atol=0.0)
+    # logistic link through the group kernel
+    Fl, _ = half_pass_group(
+        jnp.asarray(F), jnp.asarray(ff), jnp.asarray(r), jnp.asarray(m),
+        jnp.asarray(kl), jnp.asarray(lo), jnp.asarray(lrv),
+        jnp.asarray(regv), 0.0, W, chunk=64, interpret=True,
+        clamp_pred=False, link='logistic')
+    Fl_ref = jnp.asarray(F)
+    for g in range(G):
+        win = jax.lax.dynamic_slice_in_dim(Fl_ref, int(lo[g]), W, 0)
+        win_out, _ = half_pass_batch(
+            win, jnp.asarray(ff[g]), jnp.asarray(r[g]), jnp.asarray(m[g]),
+            jnp.asarray(kl[g]), jnp.asarray(lrv), jnp.asarray(regv), 0.0,
+            W, chunk=64, interpret=True, clamp_pred=False,
+            link='logistic', all2d=True)
+        Fl_ref = jax.lax.dynamic_update_slice_in_dim(
+            Fl_ref, win_out, int(lo[g]), 0)
+    np.testing.assert_allclose(np.asarray(Fl), np.asarray(Fl_ref),
+                               atol=1e-5, rtol=1e-5)

@@ -24,7 +24,8 @@ INNER = 4
 
 
 def build(window, batch, locality_sort, inner=INNER, chunk=4096,
-          resident=False, ff_dtype=None, cache_onehot=False, all2d=False):
+          resident=False, ff_dtype=None, cache_onehot=False, all2d=False,
+          group=0):
     pl_ = sgd_mf.sorted_pass_layout(users, items, vals, batch, axis='user',
                                     max_window=window,
                                     locality_sort=locality_sort)
@@ -43,7 +44,8 @@ def build(window, batch, locality_sort, inner=INNER, chunk=4096,
         W_user, W_item, lr=0.15, K=0.02, bias_mode='fixed',
         inner_steps=inner, chunk=chunk, use_pallas_full=True, donate=False,
         pallas_resident=resident, ff_dtype=ff_dtype,
-        pallas_cache_onehot=cache_onehot, pallas_all2d=all2d)
+        pallas_cache_onehot=cache_onehot, pallas_all2d=all2d,
+        pallas_group=group)
     return ep, (Paug, Qaug), p_layout, q_layout
 
 
@@ -125,6 +127,26 @@ if __name__ == '__main__':
            'all2d',
            (128, BATCH // 2, False, 8, 8192, False, 'bfloat16', True, True),
            blocks=3)
+    elif mode == 'group':
+        # scanned per-batch pallas_calls vs the batch-group kernel
+        # (G batches / call, HBM factors + in-kernel window DMA at
+        # scalar-prefetched offsets): amortizes per-batch dispatch,
+        # scan-step overhead and the dynamic slice/update pair
+        print('--- A/B: all2d scanned vs group G=64 (T=8, chunk=8k, '
+              'bf16 ff)')
+        ab('scanned',
+           (128, BATCH // 2, False, 8, 8192, False, 'bfloat16', True, True),
+           'group64',
+           (128, BATCH // 2, False, 8, 8192, False, 'bfloat16', True, True,
+            64))
+    elif mode == 'group_g':
+        print('--- A/B: group G=16 vs G=64 (T=8, chunk=8k, bf16 ff)')
+        ab('g16',
+           (128, BATCH // 2, False, 8, 8192, False, 'bfloat16', True, True,
+            16),
+           'g64',
+           (128, BATCH // 2, False, 8, 8192, False, 'bfloat16', True, True,
+            64))
     elif mode == 'grid_cached':
         print('--- A/B: full-grid vs full-grid+onehot-cache (T=8, bf16 ff)')
         ab('full', (128, BATCH // 2, False, 8, 8192, False, 'bfloat16'),

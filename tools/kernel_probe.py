@@ -51,6 +51,20 @@ The 1D-layout hypothesis CONFIRMED: the all-2D chain halves the sweep
 arithmetic, it was the [ch] 1D <-> [ch,k] relayouts.  f32 products
 (all2d) edge out full-bf16 (all2d_bf16): adopt all2d.
 
+Mode ``all2d`` (probe round 4) decomposes the adopted all-2D chain
+(MEASURED medians, us/batch marginal sweep, ch=8192 unless noted):
+  all2d 20.2 | no_dot 14.2 (-6.1) | no_prod 17.0 | no_fu 17.3 (-2.9) |
+  no_acc 11.2 (-9.1) | no_elem 20.0 (-0.2) | ch=16384 18.1 | ch=4096 21.1
+The aggregation matmul (onehot^T @ eff*ff, ch-dim contraction) is now
+the largest sweep component (9.1 us, ~6x its MXU FLOP floor), then the
+k-dim ones-matvec dot (6.1 us — N=1 pads to a full lane tile), then the
+fu gather matmul (2.9).  The elementwise chain is ~free after all2d.
+t2_abs includes the per-run relay round-trip (~250 us/batch at
+N_BATCH=200), so "fixed" here is an upper bound — epoch-level timing
+puts the true per-batch fixed cost at ~140 us (dispatch + XLA gather +
+slice/update + t=0 kernel work); the batch-group kernel
+(pallas_half_pass.half_pass_group) attacks that term.
+
 Interleaved reps in one process.  Run from /root/repo on the TPU.
 '''
 import functools
