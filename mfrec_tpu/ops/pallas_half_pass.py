@@ -390,10 +390,10 @@ def half_pass_batch(window, ff, r, m, kl, lrv, regv, mu, W, chunk=4096,
     return out, sse[0, 0]
 
 
-def _kernel_group(W, lo_r, hi_r, clamp_pred, row_mean, bias_none, link,
-                  lo_ref, mu_ref, fupd_ref, ff_ref, r_ref, m_ref, kl_ref,
-                  lrv_ref, regv_ref, out_ref, sse_ref, acc_ref, win_scr,
-                  oh_scr, cnt_scr, sem_in, sem_out):
+def _kernel_group(W, k, lo_r, hi_r, clamp_pred, row_mean, bias_none,
+                  link, lo_ref, mu_ref, fupd_ref, ff_ref, r_ref, m_ref,
+                  kl_ref, lrv_ref, regv_ref, out_ref, sse_ref, acc_ref,
+                  win_scr, win_dma, oh_scr, cnt_scr, sem_in, sem_out):
     '''Batch-group variant of ``_kernel`` (all-2D chain only): grid
     (g, t, j) processes G consecutive sorted-window batches in ONE
     pallas_call.  The updated factor matrix stays in HBM
@@ -411,7 +411,11 @@ def _kernel_group(W, lo_r, hi_r, clamp_pred, row_mean, bias_none, link,
     nt = pl.num_programs(1)
     nj = pl.num_programs(2)
     ch = ff_ref.shape[0]
-    k = win_scr.shape[1]
+    # HBM slices must be 128-lane-aligned for the window DMAs, so DMAs
+    # stage through the kp-wide win_dma; math runs on the k-wide win_scr
+    # (partial-lane vector ops only at the per-batch stage/unstage, never
+    # in the per-sweep chain)
+    kp = win_dma.shape[1]
     lo = lo_ref[g]
 
     @pl.when((g == 0) & (t == 0) & (j == 0))
@@ -429,9 +433,10 @@ def _kernel_group(W, lo_r, hi_r, clamp_pred, row_mean, bias_none, link,
         # fetch this batch's window (the previous batch's writeback has
         # completed — see the tail of this kernel)
         pltpu.make_async_copy(
-            out_ref.at[pl.ds(lo, W), :], win_scr, sem_in).start()
+            out_ref.at[pl.ds(lo, W), :], win_dma, sem_in).start()
         pltpu.make_async_copy(
-            out_ref.at[pl.ds(lo, W), :], win_scr, sem_in).wait()
+            out_ref.at[pl.ds(lo, W), :], win_dma, sem_in).wait()
+        win_scr[:] = win_dma[:, :k]
         cnt_scr[:] = jnp.zeros_like(cnt_scr)
 
     @pl.when(j == 0)
@@ -503,11 +508,18 @@ def _kernel_group(W, lo_r, hi_r, clamp_pred, row_mean, bias_none, link,
     @pl.when((t == nt - 1) & (j == nj - 1))
     def _():
         # write the finished window back before the next batch's read
-        # (windows of consecutive batches may share rows)
+        # (windows of consecutive batches may share rows).  Pad lanes of
+        # F_upd hold zeros by construction, so the full-width store can
+        # write zeros there (no partial-lane store)
+        if k == kp:
+            win_dma[:] = win_scr[:]
+        else:
+            win_dma[:] = jnp.concatenate(
+                [win_scr[:], jnp.zeros((W, kp - k), jnp.float32)], axis=1)
         pltpu.make_async_copy(
-            win_scr, out_ref.at[pl.ds(lo, W), :], sem_out).start()
+            win_dma, out_ref.at[pl.ds(lo, W), :], sem_out).start()
         pltpu.make_async_copy(
-            win_scr, out_ref.at[pl.ds(lo, W), :], sem_out).wait()
+            win_dma, out_ref.at[pl.ds(lo, W), :], sem_out).wait()
 
 
 @functools.partial(jax.jit, static_argnames=('W', 'chunk', 'clamp_pred',
@@ -528,13 +540,22 @@ def half_pass_group(F_upd, ff, r, m, kl, lo, lrv, regv, mu, W, chunk=4096,
     same numerics as ``half_pass_batch(..., all2d=True)`` per batch.
 
     Returns (F_upd_out, sse) with sse summed over the G batches' first
-    sweeps.'''
+    sweeps.  F_upd's minor dim may be lane-padded (multiple of 128)
+    wider than ff's k — the window DMAs need 128-aligned HBM slices, so
+    an unaligned F_upd is padded here and sliced back on return; callers
+    that scan many groups should pre-pad once and carry the padded array
+    (``sgd_mf.make_alternating_epoch`` does).'''
     G, B, k = ff.shape
+    kp = -(-k // 128) * 128
+    trim = F_upd.shape[1] == k and kp != k
+    if trim:
+        F_upd = jnp.pad(F_upd, ((0, 0), (0, kp - k)))
+    assert F_upd.shape[1] == kp, (F_upd.shape, k, kp)
     ch = min(chunk, B)
     assert B % ch == 0, (B, ch)
     nj = B // ch
     mu_arr = jnp.full((1, 1), mu, jnp.float32)
-    kernel = functools.partial(_kernel_group, int(W), lo_r, hi_r,
+    kernel = functools.partial(_kernel_group, int(W), int(k), lo_r, hi_r,
                                bool(clamp_pred), bool(row_mean),
                                bool(bias_none), link)
     ff2 = ff.reshape(G * B, k)
@@ -563,7 +584,8 @@ def half_pass_group(F_upd, ff, r, m, kl, lo, lrv, regv, mu, W, chunk=4096,
                          memory_space=pltpu.SMEM),          # sse
         ),
         scratch_shapes=[pltpu.VMEM((W, k), jnp.float32),    # acc
-                        pltpu.VMEM((W, k), jnp.float32),    # win
+                        pltpu.VMEM((W, k), jnp.float32),    # win (math)
+                        pltpu.VMEM((W, kp), jnp.float32),   # win (DMA)
                         pltpu.VMEM((B, W), jnp.bfloat16),   # onehot slab
                         pltpu.VMEM((W, 1), jnp.float32),    # counts
                         pltpu.SemaphoreType.DMA(()),
@@ -583,4 +605,4 @@ def half_pass_group(F_upd, ff, r, m, kl, lo, lrv, regv, mu, W, chunk=4096,
     )(lo, mu_arr, F_upd,
       ff2, r.reshape(G * B, 1), m.reshape(G * B, 1),
       kl.reshape(G * B, 1), lrv, regv)
-    return out, sse[0, 0]
+    return (out[:, :k] if trim else out), sse[0, 0]

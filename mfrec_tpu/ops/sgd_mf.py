@@ -567,6 +567,12 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
             else a.reshape(-1, G)
         Bp = rp.shape[1]
         kdim = F_upd.shape[1]
+        # lane-pad ONCE and carry the padded array through the scan (the
+        # kernel's window DMAs need a 128-aligned minor dim; padding
+        # inside half_pass_group would copy the matrix every group step)
+        kpad = -(-kdim // 128) * 128
+        if kpad != kdim:
+            F_upd = jnp.pad(F_upd, ((0, 0), (0, kpad - kdim)))
 
         if ff_dtype == 'bfloat16':
             F_fix = F_fix.astype(jnp.bfloat16)
@@ -587,6 +593,8 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
         (F_upd, sse), _ = jax.lax.scan(
             step, (F_upd, jnp.zeros((), jnp.float32)),
             (grp(fixp), grp(rp), grp(mp), grp(klp), grp(lo)))
+        if kpad != kdim:
+            F_upd = F_upd[:, :kdim]
         return F_upd, sse
 
     def pad_to_chunk_axis1(*arrays):

@@ -147,6 +147,17 @@ if __name__ == '__main__':
            'g64',
            (128, BATCH // 2, False, 8, 8192, False, 'bfloat16', True, True,
             64))
+    elif mode == 'group_t':
+        # marginal-sweep extraction for the group kernel: epoch(T=10) -
+        # epoch(T=2) over 8 sweeps x n_batches gives its per-sweep cost;
+        # the T=2 intercept bounds its per-batch fixed cost
+        print('--- A/B: group64 T=2 vs T=10 (chunk=8k, bf16 ff)')
+        ab('g64_t2',
+           (128, BATCH // 2, False, 2, 8192, False, 'bfloat16', True, True,
+            64),
+           'g64_t10',
+           (128, BATCH // 2, False, 10, 8192, False, 'bfloat16', True, True,
+            64))
     elif mode == 'grid_cached':
         print('--- A/B: full-grid vs full-grid+onehot-cache (T=8, bf16 ff)')
         ab('full', (128, BATCH // 2, False, 8, 8192, False, 'bfloat16'),

@@ -257,7 +257,11 @@ def make_kernel_2d(variant):
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
             prod = (fu * ffb).astype(jnp.bfloat16)
-        if variant == 'all2d_no_dot':
+        if variant == 'all2d_sumk':
+            # keepdims lane-reduction instead of the ones-matvec: stays
+            # 2D ([ch,k] -> [ch,1]), no MXU N=1 tile padding
+            dot = (fu * ffb).sum(axis=1, keepdims=True)
+        elif variant == 'all2d_no_dot':
             # delete just the k-dim ones-matvec; keep prod alive via a
             # single-lane read (timing only — math wrong by design)
             dot = prod[:, :1].astype(jnp.float32)
@@ -435,6 +439,8 @@ if __name__ == '__main__':
         cases = [('full', 66, CH), ('dot_mxu_b16', 66, CH),
                  ('bf16_chain', 66, CH), ('all2d', 66, CH),
                  ('all2d_bf16', 66, CH), ('no_elem', 66, CH)]
+    elif mode == 'dot':
+        cases = [('all2d', 66, CH), ('all2d_sumk', 66, CH)]
     elif mode == 'all2d':
         # decompose the remaining all2d sweep + chunk-size axis (per-
         # grid-step overhead shows up as a win at ch=16384 / loss at 4096)
