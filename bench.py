@@ -282,7 +282,10 @@ def main():
             # BENCH_GROUP=G: batch-group kernel (G batches per
             # pallas_call, HBM factors + in-kernel window DMA); 0 = the
             # scanned per-batch kernel
-            pallas_group=int(os.environ.get('BENCH_GROUP', 0)))
+            pallas_group=int(os.environ.get('BENCH_GROUP', 0)),
+            # BENCH_DOTSUM: 'auto' (default on), '1'/'0' force
+            pallas_dot_sum={'auto': None, '1': True, '0': False}[
+                os.environ.get('BENCH_DOTSUM', 'auto')])
         state = (Paug, Qaug)
 
         def epoch(s):

@@ -297,3 +297,50 @@ def test_half_pass_group_matches_scanned():
             Fl_ref, win_out, int(lo[g]), 0)
     np.testing.assert_allclose(np.asarray(Fl), np.asarray(Fl_ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_half_pass_all2d_dot_sum_matches_numpy():
+    '''dot_sum=True: f32 keepdims lane-reduction for the prediction dot —
+    tighter numerics than the bf16 ones-matvec (only the window/ff bf16
+    rounding remains).'''
+    rng = np.random.default_rng(11)
+    B, k, W, T = 256, 10, 32, 2
+    window = rng.normal(0, 0.3, (W, k)).astype(np.float32)
+    ff = rng.normal(0, 0.3, (B, k)).astype(np.float32)
+    r = rng.uniform(1, 5, B).astype(np.float32)
+    m = (rng.random(B) > 0.1).astype(np.float32)
+    kl = np.sort(rng.integers(0, W, B)).astype(np.int32)
+    lrv = np.full(k, 0.1, np.float32); lrv[-1] = 0.0
+    regv = np.full(k, 0.02, np.float32); regv[-1] = 0.0
+    mu = 3.4
+
+    out, sse = half_pass_batch(
+        jnp.asarray(window), jnp.asarray(ff), jnp.asarray(r),
+        jnp.asarray(m), jnp.asarray(kl), jnp.asarray(lrv),
+        jnp.asarray(regv), mu, W, chunk=64, interpret=True,
+        inner_steps=T, cache_onehot=True, all2d=True, dot_sum=True)
+    out, sse = np.asarray(out), float(sse)
+
+    win = window.copy()
+    sse_first = None
+    for t in range(T):
+        fu = win[kl]
+        pred = np.clip(mu + (fu * ff).sum(-1), 1.0, 5.0)
+        err = (r - pred) * m
+        if t == 0:
+            sse_first = (err ** 2).sum()
+        g = err[:, None] * ff - regv[None, :] * fu * m[:, None]
+        gsum = np.zeros((W, k)); cnt = np.zeros(W)
+        for b in range(B):
+            gsum[kl[b]] += g[b] * m[b]
+            cnt[kl[b]] += m[b]
+        win = win + lrv[None, :] * gsum / np.maximum(cnt, 1.0)[:, None]
+    np.testing.assert_allclose(out, win, atol=2e-2, rtol=5e-2)
+    assert abs(sse - sse_first) / sse_first < 2e-3
+    # resident twin at the same rounding points
+    out_r, sse_r = half_pass_batch(
+        jnp.asarray(window), jnp.asarray(ff), jnp.asarray(r),
+        jnp.asarray(m), jnp.asarray(kl), jnp.asarray(lrv),
+        jnp.asarray(regv), mu, W, chunk=64, interpret=True,
+        inner_steps=T, resident=True, all2d=True, dot_sum=True)
+    np.testing.assert_allclose(np.asarray(out_r), out, atol=1e-6)

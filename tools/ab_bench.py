@@ -25,7 +25,7 @@ INNER = 4
 
 def build(window, batch, locality_sort, inner=INNER, chunk=4096,
           resident=False, ff_dtype=None, cache_onehot=False, all2d=False,
-          group=0):
+          group=0, dot_sum=False):
     pl_ = sgd_mf.sorted_pass_layout(users, items, vals, batch, axis='user',
                                     max_window=window,
                                     locality_sort=locality_sort)
@@ -45,7 +45,7 @@ def build(window, batch, locality_sort, inner=INNER, chunk=4096,
         inner_steps=inner, chunk=chunk, use_pallas_full=True, donate=False,
         pallas_resident=resident, ff_dtype=ff_dtype,
         pallas_cache_onehot=cache_onehot, pallas_all2d=all2d,
-        pallas_group=group)
+        pallas_group=group, pallas_dot_sum=dot_sum)
     return ep, (Paug, Qaug), p_layout, q_layout
 
 
@@ -127,6 +127,16 @@ if __name__ == '__main__':
            'all2d',
            (128, BATCH // 2, False, 8, 8192, False, 'bfloat16', True, True),
            blocks=3)
+    elif mode == 'dotsum':
+        # all2d dot via bf16 ones-matvec vs f32 keepdims lane-reduction
+        # (probe: 19.3 vs 15.0 us/sweep; sum is also numerically better)
+        print('--- A/B: all2d matvec dot vs keepdims-sum dot (T=8, '
+              'chunk=8k, bf16 ff)')
+        ab('matvec',
+           (128, BATCH // 2, False, 8, 8192, False, 'bfloat16', True, True),
+           'sumk',
+           (128, BATCH // 2, False, 8, 8192, False, 'bfloat16', True, True,
+            0, True))
     elif mode == 'group':
         # scanned per-batch pallas_calls vs the batch-group kernel
         # (G batches / call, HBM factors + in-kernel window DMA at

@@ -422,6 +422,73 @@ def time_case(data, variant, T, k, iters=5, ch=CH):
     return min(best) / N_BATCH
 
 
+def time_group(F, data66, T, G, lo_mod, iters=5, nsteps=None):
+    '''Chain the PRODUCTION half_pass_group over nsteps groups (window
+    carried through F, so calls serialize); per-BATCH time.'''
+    from mfrec_tpu.ops.pallas_half_pass import half_pass_group
+    window, ff, r, m, kl, lrv, regv = data66
+    k = ff.shape[1]
+    nsteps = nsteps or max(1, N_BATCH // G)
+    rng = np.random.default_rng(1)
+    lo = jnp.asarray(rng.integers(0, lo_mod, G).astype(np.int32))
+    ffg = jnp.broadcast_to(ff, (G, B, k))
+    rg = jnp.broadcast_to(r, (G, B))
+    mg = jnp.broadcast_to(m, (G, B))
+    klg = jnp.broadcast_to(kl, (G, B))
+
+    @functools.partial(jax.jit, static_argnames=('T', 'G', 'nsteps'))
+    def chain(F, T, G, nsteps):
+        def step(Fc, _):
+            Fc, sse = half_pass_group(Fc, ffg, rg, mg, klg, lo, lrv,
+                                      regv, 3.5, W, chunk=CH,
+                                      inner_steps=T)
+            return Fc, sse
+        F, sses = jax.lax.scan(step, F, None, length=nsteps)
+        return F, sses.sum()
+
+    out, sse = chain(F, T, G, nsteps)
+    float(sse)
+    best = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out, sse = chain(F, T, G, nsteps)
+        float(sse)
+        float(out[0, 0])
+        best.append(time.perf_counter() - t0)
+    return min(best) / (nsteps * G)
+
+
+def grp_mode():
+    '''Decompose the group kernel's marginal-sweep regression with the
+    production kernel: vary G and the HBM factor-array size.'''
+    rng = np.random.default_rng(0)
+    data66 = tuple(jnp.asarray(x) for x in (
+        rng.normal(0, 0.3, (W, 66)).astype(np.float32),
+        rng.normal(0, 0.3, (B, 66)).astype(np.float32),
+        rng.uniform(1, 5, B).astype(np.float32),
+        np.ones(B, np.float32),
+        np.sort(rng.integers(0, W, B)).astype(np.int32),
+        np.full(66, 1e-4, np.float32),
+        np.full(66, 0.02, np.float32)))
+    Fbig = jnp.asarray(rng.normal(0, 0.3, (70136, 128)).astype(np.float32))
+    Fsmall = jnp.asarray(rng.normal(0, 0.3, (512, 128)).astype(np.float32))
+    cases = [('G8_bigF', Fbig, 8, 70000), ('G32_bigF', Fbig, 32, 70000),
+             ('G8_smallF', Fsmall, 8, 384), ('G32_smallF', Fsmall, 32, 384)]
+    res = {c[0]: [] for c in cases}
+    for rep in range(REPS):
+        for name, F, G, lo_mod in cases:
+            t2 = time_group(F, data66, 2, G, lo_mod)
+            t10 = time_group(F, data66, 10, G, lo_mod)
+            marg = (t10 - t2) / 8
+            res[name].append(marg)
+            print('rep %d %-10s marginal %6.1f us/batch  t2_abs %6.1f'
+                  % (rep, name, marg * 1e6, t2 * 1e6), flush=True)
+    print()
+    for name, _, _, _ in cases:
+        print('%-10s median marginal %6.1f us/batch'
+              % (name, statistics.median(res[name]) * 1e6))
+
+
 if __name__ == '__main__':
     rng = np.random.default_rng(0)
     data = {}
@@ -435,6 +502,9 @@ if __name__ == '__main__':
             np.full(k, 0.1, np.float32),
             np.full(k, 0.02, np.float32)))
     mode = sys.argv[1] if len(sys.argv) > 1 else ''
+    if mode == 'grp':
+        grp_mode()
+        sys.exit(0)
     if mode == 'fix':
         cases = [('full', 66, CH), ('dot_mxu_b16', 66, CH),
                  ('bf16_chain', 66, CH), ('all2d', 66, CH),
