@@ -127,6 +127,28 @@ if __name__ == '__main__':
            'all2d',
            (128, BATCH // 2, False, 8, 8192, False, 'bfloat16', True, True),
            blocks=3)
+    elif mode == 'netflix_dotsum':
+        # rank 128: the k-dim lane-reduction is 2x wider — re-decide
+        # dot_sum at Netflix shape (one-shot benches drift-ambiguous)
+        print('--- Netflix r128 A/B: matvec dot vs keepdims-sum dot '
+              '(T=8, chunk=8k, bf16 ff)')
+        ab('matvec',
+           (128, BATCH // 2, False, 8, 8192, False, 'bfloat16', True, True),
+           'sumk',
+           (128, BATCH // 2, False, 8, 8192, False, 'bfloat16', True, True,
+            0, True),
+           blocks=3)
+    elif mode == 't16':
+        # marginal sweep is now ~15 us (all2d+dot_sum): re-check whether
+        # more in-VMEM sweeps amortize further (rate only; quality at
+        # higher T validated separately via BENCH_INNER)
+        print('--- A/B: T=8 vs T=16 (all2d+dot_sum, chunk=8k, bf16 ff)')
+        ab('t8',
+           (128, BATCH // 2, False, 8, 8192, False, 'bfloat16', True, True,
+            0, True),
+           't16',
+           (128, BATCH // 2, False, 16, 8192, False, 'bfloat16', True, True,
+            0, True))
     elif mode == 'dotsum':
         # all2d dot via bf16 ones-matvec vs f32 keepdims lane-reduction
         # (probe: 19.3 vs 15.0 us/sweep; sum is also numerically better)
