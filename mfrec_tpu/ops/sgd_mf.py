@@ -505,12 +505,6 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
         # AB=grid_cached); at T=1 the cache is a pure extra VMEM
         # round-trip
         pallas_cache_onehot = inner_steps > 1
-    if pallas_dot_sum is None:
-        # default ON: f32 keepdims lane-reduction for the prediction dot
-        # beats the bf16 ones-matvec (no MXU N=1 tile padding) — epoch
-        # interleaved A/B 0.3687 -> 0.3415 s (+8.0%), and the dot is
-        # f32-exact instead of bf16-rounded
-        pallas_dot_sum = True
     if pallas_all2d is None:
         # default ON: the all-2D chain avoids the [ch] 1D <-> [ch, k] 2D
         # vreg relayouts that dominated the per-sweep cost (kernel probe:
@@ -636,6 +630,16 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
                 # gradients, aggregation and the window update all in VMEM
                 from mfrec_tpu.ops.pallas_half_pass import half_pass_batch
                 c, ffp, rp, mp, klp = pad_to_chunk(r.shape[0], ff, r, m, kl)
+                if pallas_dot_sum is None:
+                    # auto: the f32 keepdims lane-reduction beats the
+                    # bf16 ones-matvec when a row fits ONE vreg
+                    # (k <= 128 lanes): rank-64 epoch A/B 0.3687 ->
+                    # 0.3415 (+8.0%), but Netflix rank 128 (k=130,
+                    # 2 vregs/row) 4.863 -> 5.176 (-6.4%) — the
+                    # cross-vreg reduction loses to the MXU matvec
+                    dsum = F_upd.shape[1] <= 128
+                else:
+                    dsum = pallas_dot_sum
                 win_out, sse_b = half_pass_batch(
                     win, ffp, rp, mp, klp, lrv, regv, mu, W,
                     chunk=c, clamp_pred=clamp_pred,
@@ -645,7 +649,7 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
                     resident=pallas_resident,
                     cache_onehot=pallas_cache_onehot,
                     link=link, all2d=pallas_all2d,
-                    dot_sum=pallas_dot_sum)
+                    dot_sum=dsum)
                 F_upd = jax.lax.dynamic_update_slice_in_dim(
                     F_upd, win_out, lo, 0)
                 return (F_upd, sse + sse_b), None
