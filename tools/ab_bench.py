@@ -49,6 +49,60 @@ def build(window, batch, locality_sort, inner=INNER, chunk=4096,
     return ep, (Paug, Qaug), p_layout, q_layout
 
 
+def build_implicit(use_pallas, window=256, batch=1 << 15, inner=4):
+    '''SVD++ alternating-implicit epoch at the bench operating point
+    (W=256/B=32k — the plain tier's W=128 diverges here).'''
+    pl_ = sgd_mf.sorted_pass_layout(users, items, vals, batch, axis='user',
+                                    max_window=window)
+    ql_ = sgd_mf.sorted_pass_layout(users, items, vals, batch, axis='item',
+                                    max_window=window)
+    W_user, W_item = pl_[-1], ql_[-1]
+    p_layout = tuple(jnp.asarray(x) for x in pl_[:-1])
+    q_layout = tuple(jnp.asarray(x) for x in ql_[:-1])
+    st = sgd_mf.init_state(U + W_user, I + W_item, K, feature_init=0.05,
+                           mode='normal')
+    Paug, Qaug = sgd_mf.augment_factors(
+        st.P, st.Q, jnp.asarray(np.pad(bu_fit, (0, W_user))),
+        jnp.asarray(np.pad(bi_fit, (0, W_item))))
+    Ypad = jnp.zeros((I + W_item, K), jnp.float32)
+    counts = np.bincount(users, minlength=U).astype(np.float32)
+    nrm = np.zeros(U + W_user, np.float32)
+    nrm[:U] = np.where(counts > 0,
+                       1.0 / np.sqrt(np.maximum(counts, 1.0)), 0.0)
+    nrm_rows = jnp.asarray(nrm)
+    ep = sgd_mf.make_alternating_implicit_epoch(
+        W_user, W_item, lr=0.15, lr_y=0.05, K=0.02, K_y=0.02,
+        inner_steps=inner, use_pallas_full=use_pallas, ff_dtype=None,
+        donate=False)
+    return ep, (Paug, Qaug, Ypad), p_layout, q_layout, nrm_rows
+
+
+def ab_implicit(blocks=4):
+    ep_a, st_a, pa, qa, nrm = build_implicit(False)
+    ep_b, st_b, pb, qb, _ = build_implicit(True)
+
+    def blk(ep, st, pl, ql, epochs=3):
+        Pa, Qa, Yp = st
+        t0 = time.perf_counter()
+        for _ in range(epochs):
+            Pa, Qa, Yp, rmse = ep(Pa, Qa, Yp, mu, pl, ql, nrm)
+        r = float(rmse)
+        return (time.perf_counter() - t0) / epochs, (Pa, Qa, Yp), r
+    _, st_a, _ = blk(ep_a, st_a, pa, qa, epochs=1)
+    _, st_b, _ = blk(ep_b, st_b, pb, qb, epochs=1)
+    ta, tb = [], []
+    ra = rb = None
+    for _ in range(blocks):
+        dt, st_a, ra = blk(ep_a, st_a, pa, qa)
+        ta.append(dt)
+        dt, st_b, rb = blk(ep_b, st_b, pb, qb)
+        tb.append(dt)
+    print('xla:    %s  median %.4f  rmse %.4f'
+          % ([round(x, 4) for x in ta], float(np.median(ta)), ra))
+    print('pallas: %s  median %.4f  rmse %.4f'
+          % ([round(x, 4) for x in tb], float(np.median(tb)), rb))
+
+
 def run_block(ep, state, pl, ql, epochs=3):
     Pa, Qa = state
     t0 = time.perf_counter()
@@ -127,6 +181,15 @@ if __name__ == '__main__':
            'all2d',
            (128, BATCH // 2, False, 8, 8192, False, 'bfloat16', True, True),
            blocks=3)
+    elif mode == 'implicit':
+        # SVD++ tier: XLA half-pass base vs the fused Pallas kernel —
+        # re-decided after all2d+dot_sum (r2 negative: 0.652 vs 0.463
+        # pre-all2d; the kernel is now ~1.8x faster per sweep).  RMSE
+        # printed: bf16/bf16-rounding sensitivity of the Y-coupled
+        # trajectory decides too, not just rate.
+        print('--- A/B: implicit XLA base vs fused Pallas (T=4, W=256, '
+              'B=32k)')
+        ab_implicit()
     elif mode == 'netflix_dotsum':
         # rank 128: the k-dim lane-reduction is 2x wider — re-decide
         # dot_sum at Netflix shape (one-shot benches drift-ambiguous)
