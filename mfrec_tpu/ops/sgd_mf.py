@@ -456,7 +456,8 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
                            pallas_resident=False, ff_dtype=None,
                            link='identity', K_u=None, K_i=None,
                            pallas_cache_onehot=None, pallas_all2d=None,
-                           pallas_group=0, pallas_dot_sum=None):
+                           pallas_group=0, pallas_dot_sum=None,
+                           pallas_interpret=False):
     '''Build a jitted scatter-free epoch over *augmented* factors: a P
     half-pass over the user-sorted stream (Q fixed), then a Q half-pass
     over the item-sorted stream (P fixed) — blockwise-alternating SGD.
@@ -585,7 +586,8 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
                 F_upd, ff, rg, mg, klg, log, lrv, regv, mu, W,
                 chunk=c, clamp_pred=clamp_pred, lo_r=lo_r, hi_r=hi_r,
                 row_mean=row_mean, bias_none=(bias_mode == 'none'),
-                inner_steps=inner_steps, link=link)
+                inner_steps=inner_steps, link=link,
+                interpret=pallas_interpret)
             return (F_upd, sse + sse_b), None
 
         # pad the gather index slab to Bp like the data columns (index 0)
@@ -649,7 +651,7 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
                     resident=pallas_resident,
                     cache_onehot=pallas_cache_onehot,
                     link=link, all2d=pallas_all2d,
-                    dot_sum=dsum)
+                    dot_sum=dsum, interpret=pallas_interpret)
                 F_upd = jax.lax.dynamic_update_slice_in_dim(
                     F_upd, win_out, lo, 0)
                 return (F_upd, sse + sse_b), None

@@ -344,3 +344,46 @@ def test_half_pass_all2d_dot_sum_matches_numpy():
         jnp.asarray(regv), mu, W, chunk=64, interpret=True,
         inner_steps=T, resident=True, all2d=True, dot_sum=True)
     np.testing.assert_allclose(np.asarray(out_r), out, atol=1e-6)
+
+
+def test_alternating_epoch_grouped_matches_scanned():
+    '''The grouped EPOCH path (nb padded to a G multiple with mask-0
+    filler batches, [nb,B] -> [nb/G,G,B] regroup, lane pre-pad of the
+    factor carry) must match the scanned fused epoch on the same
+    layouts.  Exercises make_alternating_epoch(pallas_group=...) end to
+    end in interpret mode.'''
+    from mfrec_tpu.ops import sgd_mf
+
+    rng = np.random.default_rng(5)
+    U, I, N, k = 60, 40, 2000, 6
+    users = rng.integers(0, U, N).astype(np.int32)
+    items = rng.integers(0, I, N).astype(np.int32)
+    vals = rng.uniform(1, 5, N).astype(np.float32)
+    batch = 256
+    pl_ = sgd_mf.sorted_pass_layout(users, items, vals, batch,
+                                    axis='user', max_window=32)
+    ql_ = sgd_mf.sorted_pass_layout(users, items, vals, batch,
+                                    axis='item', max_window=32)
+    W_user, W_item = pl_[-1], ql_[-1]
+    p_layout = tuple(jnp.asarray(x) for x in pl_[:-1])
+    q_layout = tuple(jnp.asarray(x) for x in ql_[:-1])
+    st = sgd_mf.init_state(U + W_user, I + W_item, k, feature_init=0.05,
+                           mode='normal')
+    bu = np.zeros(U + W_user, np.float32)
+    bi = np.zeros(I + W_item, np.float32)
+    Paug, Qaug = sgd_mf.augment_factors(st.P, st.Q, jnp.asarray(bu),
+                                        jnp.asarray(bi))
+    mu = jnp.float32(vals.mean())
+    kw = dict(lr=0.1, K=0.02, bias_mode='fixed', chunk=128, donate=False,
+              inner_steps=2, use_pallas_full=True, pallas_interpret=True)
+    ep_scan = sgd_mf.make_alternating_epoch(W_user, W_item, **kw)
+    # G=3 does NOT divide the batch count -> exercises filler batches
+    ep_grp = sgd_mf.make_alternating_epoch(W_user, W_item,
+                                           pallas_group=3, **kw)
+    Ps, Qs, rs = ep_scan(Paug, Qaug, mu, p_layout, q_layout)
+    Pg, Qg, rg = ep_grp(Paug, Qaug, mu, p_layout, q_layout)
+    np.testing.assert_allclose(np.asarray(Pg), np.asarray(Ps),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(Qg), np.asarray(Qs),
+                               atol=2e-5, rtol=2e-5)
+    assert abs(float(rg) - float(rs)) < 1e-4
