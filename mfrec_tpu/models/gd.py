@@ -298,11 +298,19 @@ class GDRecommender(MFRecommender):
         always wins.  Engines with per-sample semantics (funk, fused,
         dsgd) keep the reference defaults untouched.'''
         explicit = getattr(self, '_explicit_params', set())
-        lr = self.learning_rate if 'learning_rate' in explicit else 0.15
+
+        def chosen(attr, default):
+            # user-chosen either via set_parameters (recorded) or by
+            # direct attribute assignment (value left the constructor
+            # default) — eval/sweep.py and user code set attributes
+            # directly, so _explicit_params alone under-detects
+            return attr in explicit or getattr(self, attr) != default
+
+        lr = self.learning_rate if chosen('learning_rate', 0.001) else 0.15
         lr_bu = self.learning_rate_users \
-            if 'learning_rate_users' in explicit else lr
+            if chosen('learning_rate_users', 0.001) else lr
         lr_bi = self.learning_rate_items \
-            if 'learning_rate_items' in explicit else lr
+            if chosen('learning_rate_items', 0.001) else lr
         return lr, lr_bu, lr_bi
 
     # ------------------------------------------------- alternating engine

@@ -170,7 +170,10 @@ class KMFRecommender(MFRecommender):
         step per touched row per batch — same convention as
         GDRecommender._alt_lrs): the benchmarked default unless the user
         set learning_rate explicitly.'''
-        if 'learning_rate' in getattr(self, '_explicit_params', set()):
+        if ('learning_rate' in getattr(self, '_explicit_params', set())
+                or self.learning_rate != 0.01):
+            # set via set_parameters OR by direct attribute assignment
+            # (value left the constructor default)
             return self.learning_rate
         return 0.15
 
@@ -215,10 +218,8 @@ class KMFRecommender(MFRecommender):
             # like the GD flagship (gd.py)
             use_pallas_full=jax.default_backend() != 'cpu')
         mu = jnp.float32(0.0)      # KMF has no global-mean term
-        state = (Paug, Qaug)
         for e in range(int(self.nbr_epochs)):
             Paug, Qaug, rmse = epoch(Paug, Qaug, mu, p_layout, q_layout)
-            state = (Paug, Qaug)
             if verbose:
                 self.logger.info('EPOCHS: %d RMSE: %s', e + 1,
                                  float(rmse))

@@ -385,7 +385,9 @@ def half_pass_batch(window, ff, r, m, kl, lrv, regv, mu, W, chunk=4096,
         ),
         scratch_shapes=[pltpu.VMEM((W, k), jnp.float32),      # acc
                         pltpu.VMEM((W, k), jnp.float32),      # window
-                        pltpu.VMEM((B if cache_onehot else ch, W),
+                        # minimal dummy when the cache is off (the slab
+                        # is only referenced under cache_onehot)
+                        pltpu.VMEM((B, W) if cache_onehot else (8, 128),
                                    jnp.bfloat16),             # onehot
                         pltpu.VMEM((W, 1), jnp.float32)],     # counts
         # let chunk sizes above 4096 fit their per-iteration onehot/fu/g
@@ -398,9 +400,10 @@ def half_pass_batch(window, ff, r, m, kl, lrv, regv, mu, W, chunk=4096,
 
 
 def _kernel_group(W, k, lo_r, hi_r, clamp_pred, row_mean, bias_none,
-                  link, lo_ref, mu_ref, fupd_ref, ff_ref, r_ref, m_ref,
-                  kl_ref, lrv_ref, regv_ref, out_ref, sse_ref, acc_ref,
-                  win_scr, win_dma, oh_scr, cnt_scr, sem_in, sem_out):
+                  link, dot_sum, seed_copy, lo_ref, mu_ref, fupd_ref,
+                  ff_ref, r_ref, m_ref, kl_ref, lrv_ref, regv_ref,
+                  out_ref, sse_ref, acc_ref, win_scr, win_dma, oh_scr,
+                  cnt_scr, sem_in, sem_out):
     '''Batch-group variant of ``_kernel`` (all-2D chain only): grid
     (g, t, j) processes G consecutive sorted-window batches in ONE
     pallas_call.  The updated factor matrix stays in HBM
@@ -427,12 +430,14 @@ def _kernel_group(W, k, lo_r, hi_r, clamp_pred, row_mean, bias_none,
 
     @pl.when((g == 0) & (t == 0) & (j == 0))
     def _():
-        # seed the output with the input factors ONCE per call (HBM->HBM
-        # bulk copy, ~1 us/batch amortized over the group); every window
-        # read/write below goes through out_ref, so batch g always sees
-        # batch g-1's writeback even though windows overlap
-        pltpu.make_async_copy(fupd_ref, out_ref, sem_in).start()
-        pltpu.make_async_copy(fupd_ref, out_ref, sem_in).wait()
+        # Every window read/write below goes through out_ref, so batch g
+        # always sees batch g-1's writeback even when windows overlap.
+        # When compiled, out_ref IS fupd_ref (input_output_aliases) and
+        # this seed copy is skipped; interpret mode has no aliasing, so
+        # the output must be seeded with the input once per call.
+        if seed_copy:
+            pltpu.make_async_copy(fupd_ref, out_ref, sem_in).start()
+            pltpu.make_async_copy(fupd_ref, out_ref, sem_in).wait()
         sse_ref[0, 0] = 0.0
 
     @pl.when((t == 0) & (j == 0))
@@ -474,10 +479,14 @@ def _kernel_group(W, k, lo_r, hi_r, clamp_pred, row_mean, bias_none,
         onehot, win_scr[:].astype(jnp.bfloat16),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)            # [ch, k]
-    dot = jax.lax.dot_general(
-        (fu * ff).astype(jnp.bfloat16), jnp.ones((k, 1), jnp.bfloat16),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)            # [ch, 1]
+    if dot_sum:
+        dot = (fu * ff).sum(axis=1, keepdims=True)     # see _kernel
+    else:
+        dot = jax.lax.dot_general(
+            (fu * ff).astype(jnp.bfloat16),
+            jnp.ones((k, 1), jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [ch, 1]
     if link == 'logistic':
         rng_w = hi_r - lo_r
         sig = jax.nn.sigmoid(dot)
@@ -532,15 +541,17 @@ def _kernel_group(W, k, lo_r, hi_r, clamp_pred, row_mean, bias_none,
 @functools.partial(jax.jit, static_argnames=('W', 'chunk', 'clamp_pred',
                                              'lo_r', 'hi_r', 'row_mean',
                                              'bias_none', 'interpret',
-                                             'inner_steps', 'link'))
+                                             'inner_steps', 'link',
+                                             'dot_sum'))
 def half_pass_group(F_upd, ff, r, m, kl, lo, lrv, regv, mu, W, chunk=4096,
                     clamp_pred=True, lo_r=1.0, hi_r=5.0, row_mean=True,
                     bias_none=False, interpret=False, inner_steps=1,
-                    link='identity'):
+                    link='identity', dot_sum=False):
     '''G sorted-window batch steps in ONE pallas_call (all-2D chain).
 
     F_upd [n_rows_padded, k]: the full updated-side factor matrix; it
-    stays in HBM and is aliased to the output (donated).  ff [G, B, k]
+    stays in HBM, aliased input->output when compiled (donated; in
+    interpret mode a seed copy replaces the aliasing).  ff [G, B, k]
     pre-gathered fixed rows; r/m/kl [G, B]; lo [G] int32 window starts
     (each window [lo, lo+W) must be in range — the augmented factor
     layout already pads W extra rows).  Batches run in order with the
@@ -564,7 +575,8 @@ def half_pass_group(F_upd, ff, r, m, kl, lo, lrv, regv, mu, W, chunk=4096,
     mu_arr = jnp.full((1, 1), mu, jnp.float32)
     kernel = functools.partial(_kernel_group, int(W), int(k), lo_r, hi_r,
                                bool(clamp_pred), bool(row_mean),
-                               bool(bias_none), link)
+                               bool(bias_none), link, bool(dot_sum),
+                               bool(interpret))
     ff2 = ff.reshape(G * B, k)
     col = lambda: pl.BlockSpec((ch, 1), lambda g, t, j, lo: (g * nj + j, 0),
                                memory_space=pltpu.VMEM)
@@ -605,6 +617,11 @@ def half_pass_group(F_upd, ff, r, m, kl, lo, lrv, regv, mu, W, chunk=4096,
             jax.ShapeDtypeStruct(F_upd.shape, F_upd.dtype),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ),
+        # compiled: donate F_upd (flattened input 2 counts the scalar-
+        # prefetch lo as input 0) — out_ref IS the input buffer, no
+        # second factor matrix in HBM, no seed copy.  interpret mode has
+        # no aliasing; the kernel seeds the output instead.
+        input_output_aliases={} if interpret else {2: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary',) * 3,
             vmem_limit_bytes=100 * 1024 * 1024),

@@ -582,11 +582,14 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
             F_upd, sse = carry
             fixg, rg, mg, klg, log = batch
             ff = F_fix[fixg.reshape(-1)].reshape(G, Bp, kdim)
+            # same auto dot gate as the scanned path (see half_pass)
+            dsum = (kdim <= 128) if pallas_dot_sum is None \
+                else pallas_dot_sum
             F_upd, sse_b = half_pass_group(
                 F_upd, ff, rg, mg, klg, log, lrv, regv, mu, W,
                 chunk=c, clamp_pred=clamp_pred, lo_r=lo_r, hi_r=hi_r,
                 row_mean=row_mean, bias_none=(bias_mode == 'none'),
-                inner_steps=inner_steps, link=link,
+                inner_steps=inner_steps, link=link, dot_sum=dsum,
                 interpret=pallas_interpret)
             return (F_upd, sse + sse_b), None
 

@@ -99,8 +99,10 @@ class _Batcher:
         self.n = int(nbr_recommendations)
         self.window_s = window_ms / 1000.0
         self.max_batch = int(max_batch)
-        # fixed device batch size: requests pad up to `pad_to`, and only
-        # overflow batches use the (also warmed-up-able) max_batch shape
+        # fixed device batch size: every device call uses exactly this
+        # shape — oversize batches are SPLIT into pad_to-sized chunks
+        # (one warmed shape, zero runtime compile stalls) rather than
+        # padded up to a never-warmed power of two
         self.pad_to = int(pad_to) if pad_to else min(self.max_batch, 256)
         self.submit_timeout_s = float(submit_timeout_s)
         self.q = queue.Queue()
@@ -123,6 +125,13 @@ class _Batcher:
         ev = threading.Event()
         slot = {'user': int(user_index), 'n': int(n), 'ev': ev}
         self.q.put(slot)
+        if self._stop:
+            # close the put-after-final-drain race: if shutdown raced
+            # this enqueue, fail the slot ourselves — a double ev.set()
+            # from the loop is harmless, and during shutdown an error
+            # beats a silent 10-minute hang
+            slot.setdefault('error', 'server shutting down')
+            ev.set()
         if not ev.wait(timeout=self.submit_timeout_s):
             raise RuntimeError('batched retrieval timed out')
         if 'error' in slot:
@@ -130,12 +139,19 @@ class _Batcher:
         return slot['items'], slot['scores']
 
     def _run_batch(self, batch):
+        # split into pad_to-sized chunks: every device call uses the ONE
+        # warmed batch shape (an oversize power-of-two shape would
+        # compile for minutes on a relay-attached TPU, stalling every
+        # coalesced waiter — the exact failure warmup exists to prevent)
+        for lo in range(0, len(batch), self.pad_to):
+            self._run_chunk(batch[lo:lo + self.pad_to])
+
+    def _run_chunk(self, batch):
         view = self.view_fn()
         users = [s['user'] for s in batch]
         n_dev = max(self.bucket_n(s['n'], view.model.nbr_items)
                     for s in batch)
-        B = self.pad_to if len(users) <= self.pad_to \
-            else 1 << (len(users) - 1).bit_length()
+        B = self.pad_to
         padded = users + [users[0]] * (B - len(users))
         try:
             ids, scores = view.model.recommend_batch(
@@ -191,6 +207,16 @@ class _Batcher:
         self._stop = True
         self.q.put(None)
         self.thread.join(timeout=10)
+        # second drain AFTER the join: completes slots that raced past
+        # the loop's own drain (put between its last get and thread exit)
+        while True:
+            try:
+                slot = self.q.get_nowait()
+            except queue.Empty:
+                break
+            if slot is not None:
+                slot.setdefault('error', 'server shutting down')
+                slot['ev'].set()
 
 
 class RecommenderServer:

@@ -428,3 +428,28 @@ def test_checkpoint_resume_equals_uninterrupted(tmp_path):
 
     np.testing.assert_allclose(m2.P, ref.P, atol=1e-5)
     np.testing.assert_allclose(m2.Q, ref.Q, atol=1e-5)
+
+
+def test_direct_attribute_learning_rate_honored():
+    '''A learning_rate set by direct attribute assignment (not via
+    set_parameters) must be honored by the alternating tiers' row-mean
+    rate resolution, same as an explicitly passed parameter.'''
+    from mfrec_tpu.models.gd import GDRecommender
+    from mfrec_tpu.models.kmf import KMFRecommender
+
+    m = GDRecommender(4, 4)
+    m.learning_rate = 0.005
+    assert m._alt_lrs()[0] == 0.005
+    m2 = GDRecommender(4, 4)                 # untouched default -> tuned
+    assert m2._alt_lrs()[0] == 0.15
+    m3 = GDRecommender(4, 4, {'learning_rate': 0.02})
+    lr, lr_bu, lr_bi = m3._alt_lrs()
+    assert lr == 0.02 and lr_bu == 0.02 and lr_bi == 0.02
+    m4 = GDRecommender(4, 4)
+    m4.learning_rate_users = 0.003           # per-side direct set
+    assert m4._alt_lrs()[1] == 0.003
+
+    k = KMFRecommender(4, 4)
+    k.learning_rate = 0.005
+    assert k._alt_lr() == 0.005
+    assert KMFRecommender(4, 4)._alt_lr() == 0.15
