@@ -228,12 +228,13 @@ if __name__ == '__main__':
         # scalar-prefetched offsets): amortizes per-batch dispatch,
         # scan-step overhead and the dynamic slice/update pair
         print('--- A/B: all2d scanned vs group G=64 (T=8, chunk=8k, '
-              'bf16 ff)')
+              'bf16 ff, dot_sum both sides)')
         ab('scanned',
-           (128, BATCH // 2, False, 8, 8192, False, 'bfloat16', True, True),
+           (128, BATCH // 2, False, 8, 8192, False, 'bfloat16', True, True,
+            0, True),
            'group64',
            (128, BATCH // 2, False, 8, 8192, False, 'bfloat16', True, True,
-            64))
+            64, True))
     elif mode == 'group_g':
         print('--- A/B: group G=16 vs G=64 (T=8, chunk=8k, bf16 ff)')
         ab('g16',
