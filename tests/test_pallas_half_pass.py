@@ -387,3 +387,17 @@ def test_alternating_epoch_grouped_matches_scanned():
     np.testing.assert_allclose(np.asarray(Qg), np.asarray(Qs),
                                atol=2e-5, rtol=2e-5)
     assert abs(float(rg) - float(rs)) < 1e-4
+    # forced dot_sum on both sides (the auto gate also picks it at this
+    # k, but force it so the assertion is explicit)
+    ep_scan_s = sgd_mf.make_alternating_epoch(W_user, W_item,
+                                              pallas_dot_sum=True, **kw)
+    ep_grp_s = sgd_mf.make_alternating_epoch(W_user, W_item,
+                                             pallas_group=3,
+                                             pallas_dot_sum=True, **kw)
+    Pss, Qss, rss = ep_scan_s(Paug, Qaug, mu, p_layout, q_layout)
+    Pgs, Qgs, rgs = ep_grp_s(Paug, Qaug, mu, p_layout, q_layout)
+    np.testing.assert_allclose(np.asarray(Pgs), np.asarray(Pss),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(Qgs), np.asarray(Qss),
+                               atol=2e-5, rtol=2e-5)
+    assert abs(float(rgs) - float(rss)) < 1e-4
