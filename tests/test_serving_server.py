@@ -185,3 +185,33 @@ def test_server_input_validation():
         assert code == 200 and len(rec['items']) == 3
     finally:
         srv.stop()
+
+
+def test_server_oversize_batch_splits_into_warmed_shape():
+    '''A burst larger than pad_to must be served by SPLITTING into
+    pad_to-sized device calls (one warmed shape — a bigger power-of-two
+    shape would compile for minutes on a relay TPU), with per-user
+    results identical to the direct batched call.'''
+    m = _make_model()
+    srv = RecommenderServer(m, batch_window_ms=20.0, pad_to=4)
+    port = srv.start()
+    try:
+        results = {}
+
+        def hit(u):
+            _, rec = _get(port, '/recommend?user=%d&n=3' % u)
+            results[u] = rec['items']
+
+        threads = [threading.Thread(target=hit, args=(u,))
+                   for u in range(11)]           # 11 > pad_to=4
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert len(results) == 11
+        ids, _ = m.recommend_batch(np.arange(11), nbr_recommendations=3)
+        ids = np.asarray(ids)
+        for u in range(11):
+            assert results[u] == ids[u].tolist()
+    finally:
+        srv.stop()
