@@ -241,6 +241,40 @@ def main():
                                   nrm_rows)
             return (Pa, Qa, Yp), rmse
         config = config + '_svdpp'
+    elif mode == 'kmf':
+        # Kernel MF (logistic link, Rendle) on the same alternating tier
+        # — the link runs IN the fused Pallas kernel (r3), so this
+        # measures the flagship path with the sigmoid chain hooked in.
+        # Biases ride the augmented columns and train (KMF convention);
+        # quality gate is the same planted-structure floor.
+        W = int(os.environ.get('BENCH_WINDOW', 128))
+        pl_ = sgd_mf.sorted_pass_layout(users, items, vals, batch,
+                                        axis='user', max_window=W)
+        ql_ = sgd_mf.sorted_pass_layout(users, items, vals, batch,
+                                        axis='item', max_window=W)
+        W_user, W_item = pl_[-1], ql_[-1]
+        p_layout = tuple(jnp.asarray(x) for x in pl_[:-1])
+        q_layout = tuple(jnp.asarray(x) for x in ql_[:-1])
+        st = sgd_mf.init_state(U + W_user, I + W_item, K,
+                               feature_init=0.05, mode='normal')
+        Paug, Qaug = sgd_mf.augment_factors(
+            st.P, st.Q, jnp.zeros(U + W_user, jnp.float32),
+            jnp.zeros(I + W_item, jnp.float32))
+        mu = jnp.float32(0.0)                 # no global-mean term
+        ep = sgd_mf.make_alternating_epoch(
+            W_user, W_item, lr=float(os.environ.get('BENCH_LR', 0.15)),
+            K=0.02, lr_bu=0.05, lr_bi=0.05, bias_mode='learned',
+            clamp_pred=False, link='logistic', inner_steps=inner,
+            chunk=int(os.environ.get('BENCH_CHUNK', 8192)),
+            use_pallas_full=jax.default_backend() != 'cpu',
+            ff_dtype='bfloat16')
+        state = (Paug, Qaug)
+
+        def epoch(s):
+            Pa, Qa = s
+            Pa, Qa, rmse = ep(Pa, Qa, mu, p_layout, q_layout)
+            return (Pa, Qa), rmse
+        config = config + '_kmf_logistic'
     elif mode == 'alternating':
         # scatter-free sorted-window epochs (fastest single-chip path);
         # BENCH_INNER inner gradient iterations per batch (window stays
@@ -332,7 +366,7 @@ def main():
     # one epoch sweeps N ratings x K features, `inner` times over for the
     # alternating tier's in-VMEM iterations (each is a genuine full-data
     # SGD pass; T is reported so the sweep rate is auditable)
-    sweeps = inner if mode == 'alternating' else 1
+    sweeps = inner if mode in ('alternating', 'kmf') else 1
     updates_per_s = N * K * sweeps / epoch_s
     baseline = 3.7e7          # reference single-feature updates/s (BASELINE.md)
     print(json.dumps({
