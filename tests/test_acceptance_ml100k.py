@@ -90,3 +90,22 @@ def test_biased_sgd_rmse_floor(u1):
                    + bu[test[:, 0].astype(int)], 1, 5)
     floor = float(np.sqrt(((test[:, 2] - pred) ** 2).mean()))
     assert rmse < floor - 0.01, (rmse, floor)
+
+
+def test_kmf_logistic_rmse_floor(u1):
+    '''Kernel MF (logistic link, learned biases) on the alternating tier
+    must beat the bias-only predictor on the held-out split — pins the
+    r3 in-kernel link path at the reference's KMF operating shape
+    (measured 0.734 on this split vs bias floor 0.953).'''
+    from mfrec_tpu.models.kmf import KMFRecommender
+    from mfrec_tpu.eval.metrics import test_predict_rating
+    (u, i, v), test = u1
+    m = KMFRecommender(ml100k_like.N_USERS, ml100k_like.N_ITEMS,
+                       {'nbr_epochs': 40, 'nbr_features': 16,
+                        'batch_size': 8192, 'inner_steps': 4})
+    m.set_ratings(u, i, v)
+    m.train()
+    rmse = test_predict_rating(m, test, nbr_samples=20000,
+                               predictor='predict_logistic', quiet=True)[0]
+    assert rmse <= 0.85, rmse
+
