@@ -162,6 +162,12 @@ def bench_serving(I=360_000, K=64, B=256, n=10, iters=20, rated_L=0):
 
 def main():
     import jax
+    # axon's sitecustomize register() clobbers jax_platforms to
+    # "axon,cpu" at interpreter start, so a JAX_PLATFORMS=cpu env (CPU
+    # smoke runs, CI) is silently ignored unless re-applied in-process.
+    env_plats = os.environ.get('JAX_PLATFORMS', '').strip().lower()
+    if env_plats and 'axon' not in env_plats:
+        jax.config.update('jax_platforms', env_plats)
     import jax.numpy as jnp
     from mfrec_tpu.ops import sgd_mf
 
@@ -296,7 +302,10 @@ def main():
             jnp.asarray(np.pad(bu_fit, (0, W_user))),
             jnp.asarray(np.pad(bi_fit, (0, W_item))))
         mu = jnp.float32(vals.mean())
-        pallas_mode = os.environ.get('BENCH_PALLAS', 'full')
+        # default: fused Pallas kernel on TPU, plain-XLA tier on CPU
+        # (Pallas has no CPU compile path — CPU smoke runs would die)
+        pallas_default = 'full' if jax.default_backend() != 'cpu' else 'xla'
+        pallas_mode = os.environ.get('BENCH_PALLAS', pallas_default)
         ff_dtype = os.environ.get('BENCH_FF', 'bfloat16')
         assert ff_dtype in ('bfloat16', 'float32', ''), \
             'BENCH_FF must be bfloat16 or float32 (got %r)' % ff_dtype
@@ -404,14 +413,54 @@ def _defaults_match(batch, inner, mode):
                 and abs(m._alt_lrs()[0] - 0.15) < 1e-9)
 
 
-def _main_with_retry():
-    try:
-        return main()
-    except Exception as e:                      # transient relay errors
-        print('bench attempt failed (%s): %s\nretrying once'
-              % (type(e).__name__, str(e)[:2000]), file=sys.stderr)
-        return main()
+def _supervise():
+    '''Outage-proof driver entry (r3 verdict missing #1): the actual
+    bench runs in a CHILD process under a hard wall-clock watchdog, so a
+    dead TPU relay (backend init or first compile hanging forever — a
+    SIGALRM handler cannot fire while the main thread is blocked inside
+    the C extension) can never hang the scoreboard artifact.  Two
+    attempts; on exhaustion the parent prints a structured JSON error
+    line and exits nonzero in bounded time.'''
+    import subprocess
+    budget = int(os.environ.get('BENCH_WATCHDOG', 1500))
+    attempts = int(os.environ.get('BENCH_ATTEMPTS', 2))
+    env = dict(os.environ, BENCH_CHILD='1')
+    last = 'unknown'
+    for a in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True, text=True, timeout=budget)
+        except subprocess.TimeoutExpired as e:
+            last = 'watchdog timeout after %ds' % budget
+            for s in (e.stdout, e.stderr):
+                if s:
+                    sys.stderr.write(s if isinstance(s, str)
+                                     else s.decode('utf-8', 'replace'))
+            print('bench attempt %d hit the %ds watchdog; %s' %
+                  (a + 1, budget,
+                   'retrying once' if a + 1 < attempts else 'giving up'),
+                  file=sys.stderr)
+            continue
+        sys.stderr.write(proc.stderr)
+        if proc.returncode == 0:
+            sys.stdout.write(proc.stdout)
+            return 0
+        sys.stderr.write(proc.stdout)
+        last = 'child exited rc=%d: %s' % (
+            proc.returncode, (proc.stderr or '').strip()[-500:])
+        print('bench attempt %d failed (rc=%d); %s' %
+              (a + 1, proc.returncode,
+               'retrying once' if a + 1 < attempts else 'giving up'),
+              file=sys.stderr)
+    print(json.dumps({'metric': 'bench_error', 'value': None,
+                      'unit': None, 'vs_baseline': None,
+                      'error': last[:1000]}))
+    return 1
 
 
 if __name__ == '__main__':
-    sys.exit(_main_with_retry())
+    if os.environ.get('BENCH_CHILD'):
+        sys.exit(main())
+    sys.exit(_supervise())
