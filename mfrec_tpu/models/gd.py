@@ -35,7 +35,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from mfrec_tpu.models.base import Error
+from mfrec_tpu.models.base import DefaultRate, Error
 from mfrec_tpu.models.mf import MFRecommender
 from mfrec_tpu.ops import sgd_mf
 from mfrec_tpu.ops import similarity as sim_ops
@@ -68,14 +68,16 @@ class GDRecommender(MFRecommender):
                  filename=False):
         MFRecommender.__init__(self, nbr_users, nbr_items, None)
 
-        # Reference defaults (gradient_descent.py:77-87)
+        # Reference defaults (gradient_descent.py:77-87).  The rates are
+        # DefaultRate sentinels: numerically 0.001, but distinguishable
+        # from a user assigning 0.001 — see _alt_lrs.
         self.min_epochs = 275
         self.max_epochs = 275
         self.min_improvement = 0.0001
         self.feature_init = 0.1
-        self.learning_rate = 0.001
-        self.learning_rate_users = 0.001
-        self.learning_rate_items = 0.001
+        self.learning_rate = DefaultRate(0.001)
+        self.learning_rate_users = DefaultRate(0.001)
+        self.learning_rate_items = DefaultRate(0.001)
         self.K = 0.05
         self.K2 = 0.01
         self.K3 = 0.01
@@ -297,20 +299,25 @@ class GDRecommender(MFRecommender):
         (0.15 — the README headline operating point); an explicit value
         always wins.  Engines with per-sample semantics (funk, fused,
         dsgd) keep the reference defaults untouched.'''
-        explicit = getattr(self, '_explicit_params', set())
+        def chosen(attr):
+            # ANY plain-float assignment (direct, set_parameters, sweep)
+            # replaces the DefaultRate sentinel, so even assigning the
+            # reference default value itself counts as a user choice
+            return not isinstance(getattr(self, attr), DefaultRate)
 
-        def chosen(attr, default):
-            # user-chosen either via set_parameters (recorded) or by
-            # direct attribute assignment (value left the constructor
-            # default) — eval/sweep.py and user code set attributes
-            # directly, so _explicit_params alone under-detects
-            return attr in explicit or getattr(self, attr) != default
-
-        lr = self.learning_rate if chosen('learning_rate', 0.001) else 0.15
-        lr_bu = self.learning_rate_users \
-            if chosen('learning_rate_users', 0.001) else lr
-        lr_bi = self.learning_rate_items \
-            if chosen('learning_rate_items', 0.001) else lr
+        if chosen('learning_rate'):
+            lr = float(self.learning_rate)
+        else:
+            lr = 0.15
+            self.logger.info(
+                'alternating engine: learning_rate not set; using the '
+                'row-mean default 0.15 (the per-sample reference default '
+                '0.001 barely moves averaged steps — assign '
+                'learning_rate explicitly to override)')
+        lr_bu = float(self.learning_rate_users) \
+            if chosen('learning_rate_users') else lr
+        lr_bi = float(self.learning_rate_items) \
+            if chosen('learning_rate_items') else lr
         return lr, lr_bu, lr_bi
 
     # ------------------------------------------------- alternating engine

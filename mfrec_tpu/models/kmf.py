@@ -16,7 +16,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mfrec_tpu.models.base import Error
+from mfrec_tpu.models.base import DefaultRate, Error
 from mfrec_tpu.models.mf import MFRecommender
 from mfrec_tpu.ops import kmf as kmf_ops
 from mfrec_tpu.ops import sgd_mf
@@ -50,9 +50,9 @@ class KMFRecommender(MFRecommender):
         # Reference defaults (kmf.py:49-57)
         self.nbr_epochs = 200
         self.feature_init = 0.1
-        self.learning_rate = 0.01
-        self.learning_rate_users = 0.01
-        self.learning_rate_items = 0.01
+        self.learning_rate = DefaultRate(0.01)
+        self.learning_rate_users = DefaultRate(0.01)
+        self.learning_rate_items = DefaultRate(0.01)
         self.K_users = 0.1
         self.K_items = 0.1
         self.K_bias = 0.007
@@ -170,11 +170,13 @@ class KMFRecommender(MFRecommender):
         step per touched row per batch — same convention as
         GDRecommender._alt_lrs): the benchmarked default unless the user
         set learning_rate explicitly.'''
-        if ('learning_rate' in getattr(self, '_explicit_params', set())
-                or self.learning_rate != 0.01):
-            # set via set_parameters OR by direct attribute assignment
-            # (value left the constructor default)
-            return self.learning_rate
+        if not isinstance(self.learning_rate, DefaultRate):
+            # any plain-float assignment (direct, set_parameters, sweep)
+            # replaced the sentinel -> user choice, even if == 0.01
+            return float(self.learning_rate)
+        self.logger.info(
+            'alternating engine: learning_rate not set; using the '
+            'row-mean default 0.15 (assign learning_rate to override)')
         return 0.15
 
     def _train_alternating(self, link, verbose):

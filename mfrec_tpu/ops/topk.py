@@ -89,10 +89,12 @@ def pad_rated_lists(ratings, user_indices, cap=None, pad_to=None):
     # shape-stable pads avoid a recompile per novel batch composition
     # (a serving-path requirement; compile costs minutes on the relay)
     L = 1 << (L - 1).bit_length()
-    if pad_to is not None:
-        L = max(L, int(pad_to))
     if cap is not None:
         L = min(L, int(cap))
+    if pad_to is not None:
+        # pad_to AFTER cap: the fixed serving width is a shape contract
+        # (one compiled program); a cap must never silently undercut it
+        L = max(L, int(pad_to))
     cnts = np.minimum(counts, L)[:, None]               # [B, 1]
     offs = np.arange(L, dtype=np.int64)[None, :]        # [1, L]
     mask = offs < cnts

@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import copy
 import json
+import logging
 import queue
 import threading
 import time
@@ -227,6 +228,7 @@ class RecommenderServer:
                  max_batch=1024, pad_to=None, submit_timeout_s=600.0,
                  view_refresh_ms=50.0, warmup=True):
         self.model = model
+        self.logger = logging.getLogger('mfrec_tpu.serving')
         # the write lock guards live-model mutation + view rebuild only;
         # reads go through the immutable view and never take it
         self._write_lock = threading.Lock()
@@ -355,7 +357,14 @@ class RecommenderServer:
                 try:
                     self.view = _ServingView(self.model)
                 except Exception:
-                    pass                        # keep serving the old view
+                    # keep serving the old view, but re-mark stale so
+                    # the refresher retries (next iteration sleeps the
+                    # refresh window first — a bounded backoff) instead
+                    # of pinning readers to the stale view until the
+                    # next write
+                    self.logger.exception('serving view rebuild failed; '
+                                          'will retry')
+                    self._stale.set()
 
     def refresh(self, timeout=10.0):
         '''Block until pending writes are visible to readers (test/ops
@@ -391,7 +400,10 @@ class RecommenderServer:
         self._closed = True
         self._stale.set()
         self._refresher.join(timeout=10)
-        self.httpd.shutdown()
+        if self._thread:
+            # shutdown() blocks until serve_forever() exits its loop —
+            # calling it when start() never ran deadlocks forever
+            self.httpd.shutdown()
         self.httpd.server_close()
         if self._thread:
             self._thread.join(timeout=5)
