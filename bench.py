@@ -326,6 +326,10 @@ def main():
             # pallas_call, HBM factors + in-kernel window DMA); 0 = the
             # scanned per-batch kernel
             pallas_group=int(os.environ.get('BENCH_GROUP', 0)),
+            # BENCH_GROUP_MODE=resident: the r4 resident-style group
+            # kernel (whole-batch VMEM blocks per g, pipelined ff fetch)
+            pallas_group_resident=(
+                os.environ.get('BENCH_GROUP_MODE') == 'resident'),
             # BENCH_DOTSUM: 'auto' (default on), '1'/'0' force
             pallas_dot_sum={'auto': None, '1': True, '0': False}[
                 os.environ.get('BENCH_DOTSUM', 'auto')])

@@ -290,7 +290,8 @@ def half_pass_batch(window, ff, r, m, kl, lrv, regv, mu, W, chunk=4096,
     Returns (window_out [W, k], sse of the FIRST iteration's residual).'''
     B, k = ff.shape
     ch = min(chunk, B)
-    assert B % ch == 0
+    if B % ch != 0:
+        raise ValueError('batch %d not a multiple of chunk %d' % (B, ch))
     mu_arr = jnp.full((1, 1), mu, jnp.float32)
     if resident:
         kernel = functools.partial(_kernel_resident, int(W), B // ch,
@@ -538,15 +539,133 @@ def _kernel_group(W, k, lo_r, hi_r, clamp_pred, row_mean, bias_none,
             win_dma, out_ref.at[pl.ds(lo, W), :], sem_out).wait()
 
 
+def _kernel_group_resident(W, nj, lo_r, hi_r, clamp_pred, row_mean,
+                           bias_none, link, dot_sum, seed_copy, lo_ref,
+                           mu_ref, fupd_ref, ff_ref, r_ref, m_ref, kl_ref,
+                           lrv_ref, regv_ref, out_ref, sse_ref, win_scr,
+                           win_dma, oh_scr, sem_in, sem_out):
+    '''Resident-style batch-group kernel: grid (g, t) — each batch's
+    WHOLE ff/r/m/kl block lives in VMEM for all inner sweeps (Mosaic's
+    revolving block buffers prefetch batch g+1's ff during batch g's
+    compute), and the chunk loop is unrolled inside like
+    ``_kernel_resident``.  This removes the two suspected costs of the
+    chunked group kernel (the r3 negative: 0.617 vs 0.369 s/epoch at
+    G=64): per-(g,t,j) block re-streaming of ff under ''arbitrary''
+    semantics, and nj-times-more grid steps per sweep.  Window movement
+    stays in-kernel DMA at the scalar-prefetched ``lo_ref[g]`` offset,
+    synchronous, so batch g+1's window read still sees batch g's
+    writeback (overlapping windows are correct).'''
+    g = pl.program_id(0)          # batch within the group
+    t = pl.program_id(1)          # inner gradient iteration
+    nt = pl.num_programs(1)
+    B, k = ff_ref.shape
+    ch = B // nj
+    kp = win_dma.shape[1]
+    lo = lo_ref[g]
+
+    @pl.when((g == 0) & (t == 0))
+    def _():
+        if seed_copy:             # interpret mode only (no aliasing)
+            pltpu.make_async_copy(fupd_ref, out_ref, sem_in).start()
+            pltpu.make_async_copy(fupd_ref, out_ref, sem_in).wait()
+        sse_ref[0, 0] = 0.0
+
+    @pl.when(t == 0)
+    def _():
+        pltpu.make_async_copy(
+            out_ref.at[pl.ds(lo, W), :], win_dma, sem_in).start()
+        pltpu.make_async_copy(
+            out_ref.at[pl.ds(lo, W), :], win_dma, sem_in).wait()
+        win_scr[:] = win_dma[:, :k]
+
+    winb = win_scr[:].astype(jnp.bfloat16)
+    acc = jnp.zeros((W, k), jnp.float32)
+    cnt = jnp.zeros((W, 1), jnp.float32)
+    err2 = jnp.zeros((), jnp.float32)
+    for j in range(nj):
+        ff = ff_ref[j * ch:(j + 1) * ch, :].astype(jnp.float32)
+        kl = kl_ref[j * ch:(j + 1) * ch]                   # [ch, 1]
+        m = m_ref[j * ch:(j + 1) * ch]
+        r = r_ref[j * ch:(j + 1) * ch]
+
+        @pl.when(t == 0)
+        def _(j=j, kl=kl):
+            oh_scr[j * ch:(j + 1) * ch, :] = (
+                kl == jax.lax.broadcasted_iota(
+                    jnp.int32, (ch, W), 1)).astype(jnp.bfloat16)
+
+        onehot = oh_scr[j * ch:(j + 1) * ch, :]
+        cnt = cnt + jax.lax.dot_general(
+            onehot, m.astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        fu = jax.lax.dot_general(
+            onehot, winb,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if dot_sum:
+            dot = (fu * ff).sum(axis=1, keepdims=True)     # see _kernel
+        else:
+            dot = jax.lax.dot_general(
+                (fu * ff).astype(jnp.bfloat16),
+                jnp.ones((k, 1), jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        if link == 'logistic':
+            rng_w = hi_r - lo_r
+            sig = jax.nn.sigmoid(dot)
+            pred = lo_r + sig * rng_w
+            err = (r - pred) * m
+            eff = err * sig * (1.0 - sig) * rng_w
+        else:
+            pred = (1.0 + dot) if bias_none else (mu_ref[0, 0] + dot)
+            if clamp_pred:
+                pred = jnp.clip(pred, lo_r, hi_r)
+            err = (r - pred) * m
+            eff = err
+        err2 = err2 + (err * err).sum()
+        acc = acc + jax.lax.dot_general(
+            onehot, (eff * ff).astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(t == 0)      # epoch RMSE = pre-update residual
+    def _():
+        sse_ref[0, 0] += err2
+
+    alive = (cnt > 0.0).astype(jnp.float32)
+    reg = regv_ref[:][None, :] * win_scr[:]
+    if row_mean:
+        gsum = acc / jnp.maximum(cnt, 1.0) - reg * alive
+    else:
+        gsum = acc - reg * cnt
+    win_scr[:] = win_scr[:] + lrv_ref[:][None, :] * gsum
+
+    @pl.when(t == nt - 1)
+    def _():
+        # write back before the next batch's window read (windows of
+        # consecutive batches may share rows); zero pad lanes as in
+        # _kernel_group
+        if k == kp:
+            win_dma[:] = win_scr[:]
+        else:
+            win_dma[:] = jnp.concatenate(
+                [win_scr[:], jnp.zeros((W, kp - k), jnp.float32)], axis=1)
+        pltpu.make_async_copy(
+            win_dma, out_ref.at[pl.ds(lo, W), :], sem_out).start()
+        pltpu.make_async_copy(
+            win_dma, out_ref.at[pl.ds(lo, W), :], sem_out).wait()
+
+
 @functools.partial(jax.jit, static_argnames=('W', 'chunk', 'clamp_pred',
                                              'lo_r', 'hi_r', 'row_mean',
                                              'bias_none', 'interpret',
                                              'inner_steps', 'link',
-                                             'dot_sum'))
+                                             'dot_sum', 'resident'))
 def half_pass_group(F_upd, ff, r, m, kl, lo, lrv, regv, mu, W, chunk=4096,
                     clamp_pred=True, lo_r=1.0, hi_r=5.0, row_mean=True,
                     bias_none=False, interpret=False, inner_steps=1,
-                    link='identity', dot_sum=False):
+                    link='identity', dot_sum=False, resident=False):
     '''G sorted-window batch steps in ONE pallas_call (all-2D chain).
 
     F_upd [n_rows_padded, k]: the full updated-side factor matrix; it
@@ -568,48 +687,90 @@ def half_pass_group(F_upd, ff, r, m, kl, lo, lrv, regv, mu, W, chunk=4096,
     trim = F_upd.shape[1] == k and kp != k
     if trim:
         F_upd = jnp.pad(F_upd, ((0, 0), (0, kp - k)))
-    assert F_upd.shape[1] == kp, (F_upd.shape, k, kp)
+    if F_upd.shape[1] != kp:
+        raise ValueError('F_upd width %d != padded k %d (k=%d)'
+                         % (F_upd.shape[1], kp, k))
     ch = min(chunk, B)
-    assert B % ch == 0, (B, ch)
+    if B % ch != 0:
+        raise ValueError('batch %d not a multiple of chunk %d' % (B, ch))
     nj = B // ch
     mu_arr = jnp.full((1, 1), mu, jnp.float32)
-    kernel = functools.partial(_kernel_group, int(W), int(k), lo_r, hi_r,
-                               bool(clamp_pred), bool(row_mean),
-                               bool(bias_none), link, bool(dot_sum),
-                               bool(interpret))
     ff2 = ff.reshape(G * B, k)
-    col = lambda: pl.BlockSpec((ch, 1), lambda g, t, j, lo: (g * nj + j, 0),
-                               memory_space=pltpu.VMEM)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(G, int(inner_steps), nj),
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda g, t, j, lo: (0, 0),
-                         memory_space=pltpu.SMEM),          # mu
-            pl.BlockSpec(memory_space=pltpu.ANY),           # F_upd (HBM)
-            pl.BlockSpec((ch, k), lambda g, t, j, lo: (g * nj + j, 0),
-                         memory_space=pltpu.VMEM),          # ff
-            col(),                                          # r
-            col(),                                          # m
-            col(),                                          # kl
-            pl.BlockSpec((k,), lambda g, t, j, lo: (0,),
-                         memory_space=pltpu.VMEM),          # lrv
-            pl.BlockSpec((k,), lambda g, t, j, lo: (0,),
-                         memory_space=pltpu.VMEM),          # regv
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),           # F_upd out
-            pl.BlockSpec((1, 1), lambda g, t, j, lo: (0, 0),
-                         memory_space=pltpu.SMEM),          # sse
-        ),
-        scratch_shapes=[pltpu.VMEM((W, k), jnp.float32),    # acc
-                        pltpu.VMEM((W, k), jnp.float32),    # win (math)
-                        pltpu.VMEM((W, kp), jnp.float32),   # win (DMA)
-                        pltpu.VMEM((B, W), jnp.bfloat16),   # onehot slab
-                        pltpu.VMEM((W, 1), jnp.float32),    # counts
-                        pltpu.SemaphoreType.DMA(()),
-                        pltpu.SemaphoreType.DMA(())],
-    )
+    if resident:
+        kernel = functools.partial(_kernel_group_resident, int(W), nj,
+                                   lo_r, hi_r, bool(clamp_pred),
+                                   bool(row_mean), bool(bias_none), link,
+                                   bool(dot_sum), bool(interpret))
+        colr = lambda: pl.BlockSpec((B, 1), lambda g, t, lo: (g, 0),
+                                    memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(G, int(inner_steps)),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda g, t, lo: (0, 0),
+                             memory_space=pltpu.SMEM),      # mu
+                pl.BlockSpec(memory_space=pltpu.ANY),       # F_upd (HBM)
+                pl.BlockSpec((B, k), lambda g, t, lo: (g, 0),
+                             memory_space=pltpu.VMEM),      # ff (whole)
+                colr(),                                     # r
+                colr(),                                     # m
+                colr(),                                     # kl
+                pl.BlockSpec((k,), lambda g, t, lo: (0,),
+                             memory_space=pltpu.VMEM),      # lrv
+                pl.BlockSpec((k,), lambda g, t, lo: (0,),
+                             memory_space=pltpu.VMEM),      # regv
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.ANY),       # F_upd out
+                pl.BlockSpec((1, 1), lambda g, t, lo: (0, 0),
+                             memory_space=pltpu.SMEM),      # sse
+            ),
+            scratch_shapes=[pltpu.VMEM((W, k), jnp.float32),  # win (math)
+                            pltpu.VMEM((W, kp), jnp.float32),  # win (DMA)
+                            pltpu.VMEM((B, W), jnp.bfloat16),  # onehot
+                            pltpu.SemaphoreType.DMA(()),
+                            pltpu.SemaphoreType.DMA(())],
+        )
+        grid_dims = 2
+    else:
+        kernel = functools.partial(_kernel_group, int(W), int(k), lo_r,
+                                   hi_r, bool(clamp_pred), bool(row_mean),
+                                   bool(bias_none), link, bool(dot_sum),
+                                   bool(interpret))
+        col = lambda: pl.BlockSpec((ch, 1),
+                                   lambda g, t, j, lo: (g * nj + j, 0),
+                                   memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(G, int(inner_steps), nj),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda g, t, j, lo: (0, 0),
+                             memory_space=pltpu.SMEM),          # mu
+                pl.BlockSpec(memory_space=pltpu.ANY),           # F_upd
+                pl.BlockSpec((ch, k), lambda g, t, j, lo: (g * nj + j, 0),
+                             memory_space=pltpu.VMEM),          # ff
+                col(),                                          # r
+                col(),                                          # m
+                col(),                                          # kl
+                pl.BlockSpec((k,), lambda g, t, j, lo: (0,),
+                             memory_space=pltpu.VMEM),          # lrv
+                pl.BlockSpec((k,), lambda g, t, j, lo: (0,),
+                             memory_space=pltpu.VMEM),          # regv
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.ANY),           # F_upd out
+                pl.BlockSpec((1, 1), lambda g, t, j, lo: (0, 0),
+                             memory_space=pltpu.SMEM),          # sse
+            ),
+            scratch_shapes=[pltpu.VMEM((W, k), jnp.float32),    # acc
+                            pltpu.VMEM((W, k), jnp.float32),    # win (math)
+                            pltpu.VMEM((W, kp), jnp.float32),   # win (DMA)
+                            pltpu.VMEM((B, W), jnp.bfloat16),   # onehot
+                            pltpu.VMEM((W, 1), jnp.float32),    # counts
+                            pltpu.SemaphoreType.DMA(()),
+                            pltpu.SemaphoreType.DMA(())],
+        )
+        grid_dims = 3
     out, sse = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -623,7 +784,7 @@ def half_pass_group(F_upd, ff, r, m, kl, lo, lrv, regv, mu, W, chunk=4096,
         # no aliasing; the kernel seeds the output instead.
         input_output_aliases={} if interpret else {2: 0},
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('arbitrary',) * 3,
+            dimension_semantics=('arbitrary',) * grid_dims,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=bool(interpret),
     )(lo, mu_arr, F_upd,

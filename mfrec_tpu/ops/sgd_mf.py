@@ -456,7 +456,8 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
                            pallas_resident=False, ff_dtype=None,
                            link='identity', K_u=None, K_i=None,
                            pallas_cache_onehot=None, pallas_all2d=None,
-                           pallas_group=0, pallas_dot_sum=None,
+                           pallas_group=0, pallas_group_resident=False,
+                           pallas_dot_sum=None,
                            pallas_interpret=False):
     '''Build a jitted scatter-free epoch over *augmented* factors: a P
     half-pass over the user-sorted stream (Q fixed), then a Q half-pass
@@ -515,8 +516,12 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
     if link != 'identity':
         # the fused kernel implements the logistic link in-kernel
         # (pallas_half_pass._kernel); only the agg-only tier lacks it
-        assert not use_pallas_agg, \
-            'non-identity links: use the fused kernel or the XLA path'
+        if use_pallas_agg:
+            # API-input validation must survive python -O (a stripped
+            # assert would silently train logistic models with
+            # identity-link gradients)
+            raise ValueError('non-identity links: use the fused kernel '
+                             '(use_pallas_full) or the XLA path')
 
     def col_vectors(kdim, upd_is_user):
         # per-column lr and regularization for [factors | bu | 1] rows
@@ -590,6 +595,7 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
                 chunk=c, clamp_pred=clamp_pred, lo_r=lo_r, hi_r=hi_r,
                 row_mean=row_mean, bias_none=(bias_mode == 'none'),
                 inner_steps=inner_steps, link=link, dot_sum=dsum,
+                resident=pallas_group_resident,
                 interpret=pallas_interpret)
             return (F_upd, sse + sse_b), None
 

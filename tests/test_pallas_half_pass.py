@@ -346,6 +346,46 @@ def test_half_pass_all2d_dot_sum_matches_numpy():
     np.testing.assert_allclose(np.asarray(out_r), out, atol=1e-6)
 
 
+def test_half_pass_group_resident_matches_chunked():
+    """The r4 resident-style group kernel (grid (g, t), whole-batch VMEM
+    blocks, unrolled chunk loop) must be numerically identical to the
+    chunked group kernel — same windows, overlaps, masks, links."""
+    from mfrec_tpu.ops.pallas_half_pass import half_pass_group
+
+    rng = np.random.default_rng(9)
+    G, B, k, W, T = 4, 128, 10, 32, 3
+    n_rows = 80
+    F = rng.normal(0, 0.3, (n_rows + W, k)).astype(np.float32)
+    ff = rng.normal(0, 0.3, (G, B, k)).astype(np.float32)
+    r = rng.uniform(1, 5, (G, B)).astype(np.float32)
+    m = (rng.random((G, B)) > 0.1).astype(np.float32)
+    m[-1, B // 2:] = 0.0
+    kl = np.sort(rng.integers(0, W, (G, B)), axis=1).astype(np.int32)
+    lo = np.array([0, 20, 45, 46], np.int32)
+    lrv = np.full(k, 0.1, np.float32); lrv[-1] = 0.0
+    regv = np.full(k, 0.02, np.float32); regv[-1] = 0.0
+    args = (jnp.asarray(F), jnp.asarray(ff), jnp.asarray(r),
+            jnp.asarray(m), jnp.asarray(kl), jnp.asarray(lo),
+            jnp.asarray(lrv), jnp.asarray(regv))
+    Fc, sse_c = half_pass_group(*args, 3.4, W, chunk=64, interpret=True,
+                                inner_steps=T)
+    Fr, sse_r = half_pass_group(*args, 3.4, W, chunk=64, interpret=True,
+                                inner_steps=T, resident=True)
+    np.testing.assert_allclose(np.asarray(Fr), np.asarray(Fc),
+                               atol=1e-6, rtol=1e-6)
+    assert abs(float(sse_r) - float(sse_c)) < 1e-3
+    # logistic link + dot_sum through the resident variant
+    for ds in (False, True):
+        Flc, _ = half_pass_group(*args, 0.0, W, chunk=64, interpret=True,
+                                 clamp_pred=False, link='logistic',
+                                 dot_sum=ds)
+        Flr, _ = half_pass_group(*args, 0.0, W, chunk=64, interpret=True,
+                                 clamp_pred=False, link='logistic',
+                                 dot_sum=ds, resident=True)
+        np.testing.assert_allclose(np.asarray(Flr), np.asarray(Flc),
+                                   atol=1e-6, rtol=1e-6)
+
+
 def test_alternating_epoch_grouped_matches_scanned():
     '''The grouped EPOCH path (nb padded to a G multiple with mask-0
     filler batches, [nb,B] -> [nb/G,G,B] regroup, lane pre-pad of the

@@ -25,7 +25,7 @@ INNER = 4
 
 def build(window, batch, locality_sort, inner=INNER, chunk=4096,
           resident=False, ff_dtype=None, cache_onehot=False, all2d=False,
-          group=0, dot_sum=False):
+          group=0, dot_sum=False, group_resident=False):
     pl_ = sgd_mf.sorted_pass_layout(users, items, vals, batch, axis='user',
                                     max_window=window,
                                     locality_sort=locality_sort)
@@ -45,7 +45,8 @@ def build(window, batch, locality_sort, inner=INNER, chunk=4096,
         inner_steps=inner, chunk=chunk, use_pallas_full=True, donate=False,
         pallas_resident=resident, ff_dtype=ff_dtype,
         pallas_cache_onehot=cache_onehot, pallas_all2d=all2d,
-        pallas_group=group, pallas_dot_sum=dot_sum)
+        pallas_group=group, pallas_dot_sum=dot_sum,
+        pallas_group_resident=group_resident)
     return ep, (Paug, Qaug), p_layout, q_layout
 
 
@@ -235,6 +236,36 @@ if __name__ == '__main__':
            'group64',
            (128, BATCH // 2, False, 8, 8192, False, 'bfloat16', True, True,
             64, True))
+    elif mode == 'group_res':
+        # r4: scanned per-batch kernel vs the RESIDENT-style group
+        # kernel (grid (g,t), whole-batch VMEM blocks per g, pipelined
+        # ff prefetch, unrolled chunk loop) — targets the two suspected
+        # causes of the r3 chunked-group regression
+        print('--- A/B: all2d scanned vs group-RESIDENT G=64 (T=8, '
+              'chunk=8k, bf16 ff, dot_sum both sides)')
+        ab('scanned',
+           (128, BATCH // 2, False, 8, 8192, False, 'bfloat16', True, True,
+            0, True),
+           'group64_res',
+           (128, BATCH // 2, False, 8, 8192, False, 'bfloat16', True, True,
+            64, True, True))
+    elif mode == 'group_res_vs_chunked':
+        print('--- A/B: chunked group G=64 vs RESIDENT group G=64')
+        ab('group64',
+           (128, BATCH // 2, False, 8, 8192, False, 'bfloat16', True, True,
+            64, True),
+           'group64_res',
+           (128, BATCH // 2, False, 8, 8192, False, 'bfloat16', True, True,
+            64, True, True))
+    elif mode == 'group_res_t':
+        # marginal-sweep extraction for the resident group kernel
+        print('--- A/B: group64_res T=2 vs T=10 (chunk=8k, bf16 ff)')
+        ab('g64res_t2',
+           (128, BATCH // 2, False, 2, 8192, False, 'bfloat16', True, True,
+            64, True, True),
+           'g64res_t10',
+           (128, BATCH // 2, False, 10, 8192, False, 'bfloat16', True, True,
+            64, True, True))
     elif mode == 'group_g':
         print('--- A/B: group G=16 vs G=64 (T=8, chunk=8k, bf16 ff)')
         ab('g16',
