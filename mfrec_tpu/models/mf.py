@@ -189,7 +189,8 @@ class MFRecommender(BaseRecommender):
 
     def recommend_batch(self, user_indices, nbr_recommendations=5,
                         predictor='predict', use_pallas=False,
-                        sharded=None, mask_rated=True, rated_pad_to=None):
+                        sharded=None, mask_rated=True, rated_pad_to=None,
+                        score_dtype=None, packed_merge=False):
         '''Batched top-N for many users in one device call — the serving
         path (no reference equivalent; the reference loops users).
 
@@ -237,7 +238,8 @@ class MFRecommender(BaseRecommender):
                 jnp.asarray(bip), mu,
                 n=n, block=1024, interpret=interp,
                 rated_idx=jnp.asarray(rated_idx),
-                rated_mask=jnp.asarray(rated_mask))
+                rated_mask=jnp.asarray(rated_mask),
+                score_dtype=score_dtype, packed_merge=packed_merge)
             return np.asarray(idx), np.asarray(scores)
         idx, scores = topk_ops.topn_scores(
             jnp.asarray(self.P[users], jnp.float32),

@@ -44,8 +44,51 @@ def _merge_topn(best_s, best_i, s, ids, n):
     return jnp.concatenate(out_s, axis=1), jnp.concatenate(out_i, axis=1)
 
 
-def _topn_kernel(n, L, mu_ref, prows_ref, bu_ref, ridx_ref, rmask_ref,
-                 q_ref, bi_ref, out_s_ref, out_i_ref):
+# packed-merge constants: block-local item ids ride the low PACK_BITS of
+# the monotone-int32 score key, so every extract-max pass is a plain int
+# max + equality clear (no argmax reduction, no one-hot index gather)
+PACK_BITS = 12
+PACK_MASK = (1 << PACK_BITS) - 1
+PACK_CLEAR = -2 ** 31          # python int: jnp constants built at module
+                               # scope would be captured by pallas kernels
+
+
+def _f32_sort_key(s):
+    '''IEEE-754 f32 -> int32 whose SIGNED ordering matches float
+    ordering: non-negatives keep their bits (sign 0, payload ascends);
+    negatives flip the non-sign bits (payload order reverses, sign bit
+    keeps them below every non-negative).'''
+    i = jax.lax.bitcast_convert_type(s, jnp.int32)
+    return jnp.where(i >= 0, i, i ^ jnp.int32(0x7FFFFFFF))
+
+
+def _key_to_f32(key):
+    return jax.lax.bitcast_convert_type(
+        jnp.where(key >= 0, key, key ^ jnp.int32(0x7FFFFFFF)), jnp.float32)
+
+
+def _block_topn_packed(scores, n):
+    '''Top-n of one [B, block] f32 tile via id-in-mantissa packing:
+    quantize the score key's low PACK_BITS to zero, OR in the lane id,
+    then run n passes of (int max, unpack, equality clear).  Ids are
+    unique per row, so packed values are unique and the equality clear
+    removes exactly the extracted element.  Scores come back quantized
+    toward -inf by <= 2^-11 relative — ranking among quasi-ties may
+    differ from the exact path (accepted: opt-in fast mode).'''
+    B, block = scores.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (B, block), 1)
+    packed = (_f32_sort_key(scores) & jnp.int32(~PACK_MASK)) | iota
+    out_s, out_i = [], []
+    for _ in range(n):
+        m = packed.max(axis=1, keepdims=True)               # [B, 1] int32
+        out_i.append(m & jnp.int32(PACK_MASK))
+        out_s.append(_key_to_f32(m & jnp.int32(~PACK_MASK)))
+        packed = jnp.where(packed == m, jnp.int32(PACK_CLEAR), packed)
+    return jnp.concatenate(out_s, axis=1), jnp.concatenate(out_i, axis=1)
+
+
+def _topn_kernel(n, L, bf16_dot, packed, mu_ref, prows_ref, bu_ref,
+                 ridx_ref, rmask_ref, q_ref, bi_ref, out_s_ref, out_i_ref):
     j = pl.program_id(0)
     block = q_ref.shape[0]
 
@@ -54,11 +97,17 @@ def _topn_kernel(n, L, mu_ref, prows_ref, bu_ref, ridx_ref, rmask_ref,
         out_s_ref[:] = jnp.full_like(out_s_ref, NEG)
         out_i_ref[:] = jnp.zeros_like(out_i_ref)
 
-    scores = jnp.dot(prows_ref[:], q_ref[:].T,
-                     preferred_element_type=jnp.float32)
+    if bf16_dot:
+        # MXU at bf16 rate (~4x f32), f32 accumulation.  Q may already
+        # arrive bf16 (serving keeps a bf16 device copy: half the HBM
+        # streaming, which bounds this kernel) — the casts no-op then.
+        scores = jnp.dot(prows_ref[:].astype(jnp.bfloat16),
+                         q_ref[:].astype(jnp.bfloat16).T,
+                         preferred_element_type=jnp.float32)
+    else:
+        scores = jnp.dot(prows_ref[:], q_ref[:].T,
+                         preferred_element_type=jnp.float32)
     scores = scores + mu_ref[0, 0] + bu_ref[:][:, None] + bi_ref[:][None, :]
-    ids = j * block + jax.lax.broadcasted_iota(
-        jnp.int32, scores.shape, 1)
     if L:
         # mask this user's already-rated items in THIS block: the host
         # pre-bucketed rated ids per (block, user) as block-LOCAL ids
@@ -71,7 +120,18 @@ def _topn_kernel(n, L, mu_ref, prows_ref, bu_ref, ridx_ref, rmask_ref,
         for l in range(L):
             hit = (local == ridx[:, l:l + 1]) & (rmask[:, l:l + 1] > 0)
             scores = jnp.where(hit, NEG, scores)
-    best_s, best_i = _merge_topn(out_s_ref[:], out_i_ref[:], scores, ids, n)
+    if packed:
+        # id-in-mantissa block top-n (3 cheap int passes per extracted
+        # element vs ~8 for max+argmax+onehot-gather), then an exact
+        # merge over the tiny [B, 2n] concat with the running best
+        fs, fi = _block_topn_packed(scores, n)
+        best_s, best_i = _merge_topn(out_s_ref[:], out_i_ref[:],
+                                     fs, j * block + fi, n)
+    else:
+        ids = j * block + jax.lax.broadcasted_iota(
+            jnp.int32, scores.shape, 1)
+        best_s, best_i = _merge_topn(out_s_ref[:], out_i_ref[:],
+                                     scores, ids, n)
     out_s_ref[:] = best_s
     out_i_ref[:] = best_i
 
@@ -114,7 +174,8 @@ def block_rated_layout(rated_idx, rated_mask, block, nblocks):
 
 def topn_scores_pallas(P_rows, Q, bu_rows, bi, mu, n=10, block=1024,
                        interpret=False, rated_idx=None, rated_mask=None,
-                       rated_blocks=None):
+                       rated_blocks=None, score_dtype=None,
+                       packed_merge=False):
     '''Fused top-n retrieval: returns (idx [B, n], scores [B, n]) for the
     bias predictor mu + bu + bi + P.Q^T.  Q/bi must have row count
     divisible by `block` (pad with NEG-bias rows).
@@ -125,10 +186,21 @@ def topn_scores_pallas(P_rows, Q, bu_rows, bi, mu, n=10, block=1024,
     serving form — or raw ``rated_idx/rated_mask`` [B, L] global ids,
     bucketed (and uploaded) here per call.  Bucketing means the
     in-kernel compare loop runs over the per-block max count Lb
-    (~L*block/I + slack), not L.'''
+    (~L*block/I + slack), not L.
+
+    Fast opt-ins (exact path is the default):
+    ``score_dtype='bfloat16'`` runs the score matmul at bf16 MXU rate
+    with f32 accumulation (Q may be passed pre-cast to bf16 to also
+    halve the HBM streaming that bounds this kernel).
+    ``packed_merge=True`` extracts each block's top-n from an
+    id-in-mantissa int32 packing (plain max + equality clear per
+    element instead of argmax + one-hot gather); scores quantize toward
+    -inf by <= 2^-11 relative, so quasi-ties may reorder.'''
     B, K = P_rows.shape
     I = Q.shape[0]
     assert I % block == 0, 'pad Q to a block multiple'
+    if packed_merge and block > (1 << PACK_BITS):
+        raise ValueError('packed_merge needs block <= %d' % (1 << PACK_BITS))
     if rated_blocks is not None:
         bidx, bmask = rated_blocks
         assert bidx.shape[0] == I // block, \
@@ -150,20 +222,25 @@ def topn_scores_pallas(P_rows, Q, bu_rows, bi, mu, n=10, block=1024,
                                                    block, I // block)
             L = int(bidx_np.shape[2])
         bidx, bmask = jnp.asarray(bidx_np), jnp.asarray(bmask_np)
+    if score_dtype == 'bfloat16':
+        Q = Q.astype(jnp.bfloat16)        # no-op if pre-cast by the caller
     return _topn_pallas(P_rows, Q, bu_rows, bi,
                         jnp.full((1, 1), mu, jnp.float32), bidx, bmask,
                         n=int(n), block=int(block), L=L,
+                        bf16_dot=(score_dtype == 'bfloat16'),
+                        packed=bool(packed_merge),
                         interpret=bool(interpret))
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('n', 'block', 'L', 'interpret'))
+                   static_argnames=('n', 'block', 'L', 'bf16_dot',
+                                    'packed', 'interpret'))
 def _topn_pallas(P_rows, Q, bu_rows, bi, mu_arr, bidx, bmask, n, block, L,
-                 interpret):
+                 bf16_dot, packed, interpret):
     B, K = P_rows.shape
     I = Q.shape[0]
     grid = (I // block,)
-    kernel = functools.partial(_topn_kernel, n, L)
+    kernel = functools.partial(_topn_kernel, n, L, bf16_dot, packed)
     Lb = bidx.shape[2]
     out_s, out_i = pl.pallas_call(
         kernel,

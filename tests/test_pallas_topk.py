@@ -64,3 +64,95 @@ def test_recommend_batch_pallas_path(small_dataset):
     for r, uu in enumerate(users):
         rated = set(np.nonzero(m.ratings.rated_mask_for_user(uu))[0])
         assert not (set(idx[r].tolist()) & rated)
+
+
+# ---------------------------------------------------- fast opt-ins (r4)
+
+def test_f32_sort_key_monotone():
+    '''The int32 key orders exactly like the floats (negatives, zeros,
+    denormal-scale, NEG sentinel).'''
+    from mfrec_tpu.ops.pallas_topk import _f32_sort_key, _key_to_f32
+    rng = np.random.default_rng(3)
+    vals = np.concatenate([
+        rng.normal(0, 10, 500), rng.normal(0, 1e-3, 200),
+        [0.0, -0.0, 1e38, -1e38, NEG, 2.5, -2.5]]).astype(np.float32)
+    order_f = np.argsort(vals, kind='stable')
+    keys = np.asarray(_f32_sort_key(jnp.asarray(vals)))
+    sf = vals[order_f]
+    sk = keys[order_f]
+    # keys must STRICTLY ascend wherever the floats do (float ties --
+    # only +/-0.0 here -- may order either way in key space)
+    assert (np.diff(sk)[np.diff(sf) > 0] > 0).all()
+    # roundtrip: key -> float is exact when low bits are intact
+    back = np.asarray(_key_to_f32(jnp.asarray(keys)))
+    np.testing.assert_array_equal(back[sf == sf], vals[sf == sf])
+
+
+def test_packed_merge_matches_exact_ids():
+    '''packed_merge=True returns the same item SETS as the exact path
+    when scores are well separated; scores match within the 2^-11
+    quantization.'''
+    idx0, sc0, full = _case(B=6, I=500, K=16, n=7, block=128, seed=4)
+    rng = np.random.default_rng(4)
+    P = rng.normal(0, 0.5, (6, 16)).astype(np.float32)
+    Q = rng.normal(0, 0.5, (500, 16)).astype(np.float32)
+    bu = rng.normal(0, 0.2, 6).astype(np.float32)
+    bi = rng.normal(0, 0.2, 500).astype(np.float32)
+    Qp, bip = pad_items_for_pallas(Q, bi, 128)
+    idx, scores = topn_scores_pallas(
+        jnp.asarray(P), jnp.asarray(Qp), jnp.asarray(bu), jnp.asarray(bip),
+        3.5, n=7, block=128, interpret=True, packed_merge=True)
+    full = 3.5 + bu[:, None] + bi[None, :] + P @ Q.T
+    for b in range(6):
+        want = set(np.argsort(-full[b])[:7].tolist())
+        assert set(np.asarray(idx)[b].tolist()) == want
+    want_s = -np.sort(-full, axis=1)[:, :7]
+    # quantized toward -inf by <= 2^-11 relative
+    s = np.asarray(scores)
+    assert (s <= want_s + 1e-6).all()
+    np.testing.assert_allclose(s, want_s, rtol=2 ** -10, atol=1e-5)
+
+
+def test_packed_merge_with_rated_mask_and_bf16():
+    '''bf16 dot + packed merge together: rated items still excluded,
+    top sets match a bf16 brute force.'''
+    rng = np.random.default_rng(7)
+    B, I, K, n, block = 5, 400, 32, 6, 128
+    P = rng.normal(0, 0.5, (B, K)).astype(np.float32)
+    Q = rng.normal(0, 0.5, (I, K)).astype(np.float32)
+    bu = rng.normal(0, 0.2, B).astype(np.float32)
+    bi = rng.normal(0, 0.2, I).astype(np.float32)
+    rated = np.zeros((B, 10), np.int32)
+    mask = np.zeros((B, 10), np.float32)
+    for b in range(B):
+        picks = rng.choice(I, 10, replace=False)
+        rated[b] = picks
+        mask[b] = 1.0
+    Qp, bip = pad_items_for_pallas(Q, bi, block)
+    idx, scores = topn_scores_pallas(
+        jnp.asarray(P), jnp.asarray(Qp), jnp.asarray(bu), jnp.asarray(bip),
+        3.5, n=n, block=block, interpret=True,
+        rated_idx=jnp.asarray(rated), rated_mask=jnp.asarray(mask),
+        score_dtype='bfloat16', packed_merge=True)
+    fullb = 3.5 + bu[:, None] + bi[None, :] + (
+        P.astype(jnp.bfloat16) @ Q.astype(jnp.bfloat16).T
+    ).astype(np.float32)
+    for b in range(B):
+        fullb[b, rated[b]] = -np.inf
+        want = set(np.argsort(-fullb[b])[:n].tolist())
+        got = set(np.asarray(idx)[b].tolist())
+        assert got == want, (b, got, want)
+        assert not (got & set(rated[b].tolist()))
+
+
+def test_packed_merge_block_too_wide_raises():
+    import pytest
+    rng = np.random.default_rng(0)
+    P = rng.normal(0, 0.5, (2, 8)).astype(np.float32)
+    Q = rng.normal(0, 0.5, (8192, 8)).astype(np.float32)
+    z = np.zeros(2, np.float32)
+    bi = np.zeros(8192, np.float32)
+    with pytest.raises(ValueError):
+        topn_scores_pallas(jnp.asarray(P), jnp.asarray(Q), jnp.asarray(z),
+                           jnp.asarray(bi), 0.0, n=3, block=8192,
+                           interpret=True, packed_merge=True)

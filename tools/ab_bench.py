@@ -266,6 +266,18 @@ if __name__ == '__main__':
            'g64res_t10',
            (128, BATCH // 2, False, 10, 8192, False, 'bfloat16', True, True,
             64, True, True))
+    elif mode == 'netflix_group_res':
+        # Netflix rank 128 (k=130 with bias cols): matvec dot both sides
+        # (keepdims-sum loses when rows span 2 vregs — r3 A/B), scanned
+        # per-batch kernel vs the resident group kernel
+        print('--- Netflix r128 A/B: all2d scanned vs group-RESIDENT '
+              'G=64 (T=8, chunk=8k, bf16 ff, matvec dot)')
+        ab('scanned',
+           (128, 1 << 14, False, 8, 8192, False, 'bfloat16', True, True),
+           'group64_res',
+           (128, 1 << 14, False, 8, 8192, False, 'bfloat16', True, True,
+            64, False, True),
+           blocks=3)
     elif mode == 'group_g':
         print('--- A/B: group G=16 vs G=64 (T=8, chunk=8k, bf16 ff)')
         ab('g16',
