@@ -45,7 +45,8 @@ def pad_items_sharded(Q, bi, D, block=None):
 
 
 def make_sharded_topn(mesh, n, Ishard, block=1024, predictor='bias',
-                      lo=1.0, hi=5.0, use_pallas=False, axis='dp'):
+                      lo=1.0, hi=5.0, use_pallas=False, axis='dp',
+                      score_dtype=None, packed_merge=False):
     '''Build the jitted sharded retrieval:
 
         fn(P_rows [B,k], Q [D*Ishard,k], bu [B], bi [D*Ishard], mu,
@@ -68,7 +69,8 @@ def make_sharded_topn(mesh, n, Ishard, block=1024, predictor='bias',
             # shard row count must be a block multiple (pad upstream)
             idx, sc = pallas_topk.topn_scores_pallas(
                 P_rows, Q_shard, bu, bi_shard, mu, n=n, block=block,
-                rated_idx=lidx, rated_mask=lmask)
+                rated_idx=lidx, rated_mask=lmask,
+                score_dtype=score_dtype, packed_merge=packed_merge)
         else:
             idx, sc = topk_ops.topn_scores(
                 P_rows, Q_shard, bu, bi_shard, mu, lidx, lmask, n,
@@ -96,17 +98,20 @@ def make_sharded_topn(mesh, n, Ishard, block=1024, predictor='bias',
 
 @functools.lru_cache(maxsize=8)
 def _cached_sharded_topn(mesh_key, n, Ishard, block, predictor, lo, hi,
-                         use_pallas, axis):
+                         use_pallas, axis, score_dtype, packed_merge):
     from mfrec_tpu.parallel.mesh import make_mesh
     mesh = make_mesh(mesh_key)
     return make_sharded_topn(mesh, n, Ishard, block=block,
                              predictor=predictor, lo=lo, hi=hi,
-                             use_pallas=use_pallas, axis=axis)
+                             use_pallas=use_pallas, axis=axis,
+                             score_dtype=score_dtype,
+                             packed_merge=packed_merge)
 
 
 def sharded_topn(P_rows, Q, bu_rows, bi, mu, rated_idx, rated_mask, n,
                  block=1024, predictor='bias', lo=1.0, hi=5.0,
-                 use_pallas=False, n_devices=None):
+                 use_pallas=False, n_devices=None, score_dtype=None,
+                 packed_merge=False):
     '''Convenience wrapper: builds the mesh over all visible devices,
     pads/shards Q, runs the sharded retrieval, and filters padded rows.
     Host-facing twin of ``ops.topk.topn_scores`` (same return contract).'''
@@ -115,7 +120,8 @@ def sharded_topn(P_rows, Q, bu_rows, bi, mu, rated_idx, rated_mask, n,
                                         np.asarray(bi, np.float32), D,
                                         block=block if use_pallas else None)
     fn = _cached_sharded_topn(D, int(n), Ishard, block, predictor,
-                              float(lo), float(hi), bool(use_pallas), 'dp')
+                              float(lo), float(hi), bool(use_pallas), 'dp',
+                              score_dtype, bool(packed_merge))
     idx, sc = fn(jnp.asarray(P_rows, jnp.float32), jnp.asarray(Qp),
                  jnp.asarray(bu_rows, jnp.float32), jnp.asarray(bip),
                  jnp.float32(mu), jnp.asarray(rated_idx, jnp.int32),
