@@ -201,6 +201,10 @@ def topn_scores_pallas(P_rows, Q, bu_rows, bi, mu, n=10, block=1024,
     assert I % block == 0, 'pad Q to a block multiple'
     if packed_merge and block > (1 << PACK_BITS):
         raise ValueError('packed_merge needs block <= %d' % (1 << PACK_BITS))
+    if packed_merge and n > block:
+        # n extraction passes past the block width would unpack the
+        # PACK_CLEAR sentinel (NaN payload) into the running merge
+        raise ValueError('packed_merge needs n <= block')
     if rated_blocks is not None:
         bidx, bmask = rated_blocks
         assert bidx.shape[0] == I // block, \

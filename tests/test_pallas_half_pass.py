@@ -441,3 +441,15 @@ def test_alternating_epoch_grouped_matches_scanned():
     np.testing.assert_allclose(np.asarray(Qgs), np.asarray(Qss),
                                atol=2e-5, rtol=2e-5)
     assert abs(float(rgs) - float(rss)) < 1e-4
+    # resident group variant through the SAME epoch path (filler
+    # batches, regroup, lane pre-pad) — identical to the chunked group
+    ep_grp_r = sgd_mf.make_alternating_epoch(W_user, W_item,
+                                             pallas_group=3,
+                                             pallas_group_resident=True,
+                                             **kw)
+    Pgr, Qgr, rgr = ep_grp_r(Paug, Qaug, mu, p_layout, q_layout)
+    np.testing.assert_allclose(np.asarray(Pgr), np.asarray(Pg),
+                               atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(Qgr), np.asarray(Qg),
+                               atol=1e-6, rtol=1e-6)
+    assert abs(float(rgr) - float(rg)) < 1e-4
