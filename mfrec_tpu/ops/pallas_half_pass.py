@@ -629,7 +629,7 @@ def _kernel_group_resident(W, nj, lo_r, hi_r, clamp_pred, row_mean,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    @pl.when(t == 0)      # epoch RMSE = pre-update residual
+    @pl.when(t == 0)      # epoch RMSE = pre-update residual, summed over g
     def _():
         sse_ref[0, 0] += err2
 

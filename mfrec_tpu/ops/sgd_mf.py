@@ -458,7 +458,7 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
                            pallas_cache_onehot=None, pallas_all2d=None,
                            pallas_group=0, pallas_group_resident=False,
                            pallas_dot_sum=None,
-                           pallas_interpret=False):
+                           pallas_interpret=False, probe_ff=None):
     '''Build a jitted scatter-free epoch over *augmented* factors: a P
     half-pass over the user-sorted stream (Q fixed), then a Q half-pass
     over the item-sorted stream (P fixed) — blockwise-alternating SGD.
@@ -633,7 +633,19 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
             u, i, r, m, kl, lo = batch
             upd_rows = u if upd_is_user else i
             fix_rows = i if upd_is_user else u
-            ff = F_fix[fix_rows]
+            if probe_ff == 'seq':
+                # TIMING-ONLY (math wrong by design): gather with
+                # sequential indices — isolates random-access cost from
+                # the gather op itself in the per-batch fixed cost
+                ff = F_fix[jnp.arange(fix_rows.shape[0], dtype=jnp.int32)
+                           % F_fix.shape[0]]
+            elif probe_ff == 'bcast':
+                # TIMING-ONLY: no gather at all (one row broadcast)
+                ff = jnp.broadcast_to(F_fix[:1],
+                                      (fix_rows.shape[0],
+                                       F_fix.shape[1]))
+            else:
+                ff = F_fix[fix_rows]
             lrv, regv = col_vectors(F_upd.shape[1] - 2, upd_is_user)
             win = jax.lax.dynamic_slice_in_dim(F_upd, lo, W, 0)
             if use_pallas_full:

@@ -25,7 +25,7 @@ INNER = 4
 
 def build(window, batch, locality_sort, inner=INNER, chunk=4096,
           resident=False, ff_dtype=None, cache_onehot=False, all2d=False,
-          group=0, dot_sum=False, group_resident=False):
+          group=0, dot_sum=False, group_resident=False, probe_ff=None):
     pl_ = sgd_mf.sorted_pass_layout(users, items, vals, batch, axis='user',
                                     max_window=window,
                                     locality_sort=locality_sort)
@@ -46,7 +46,7 @@ def build(window, batch, locality_sort, inner=INNER, chunk=4096,
         pallas_resident=resident, ff_dtype=ff_dtype,
         pallas_cache_onehot=cache_onehot, pallas_all2d=all2d,
         pallas_group=group, pallas_dot_sum=dot_sum,
-        pallas_group_resident=group_resident)
+        pallas_group_resident=group_resident, probe_ff=probe_ff)
     return ep, (Paug, Qaug), p_layout, q_layout
 
 
@@ -257,6 +257,33 @@ if __name__ == '__main__':
            'group64_res',
            (128, BATCH // 2, False, 8, 8192, False, 'bfloat16', True, True,
             64, True, True))
+    elif mode == 'fixed_decomp':
+        # decompose the ~155 us/batch per-epoch FIXED cost (epoch(T) is
+        # fixed + T*sweep; run at T=2 so fixed dominates).  The group
+        # kernels removed dispatch + slice/update and the fixed cost did
+        # NOT move (group_res A/B) — suspect the random ff row gather.
+        # TIMING-ONLY variants: seq = sequential-index gather (locality),
+        # bcast = no gather at all (one-row broadcast).
+        print('--- fixed-cost decomp at T=2: default vs seq-gather vs '
+              'no-gather (W=128, B=16k, chunk=8k, bf16 ff, dot_sum)')
+        base = (128, BATCH // 2, False, 2, 8192, False, 'bfloat16', True,
+                True, 0, True, False)
+        cfgs = [('default', base + (None,)),
+                ('seq_gather', base + ('seq',)),
+                ('no_gather', base + ('bcast',))]
+        built = [(nm, *build(*cfg)) for nm, cfg in cfgs]
+        built = [(nm, ep, run_block(ep, st, pl_, ql_, epochs=1)[1], pl_,
+                  ql_) for nm, ep, st, pl_, ql_ in built]
+        times = {nm: [] for nm, *_ in built}
+        for _ in range(4):
+            for i, (nm, ep, st, pl_, ql_) in enumerate(built):
+                dt, st = run_block(ep, st, pl_, ql_)
+                built[i] = (nm, ep, st, pl_, ql_)
+                times[nm].append(dt)
+        for nm, *_ in built:
+            print('%s: %s  median %.4f'
+                  % (nm, [round(x, 4) for x in times[nm]],
+                     float(np.median(times[nm]))))
     elif mode == 'group_res_t':
         # marginal-sweep extraction for the resident group kernel
         print('--- A/B: group64_res T=2 vs T=10 (chunk=8k, bf16 ff)')

@@ -205,10 +205,19 @@ def make_kernel(variant):
 
 def make_kernel_2d(variant):
     '''All-2D variant: r/m/kl arrive as [ch, 1] columns; no [ch] 1D
-    intermediate exists anywhere in the kernel.'''
-    def kernel(mu_ref, win_ref, ff_ref, r_ref, m_ref, kl_ref, lrv_ref,
-               regv_ref, out_ref, sse_ref, acc_ref, win_scr, oh_scr,
-               cnt_scr):
+    intermediate exists anywhere in the kernel.
+
+    ohT variants (probe round 5 — the agg matmul is the largest sweep
+    component at 9.1 us, ~6x its MXU FLOP floor; hypothesis: its
+    ((0,),(0,)) ch-dim contraction costs a per-sweep operand relayout):
+    build a SECOND, transposed one-hot scratch [W, ch] once per batch
+    (t == 0, from klr [1, ch] row input — t-invariant, amortized over
+    the T sweeps) so the aggregation runs as a natural-orientation
+    ohT [W, ch] @ gops [ch, k] matmul with NO per-sweep transpose.'''
+    ohT = 'ohT' in variant
+    def kernel(mu_ref, win_ref, ff_ref, r_ref, m_ref, kl_ref, klr_ref,
+               lrv_ref, regv_ref, out_ref, sse_ref, acc_ref, win_scr,
+               oh_scr, ohT_scr, cnt_scr):
         t = pl.program_id(0)
         j = pl.program_id(1)
         nt = pl.num_programs(0)
@@ -234,12 +243,17 @@ def make_kernel_2d(variant):
             oh_scr[pl.ds(j * ch, ch), :] = (
                 kl == jax.lax.broadcasted_iota(
                     jnp.int32, (ch, W), 1)).astype(jnp.bfloat16)
+            if ohT:
+                ohT_scr[:, pl.ds(j * ch, ch)] = (
+                    klr_ref[:] == jax.lax.broadcasted_iota(
+                        jnp.int32, (W, ch), 0)).astype(jnp.bfloat16)
             cnt_scr[:] += jax.lax.dot_general(
                 oh_scr[pl.ds(j * ch, ch), :], m.astype(jnp.bfloat16),
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
         onehot = oh_scr[pl.ds(j * ch, ch), :]
+        onehotT = ohT_scr[:, pl.ds(j * ch, ch)] if ohT else None
         if variant == 'all2d_bf16':
             ffb = ff_ref[:].astype(jnp.bfloat16)
             fu = jax.lax.dot_general(
@@ -257,7 +271,7 @@ def make_kernel_2d(variant):
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
             prod = (fu * ffb).astype(jnp.bfloat16)
-        if variant == 'all2d_sumk':
+        if variant.startswith('all2d_sumk'):
             # keepdims lane-reduction instead of the ones-matvec: stays
             # 2D ([ch,k] -> [ch,1]), no MXU N=1 tile padding
             dot = (fu * ffb).sum(axis=1, keepdims=True)
@@ -290,6 +304,12 @@ def make_kernel_2d(variant):
             gops = (err * ffb).astype(jnp.bfloat16)
         if variant == 'all2d_no_acc':
             acc_ref[:] += gops[:W, :].astype(jnp.float32) * 1e-6
+        elif ohT:
+            # natural orientation: contracting dim is minor on the lhs
+            acc_ref[:] += jax.lax.dot_general(
+                onehotT, gops,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
         else:
             acc_ref[:] += jax.lax.dot_general(
                 onehot, gops,
@@ -329,6 +349,8 @@ def run_one(window, ff, r, m, kl, lrv, regv, variant, T, k, ch=CH):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((ch, 1), lambda t, j: (j, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ch), lambda t, j: (0, j),
+                             memory_space=pltpu.VMEM),   # kl as a row
                 pl.BlockSpec((k,), lambda t, j: (0,),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((k,), lambda t, j: (0,),
@@ -347,11 +369,13 @@ def run_one(window, ff, r, m, kl, lrv, regv, variant, T, k, ch=CH):
             scratch_shapes=[pltpu.VMEM((W, k), jnp.float32),
                             pltpu.VMEM((W, k), jnp.float32),
                             pltpu.VMEM((B, W), jnp.bfloat16),
+                            pltpu.VMEM((W, B) if 'ohT' in variant
+                                       else (8, 128), jnp.bfloat16),
                             pltpu.VMEM((W, 1), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
         )(mu_arr, window, ff, r[:, None], m[:, None], kl[:, None],
-          lrv, regv)
+          kl[None, :], lrv, regv)
         return out, sse[0, 0]
     out, sse = pl.pallas_call(
         make_kernel(variant),
@@ -511,6 +535,12 @@ if __name__ == '__main__':
                  ('all2d_bf16', 66, CH), ('no_elem', 66, CH)]
     elif mode == 'dot':
         cases = [('all2d', 66, CH), ('all2d_sumk', 66, CH)]
+    elif mode == 'ohT':
+        # probe round 5: transposed-onehot aggregation (built once per
+        # batch at t==0) vs the shipped ((0,),(0,)) contraction
+        cases = [('all2d_sumk', 66, CH), ('all2d_sumk_ohT', 66, CH),
+                 ('all2d_ohT', 66, CH), ('all2d_sumk', 64, CH),
+                 ('all2d_sumk_ohT', 64, CH)]
     elif mode == 'all2d':
         # decompose the remaining all2d sweep + chunk-size axis (per-
         # grid-step overhead shows up as a win at ch=16384 / loss at 4096)
