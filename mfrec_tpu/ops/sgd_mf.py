@@ -627,13 +627,21 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
             # fixed-side bf16 rounding is the same accepted deviation as
             # the window's bf16 read (see pallas_half_pass.py docstring)
             F_fix = F_fix.astype(jnp.bfloat16)
+        if probe_ff == 'pad128':
+            kd = F_fix.shape[1]
+            F_fix = jnp.pad(F_fix, ((0, 0), (0, -(-kd // 128) * 128 - kd)))
 
         def step(carry, batch):
             F_upd, sse = carry
             u, i, r, m, kl, lo = batch
             upd_rows = u if upd_is_user else i
             fix_rows = i if upd_is_user else u
-            if probe_ff == 'seq':
+            if probe_ff == 'pad128':
+                # TIMING-ONLY: gather from the lane-padded fixed side
+                # (aligned rows), slice back — isolates HBM row-alignment
+                # cost in the random gather (F_fix pre-padded below)
+                ff = F_fix[fix_rows][:, :F_upd.shape[1]]
+            elif probe_ff == 'seq':
                 # TIMING-ONLY (math wrong by design): gather with
                 # sequential indices — isolates random-access cost from
                 # the gather op itself in the per-batch fixed cost

@@ -284,6 +284,19 @@ if __name__ == '__main__':
             print('%s: %s  median %.4f'
                   % (nm, [round(x, 4) for x in times[nm]],
                      float(np.median(times[nm]))))
+    elif mode == 'gather_pad':
+        # fixed_decomp found the random ff gather = ~49 us/batch (~18% of
+        # the T=8 epoch).  Hypothesis: unaligned 132 B bf16 rows waste
+        # HBM transactions; gathering from a 128-lane-padded fixed side
+        # (256 B aligned rows) should cut it even with the slice-back copy.
+        print('--- A/B: default vs pad128-gather (T=2 and T=8, W=128, '
+              'B=16k, chunk=8k, bf16 ff, dot_sum)')
+        base2 = (128, BATCH // 2, False, 2, 8192, False, 'bfloat16', True,
+                 True, 0, True, False)
+        ab('default_t2', base2 + (None,), 'pad128_t2', base2 + ('pad128',))
+        base8 = (128, BATCH // 2, False, 8, 8192, False, 'bfloat16', True,
+                 True, 0, True, False)
+        ab('default_t8', base8 + (None,), 'pad128_t8', base8 + ('pad128',))
     elif mode == 'group_res_t':
         # marginal-sweep extraction for the resident group kernel
         print('--- A/B: group64_res T=2 vs T=10 (chunk=8k, bf16 ff)')
