@@ -56,22 +56,47 @@ def make_sharded_topn(mesh, n, Ishard, block=1024, predictor='bias',
     replicated (global item ids, sorted descending).'''
     n = int(n)
 
-    def device_fn(P_rows, Q_shard, bu, bi_shard, mu, rated_idx, rated_mask):
+    def device_fn(P_rows, Q_shard, bu, bi_shard, mu, rated_idx, rated_mask,
+                  rblk_i, rblk_m):
         d = jax.lax.axis_index(axis)
         offset = d * Ishard
-        # remap global rated ids to shard-local (out-of-shard -> mask 0)
-        local = rated_idx - offset
-        in_shard = (local >= 0) & (local < Ishard)
-        lmask = rated_mask * in_shard
-        lidx = jnp.where(in_shard, local, 0)
         if use_pallas:
             from mfrec_tpu.ops import pallas_topk
+            # map the predictor mode onto the kernel's fixed
+            # mu + bu + bi + dot score form (pad rows keep their NEG
+            # bias so they never reach the top-n); logistic ranks on
+            # the pre-link z — the sigmoid is applied monotonically to
+            # the final scores below
+            pad_neg = bi_shard <= topk_ops.NEG / 2
+            if predictor == 'dot_plus_one':
+                bu_k = jnp.zeros_like(bu)
+                bi_k = jnp.where(pad_neg, bi_shard, 0.0)
+                mu_k = jnp.float32(1.0)
+            elif predictor == 'dot':
+                bu_k = jnp.zeros_like(bu)
+                bi_k = jnp.where(pad_neg, bi_shard, 0.0)
+                mu_k = jnp.float32(0.0)
+            elif predictor == 'logistic':
+                bu_k, bi_k, mu_k = bu, bi_shard, jnp.float32(0.0)
+            else:                                   # 'bias'
+                bu_k, bi_k, mu_k = bu, bi_shard, mu
+            # rated masking: the [nblocks_total, B, Lb] block-local
+            # layout was bucketed on the HOST (block_rated_layout needs
+            # concrete ids) and is sharded over the block axis, so this
+            # shard's slice is exactly its own blocks' local ids.
             # shard row count must be a block multiple (pad upstream)
             idx, sc = pallas_topk.topn_scores_pallas(
-                P_rows, Q_shard, bu, bi_shard, mu, n=n, block=block,
-                rated_idx=lidx, rated_mask=lmask,
-                score_dtype=score_dtype, packed_merge=packed_merge)
+                P_rows, Q_shard, bu_k, bi_k, mu_k, n=n, block=block,
+                rated_blocks=(rblk_i, rblk_m),
+                score_dtype=score_dtype, packed_merge=packed_merge,
+                interpret=jax.default_backend() == 'cpu')
         else:
+            # remap global rated ids to shard-local (out-of-shard ->
+            # mask 0)
+            local = rated_idx - offset
+            in_shard = (local >= 0) & (local < Ishard)
+            lmask = rated_mask * in_shard
+            lidx = jnp.where(in_shard, local, 0)
             idx, sc = topk_ops.topn_scores(
                 P_rows, Q_shard, bu, bi_shard, mu, lidx, lmask, n,
                 block=min(block, Q_shard.shape[0]), predictor=predictor,
@@ -90,7 +115,8 @@ def make_sharded_topn(mesh, n, Ishard, block=1024, predictor='bias',
 
     sharded = shard_map(
         device_fn, mesh=mesh,
-        in_specs=(PS(), PS(axis), PS(), PS(axis), PS(), PS(), PS()),
+        in_specs=(PS(), PS(axis), PS(), PS(axis), PS(), PS(), PS(),
+                  PS(axis), PS(axis)),
         out_specs=(PS(), PS()),
         check_vma=False)
     return jax.jit(sharded)
@@ -122,8 +148,24 @@ def sharded_topn(P_rows, Q, bu_rows, bi, mu, rated_idx, rated_mask, n,
     fn = _cached_sharded_topn(D, int(n), Ishard, block, predictor,
                               float(lo), float(hi), bool(use_pallas), 'dp',
                               score_dtype, bool(packed_merge))
+    if use_pallas:
+        # bucket rated ids on the host (concrete values needed); the
+        # [nblocks_total, B, Lb] layout shards over its block axis
+        from mfrec_tpu.ops.pallas_topk import block_rated_layout
+        rb_i, rb_m = block_rated_layout(rated_idx, rated_mask, block,
+                                        Ishard * D // block)
+    else:
+        rb_i = np.zeros((D, 1, 1), np.int32)
+        rb_m = np.zeros((D, 1, 1), np.float32)
     idx, sc = fn(jnp.asarray(P_rows, jnp.float32), jnp.asarray(Qp),
                  jnp.asarray(bu_rows, jnp.float32), jnp.asarray(bip),
                  jnp.float32(mu), jnp.asarray(rated_idx, jnp.int32),
-                 jnp.asarray(rated_mask, jnp.float32))
-    return np.asarray(idx), np.asarray(sc)
+                 jnp.asarray(rated_mask, jnp.float32),
+                 jnp.asarray(rb_i), jnp.asarray(rb_m))
+    idx, sc = np.asarray(idx), np.array(sc)
+    if use_pallas and predictor == 'logistic':
+        # the Pallas path ranked on the pre-link z (monotone in the
+        # final score); map through the sigmoid link for score parity
+        # with the XLA path
+        sc = lo + (hi - lo) / (1.0 + np.exp(-np.clip(sc, -60.0, 60.0)))
+    return idx, sc

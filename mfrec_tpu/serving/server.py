@@ -80,14 +80,51 @@ class _FrozenRatings(Ratings):
 class _ServingView:
     '''Immutable read view: shallow model copy bound to a frozen ratings
     snapshot, plus the fixed rated-list pad width that keeps the
-    retrieval kernel's shapes stable across batches.'''
+    retrieval kernel's shapes stable across batches.
 
-    def __init__(self, model):
+    ``retrieval`` selects the device path used for /recommend:
+    'xla' (default; exact blocked P@Q^T + top_k), 'pallas' (the fused
+    Pallas kernel, exact scores), or 'fast' (Pallas with bf16 score
+    matmul + packed top-n merge — 1.60x 'pallas' on v5e, top-10 overlap
+    0.998; quasi-ties may reorder).  The Pallas paths cache the padded
+    item matrix on-device PER VIEW, so /rate writes (which rebuild the
+    view) naturally invalidate it and steady-state retrieval never
+    re-uploads Q.'''
+
+    def __init__(self, model, retrieval='xla'):
         self.model = copy.copy(model)
         self.model.ratings = _FrozenRatings(model.ratings)
         counts = self.model.ratings.user_counts()
         cmax = int(counts.max()) if counts.size else 1
         self.rated_pad = 1 << max(cmax - 1, 0).bit_length()
+        self.retrieval = retrieval
+        self._dq = None
+        self._dq_lock = threading.Lock()
+
+    def retrieval_kwargs(self):
+        '''kwargs for ``recommend_batch`` implementing this view's
+        retrieval mode (built lazily: the first retrieval pays the
+        device upload, later ones reuse it).'''
+        if self.retrieval == 'xla':
+            return {}
+        fast = self.retrieval == 'fast'
+        with self._dq_lock:
+            if self._dq is None:
+                import numpy as np
+                import jax.numpy as jnp
+                from mfrec_tpu.ops import pallas_topk
+                m = self.model
+                # bake the MODE-mapped item bias into the padded device
+                # copy (the kernel always adds bi; e.g. GD's default
+                # dot+1 predictor needs zeros there)
+                mode = m._predictor_mode('predict') or 'dot_plus_one'
+                _, bi_eff, _, _ = m._pallas_score_terms(mode)
+                Qp, bip = pallas_topk.pad_items_for_pallas(
+                    np.asarray(m.Q, np.float32), bi_eff, 1024)
+                Qd = jnp.asarray(Qp, jnp.bfloat16 if fast else jnp.float32)
+                self._dq = (Qd, jnp.asarray(bip))
+            dq = self._dq
+        return {'use_pallas': True, 'fast': fast, 'device_q': dq}
 
 
 class _Batcher:
@@ -157,7 +194,7 @@ class _Batcher:
         try:
             ids, scores = view.model.recommend_batch(
                 np.asarray(padded, np.int64), nbr_recommendations=n_dev,
-                rated_pad_to=view.rated_pad)
+                rated_pad_to=view.rated_pad, **view.retrieval_kwargs())
             ids, scores = np.asarray(ids), np.asarray(scores)
             for j, s in enumerate(batch):
                 s['items'] = ids[j][:s['n']].tolist()
@@ -226,13 +263,14 @@ class RecommenderServer:
     def __init__(self, model, host='127.0.0.1', port=0,
                  nbr_recommendations=10, batch_window_ms=2.0,
                  max_batch=1024, pad_to=None, submit_timeout_s=600.0,
-                 view_refresh_ms=50.0, warmup=True):
+                 view_refresh_ms=50.0, warmup=True, retrieval='xla'):
         self.model = model
         self.logger = logging.getLogger('mfrec_tpu.serving')
+        self.retrieval = retrieval
         # the write lock guards live-model mutation + view rebuild only;
         # reads go through the immutable view and never take it
         self._write_lock = threading.Lock()
-        self.view = _ServingView(model)
+        self.view = _ServingView(model, retrieval)
         self.view_refresh_s = view_refresh_ms / 1000.0
         self._stale = threading.Event()
         self._closed = False
@@ -355,7 +393,7 @@ class RecommenderServer:
             time.sleep(self.view_refresh_s)     # coalesce write bursts
             with self._write_lock:
                 try:
-                    self.view = _ServingView(self.model)
+                    self.view = _ServingView(self.model, self.retrieval)
                 except Exception:
                     # keep serving the old view, but re-mark stale so
                     # the refresher retries (next iteration sleeps the
@@ -373,7 +411,7 @@ class RecommenderServer:
         while self._stale.is_set() and time.monotonic() < deadline:
             time.sleep(0.01)
         with self._write_lock:
-            self.view = _ServingView(self.model)
+            self.view = _ServingView(self.model, self.retrieval)
 
     def _warmup(self):
         '''Compile the steady-state retrieval shape before taking
@@ -384,7 +422,8 @@ class RecommenderServer:
         users = np.zeros(b.pad_to, np.int64)
         try:
             view.model.recommend_batch(users, nbr_recommendations=b.n,
-                                       rated_pad_to=view.rated_pad)
+                                       rated_pad_to=view.rated_pad,
+                                       **view.retrieval_kwargs())
         except Exception:
             pass            # warmup is best-effort; requests still work
 

@@ -40,8 +40,10 @@ def test_pallas_topn_descending_and_padding_excluded():
 
 
 def test_recommend_batch_pallas_path(small_dataset):
-    '''Model serving path via the Pallas kernel agrees with a brute-force
-    bias predictor INCLUDING rated-item masking (in-kernel since r2).'''
+    '''Model serving path via the Pallas kernel honors the model's
+    predictor mode (GD default: dot + 1.0, gradient_descent.py:621-631)
+    INCLUDING rated-item masking — ids AND scores match both a
+    brute-force predictor and the XLA path.'''
     from mfrec_tpu.models.gd import GDRecommender
     (u, i, v), _ = small_dataset
     U, I = int(u.max()) + 1, int(i.max()) + 1
@@ -53,10 +55,8 @@ def test_recommend_batch_pallas_path(small_dataset):
     users = [0, 5, 11, 17]
     idx, scores = m.recommend_batch(users, 5, use_pallas=True)
     assert idx.shape == (4, 5)
-    # brute-force check against the bias predictor with rated masking
-    bu = m.users_bias; bi = m.items_bias
-    full = (m.overall_bias + bu[np.asarray(users)][:, None]
-            + bi[None, :] + m.P[np.asarray(users)] @ m.Q.T)
+    # brute-force check against GD's default dot+1 predictor w/ masking
+    full = 1.0 + m.P[np.asarray(users)] @ m.Q.T
     for r, uu in enumerate(users):
         full[r, m.ratings.rated_mask_for_user(uu)] = -np.inf
     want = -np.sort(-full, axis=1)[:, :5]
@@ -64,6 +64,31 @@ def test_recommend_batch_pallas_path(small_dataset):
     for r, uu in enumerate(users):
         rated = set(np.nonzero(m.ratings.rated_mask_for_user(uu))[0])
         assert not (set(idx[r].tolist()) & rated)
+    # and the XLA default path agrees (same mode resolution)
+    idx_x, sc_x = m.recommend_batch(users, 5, use_pallas=False)
+    np.testing.assert_array_equal(idx, np.asarray(idx_x))
+    np.testing.assert_allclose(scores, np.asarray(sc_x), atol=1e-3)
+
+
+def test_recommend_batch_pallas_logistic_mode(small_dataset):
+    '''KMF's logistic predictor through the Pallas path: ids match the
+    XLA path exactly (the sigmoid is applied as a monotone host
+    post-map), scores come back through the link.'''
+    from mfrec_tpu.models.kmf import KMFRecommender
+    (u, i, v), _ = small_dataset
+    U, I = int(u.max()) + 1, int(i.max()) + 1
+    m = KMFRecommender(U, I, {'nbr_epochs': 4, 'nbr_features': 6})
+    m.seed(0)
+    m.set_ratings(u, i, v)
+    m.train()
+    users = [1, 3, 7]
+    idx_p, sc_p = m.recommend_batch(users, 5, use_pallas=True)
+    idx_x, sc_x = m.recommend_batch(users, 5, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_x))
+    np.testing.assert_allclose(np.asarray(sc_p), np.asarray(sc_x),
+                               atol=1e-3)
+    lo, hi = float(m.min_rating), float(m.max_rating)
+    assert (sc_p >= lo - 1e-6).all() and (sc_p <= hi + 1e-6).all()
 
 
 # ---------------------------------------------------- fast opt-ins (r4)

@@ -215,3 +215,43 @@ def test_server_oversize_batch_splits_into_warmed_shape():
             assert results[u] == ids[u].tolist()
     finally:
         srv.stop()
+
+
+def test_server_fast_retrieval_mode():
+    '''retrieval='fast' serves through the Pallas bf16 + packed-merge
+    path with a per-view cached device Q: results match the model's own
+    fast recommend_batch, the cache is built once per view, and a /rate
+    write swaps in a fresh view (so the cached Q can never go stale).'''
+    m = _make_model()
+    srv = RecommenderServer(m, batch_window_ms=1.0, retrieval='fast')
+    port = srv.start()
+    try:
+        view0 = srv.view
+        code, rec = _get(port, '/recommend?user=3&n=5')
+        assert code == 200 and len(rec['items']) == 5
+        ids, _ = m.recommend_batch(np.array([3]), nbr_recommendations=5,
+                                   fast=True)
+        assert rec['items'] == np.asarray(ids)[0].tolist()
+        # cache: second request reuses the same device pair
+        dq0 = view0._dq
+        assert dq0 is not None
+        assert str(dq0[0].dtype) == 'bfloat16'
+        _get(port, '/recommend?user=4&n=5')
+        assert view0._dq is dq0
+        # a write rebuilds the view -> new cache object on next read
+        req = urllib.request.Request(
+            'http://127.0.0.1:%d/rate' % port,
+            data=json.dumps({'user': 1, 'item': 2, 'value': 4.0}).encode(),
+            method='POST')
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert json.loads(r.read())['ok']
+        deadline = 50
+        while srv.view is view0 and deadline:
+            import time
+            time.sleep(0.1)
+            deadline -= 1
+        assert srv.view is not view0
+        code, rec2 = _get(port, '/recommend?user=3&n=5')
+        assert code == 200 and len(rec2['items']) == 5
+    finally:
+        srv.stop()

@@ -90,3 +90,23 @@ def test_recommend_batch_sharded_auto(small_dataset):
     for r, uu in enumerate(users):
         rated = set(np.nonzero(m.ratings.rated_mask_for_user(uu))[0])
         assert not (set(ids_sh[r].tolist()) & rated)
+
+
+def test_sharded_pallas_honors_predictor_modes():
+    '''The sharded Pallas sub-path must honor the predictor mode like
+    the sharded XLA path (the kernel's fixed mu+bu+bi+dot form is
+    remapped per mode; logistic ranks on z and post-maps the link).'''
+    import os
+    if jax.default_backend() != 'cpu':
+        return                      # interpret-mode Pallas: CPU mesh only
+    P, Q, bu, bi, ridx, rmask = _setup(seed=5, I=512)
+    for mode in ('dot_plus_one', 'dot', 'bias', 'logistic'):
+        want_i, want_s = sharded_topn(P, Q, bu, bi, 3.1, ridx, rmask, 6,
+                                      block=128, predictor=mode,
+                                      lo=1.0, hi=5.0)
+        got_i, got_s = sharded_topn(P, Q, bu, bi, 3.1, ridx, rmask, 6,
+                                    block=128, predictor=mode,
+                                    lo=1.0, hi=5.0, use_pallas=True)
+        np.testing.assert_array_equal(want_i, got_i, err_msg=mode)
+        np.testing.assert_allclose(want_s, got_s, rtol=1e-4, atol=1e-4,
+                                   err_msg=mode)
