@@ -226,11 +226,11 @@ def test_refresh_loop_retries_after_rebuild_failure(monkeypatch):
         real_view = srv_mod._ServingView
         fails = {'n': 2}
 
-        def flaky(model):
+        def flaky(model, *args, **kwargs):
             if fails['n'] > 0:
                 fails['n'] -= 1
                 raise RuntimeError('transient rebuild failure')
-            return real_view(model)
+            return real_view(model, *args, **kwargs)
 
         monkeypatch.setattr(srv_mod, '_ServingView', flaky)
         old_view = srv.view
