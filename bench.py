@@ -374,9 +374,14 @@ def main():
             # kernel (whole-batch VMEM blocks per g, pipelined ff fetch)
             pallas_group_resident=(
                 os.environ.get('BENCH_GROUP_MODE') == 'resident'),
-            # BENCH_DOTSUM: 'auto' (default on), '1'/'0' force
-            pallas_dot_sum={'auto': None, '1': True, '0': False}[
-                os.environ.get('BENCH_DOTSUM', 'auto')])
+            # BENCH_DOTSUM: 'auto' (default on), '1'/'0' force,
+            # 'split' = per-vreg-group keepdims reduction (k > 128)
+            pallas_dot_sum={'auto': None, '1': True, '0': False,
+                            'split': 'split'}[
+                os.environ.get('BENCH_DOTSUM', 'auto')],
+            # BENCH_GGROUP=G: one ff gather per G batches (grouped
+            # scan steps around per-batch kernel calls); 0 = per-batch
+            pallas_gather_group=int(os.environ.get('BENCH_GGROUP', 0)))
         state = (Paug, Qaug)
 
         def epoch(s):

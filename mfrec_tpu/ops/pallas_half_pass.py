@@ -34,6 +34,37 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _pred_dot2d(fu, ff, k, dot_sum):
+    '''k-lane prediction dot for the all-2D chain: [ch, k] -> [ch, 1].
+
+    dot_sum=True: f32 keepdims lane-reduction (fast when a row fits one
+    128-lane vreg).  dot_sum='split': reduce each 128-lane group with
+    its OWN single-vreg keepdims-sum and add the partials — for k just
+    over a vreg boundary (Netflix rank 128 + 2 aug bias cols = 130
+    lanes) the naive cross-vreg reduction loses to the MXU matvec
+    (interleaved A/B: -6.4%), but per-group reductions avoid the
+    masked cross-vreg tree while keeping f32-exact products.
+    dot_sum=False: bf16 ones-matvec on the MXU (bf16-rounded products,
+    f32 accumulation — accepted deviation, see module docstring).'''
+    if dot_sum == 'split':
+        p = fu * ff
+        dot = p[:, :min(128, k)].sum(axis=1, keepdims=True)
+        for s in range(128, k, 128):
+            dot = dot + p[:, s:min(s + 128, k)].sum(axis=1, keepdims=True)
+        return dot
+    if dot_sum:
+        # keepdims lane-reduction: stays 2D ([ch,k] -> [ch,1], no
+        # squeeze), f32-exact products, and skips the MXU N=1 tile
+        # padding of the ones-matvec (probe: 15.0 vs 19.3 us/sweep)
+        return (fu * ff).sum(axis=1, keepdims=True)
+    # the k-dim reduction rides the MXU as a bf16 ones-matvec and the
+    # result STAYS [ch, 1] (no squeeze)
+    return jax.lax.dot_general(
+        (fu * ff).astype(jnp.bfloat16), jnp.ones((k, 1), jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
 def _kernel(W, lo_r, hi_r, clamp_pred, row_mean, bias_none, cache_onehot,
             link, all2d, dot_sum, mu_ref, win_ref, ff_ref, r_ref, m_ref,
             kl_ref, lrv_ref, regv_ref, out_ref, sse_ref, acc_ref, win_scr,
@@ -94,20 +125,8 @@ def _kernel(W, lo_r, hi_r, clamp_pred, row_mean, bias_none, cache_onehot,
         onehot, win_scr[:].astype(jnp.bfloat16),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)            # [ch, k]
-    if all2d and dot_sum:
-        # keepdims lane-reduction: stays 2D ([ch,k] -> [ch,1], no
-        # squeeze), f32-exact products, and skips the MXU N=1 tile
-        # padding of the ones-matvec (probe: 15.0 vs 19.3 us/sweep)
-        dot = (fu * ff).sum(axis=1, keepdims=True)     # [ch, 1]
-    elif all2d:
-        # the k-dim reduction rides the MXU as a bf16 ones-matvec and the
-        # result STAYS [ch, 1] (no squeeze).  bf16-rounding the products
-        # before the f32-accumulated matmul is the same accepted
-        # deviation class as the bf16 window read above.
-        dot = jax.lax.dot_general(
-            (fu * ff).astype(jnp.bfloat16), jnp.ones((k, 1), jnp.bfloat16),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)        # [ch, 1]
+    if all2d:
+        dot = _pred_dot2d(fu, ff, k, dot_sum)          # [ch, 1]
     else:
         dot = (fu * ff).sum(-1)                        # [ch]
     if link == 'logistic':
@@ -210,16 +229,8 @@ def _kernel_resident(W, nj, lo_r, hi_r, clamp_pred, row_mean, bias_none,
             onehot, winb,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        if all2d and dot_sum:
-            dot = (fu * ff).sum(axis=1, keepdims=True)   # see _kernel
-        elif all2d:
-            # see _kernel: the k-dim reduction stays [ch, 1] via a bf16
-            # ones-matvec — no 1D intermediate, no vreg relayout
-            dot = jax.lax.dot_general(
-                (fu * ff).astype(jnp.bfloat16),
-                jnp.ones((k, 1), jnp.bfloat16),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+        if all2d:
+            dot = _pred_dot2d(fu, ff, k, dot_sum)        # see _kernel
         else:
             dot = (fu * ff).sum(-1)
         if link == 'logistic':
@@ -480,14 +491,7 @@ def _kernel_group(W, k, lo_r, hi_r, clamp_pred, row_mean, bias_none,
         onehot, win_scr[:].astype(jnp.bfloat16),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)            # [ch, k]
-    if dot_sum:
-        dot = (fu * ff).sum(axis=1, keepdims=True)     # see _kernel
-    else:
-        dot = jax.lax.dot_general(
-            (fu * ff).astype(jnp.bfloat16),
-            jnp.ones((k, 1), jnp.bfloat16),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)        # [ch, 1]
+    dot = _pred_dot2d(fu, ff, k, dot_sum)              # [ch, 1]
     if link == 'logistic':
         rng_w = hi_r - lo_r
         sig = jax.nn.sigmoid(dot)
@@ -603,14 +607,7 @@ def _kernel_group_resident(W, nj, lo_r, hi_r, clamp_pred, row_mean,
             onehot, winb,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        if dot_sum:
-            dot = (fu * ff).sum(axis=1, keepdims=True)     # see _kernel
-        else:
-            dot = jax.lax.dot_general(
-                (fu * ff).astype(jnp.bfloat16),
-                jnp.ones((k, 1), jnp.bfloat16),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+        dot = _pred_dot2d(fu, ff, k, dot_sum)              # see _kernel
         if link == 'logistic':
             rng_w = hi_r - lo_r
             sig = jax.nn.sigmoid(dot)

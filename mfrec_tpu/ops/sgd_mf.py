@@ -457,7 +457,7 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
                            link='identity', K_u=None, K_i=None,
                            pallas_cache_onehot=None, pallas_all2d=None,
                            pallas_group=0, pallas_group_resident=False,
-                           pallas_dot_sum=None,
+                           pallas_dot_sum=None, pallas_gather_group=0,
                            pallas_interpret=False, probe_ff=None):
     '''Build a jitted scatter-free epoch over *augmented* factors: a P
     half-pass over the user-sorted stream (Q fixed), then a Q half-pass
@@ -617,6 +617,77 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
         padded = tuple(jnp.pad(a, ((0, 0), (0, pad))) for a in arrays)
         return (c,) + padded
 
+    def fused_batch(F_upd, sse, ff, r, m, kl, lo, lrv, regv, mu, W):
+        '''One fused sorted-window batch: window slice -> Pallas kernel
+        -> window unslice (shared by the per-batch scan and the
+        grouped-gather scan).'''
+        from mfrec_tpu.ops.pallas_half_pass import half_pass_batch
+        win = jax.lax.dynamic_slice_in_dim(F_upd, lo, W, 0)
+        c, ffp, rp, mp, klp = pad_to_chunk(r.shape[0], ff, r, m, kl)
+        if pallas_dot_sum is None:
+            # auto: the f32 keepdims lane-reduction beats the bf16
+            # ones-matvec when a row fits ONE vreg (k <= 128 lanes):
+            # rank-64 epoch A/B 0.3687 -> 0.3415 (+8.0%), but Netflix
+            # rank 128 (k=130, 2 vregs/row) 4.863 -> 5.176 (-6.4%) —
+            # the cross-vreg reduction loses to the MXU matvec
+            dsum = F_upd.shape[1] <= 128
+        else:
+            dsum = pallas_dot_sum
+        win_out, sse_b = half_pass_batch(
+            win, ffp, rp, mp, klp, lrv, regv, mu, W,
+            chunk=c, clamp_pred=clamp_pred,
+            lo_r=lo_r, hi_r=hi_r, row_mean=row_mean,
+            bias_none=(bias_mode == 'none'),
+            inner_steps=inner_steps,
+            resident=pallas_resident,
+            cache_onehot=pallas_cache_onehot,
+            link=link, all2d=pallas_all2d,
+            dot_sum=dsum, interpret=pallas_interpret)
+        F_upd = jax.lax.dynamic_update_slice_in_dim(F_upd, win_out, lo, 0)
+        return F_upd, sse + sse_b
+
+    def half_pass_gather_grouped(F_upd, F_fix, mu, batches, W,
+                                 upd_is_user):
+        '''Scan over groups of G batches with ONE fixed-side row gather
+        per group (G*B rows in one op) feeding G per-batch fused kernel
+        calls — amortizes the gather-op dispatch component of the
+        per-batch fixed cost (~15 of the 49 us/batch gather cost,
+        AB=fixed_decomp) and the scan-step overhead G-fold, without
+        touching the kernel grid (the batch-group KERNEL is a measured
+        negative — ROADMAP r4).'''
+        G = int(pallas_gather_group)
+        if ff_dtype == 'bfloat16':
+            F_fix = F_fix.astype(jnp.bfloat16)
+        u, i, r, m, kl, lo = batches
+        nb, B = r.shape
+        pad = -nb % G
+        if pad:
+            # mask-0 filler batches: row/window 0 are valid addresses,
+            # zero masks contribute nothing (cnt=0 rows are skipped)
+            zb = lambda a: jnp.pad(a, ((0, pad),) + ((0, 0),) *
+                                   (a.ndim - 1))
+            u, i, r, m, kl = zb(u), zb(i), zb(r), zb(m), zb(kl)
+            lo = jnp.pad(lo, (0, pad))
+        fix = i if upd_is_user else u
+        lrv, regv = col_vectors(F_upd.shape[1] - 2, upd_is_user)
+        grp = lambda a: a.reshape(-1, G, a.shape[-1]) if a.ndim == 2 \
+            else a.reshape(-1, G)
+
+        def gstep(carry, gbatch):
+            F_upd, sse = carry
+            fixg, rg, mg, klg, log = gbatch
+            ffg = F_fix[fixg.reshape(-1)].reshape(G, B, -1)  # one gather
+            for g in range(G):
+                F_upd, sse = fused_batch(F_upd, sse, ffg[g], rg[g],
+                                         mg[g], klg[g], log[g], lrv,
+                                         regv, mu, W)
+            return (F_upd, sse), None
+
+        (F_upd, sse), _ = jax.lax.scan(
+            gstep, (F_upd, jnp.zeros((), F_upd.dtype)),
+            (grp(fix), grp(r), grp(m), grp(kl), grp(lo)))
+        return F_upd, sse
+
     def half_pass(F_upd, F_fix, mu, batches, W, upd_is_user):
         kdim = None
         if use_pallas_full and ff_dtype == 'bfloat16':
@@ -655,35 +726,13 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
             else:
                 ff = F_fix[fix_rows]
             lrv, regv = col_vectors(F_upd.shape[1] - 2, upd_is_user)
-            win = jax.lax.dynamic_slice_in_dim(F_upd, lo, W, 0)
             if use_pallas_full:
                 # fully fused Pallas batch step: fu gather, prediction,
                 # gradients, aggregation and the window update all in VMEM
-                from mfrec_tpu.ops.pallas_half_pass import half_pass_batch
-                c, ffp, rp, mp, klp = pad_to_chunk(r.shape[0], ff, r, m, kl)
-                if pallas_dot_sum is None:
-                    # auto: the f32 keepdims lane-reduction beats the
-                    # bf16 ones-matvec when a row fits ONE vreg
-                    # (k <= 128 lanes): rank-64 epoch A/B 0.3687 ->
-                    # 0.3415 (+8.0%), but Netflix rank 128 (k=130,
-                    # 2 vregs/row) 4.863 -> 5.176 (-6.4%) — the
-                    # cross-vreg reduction loses to the MXU matvec
-                    dsum = F_upd.shape[1] <= 128
-                else:
-                    dsum = pallas_dot_sum
-                win_out, sse_b = half_pass_batch(
-                    win, ffp, rp, mp, klp, lrv, regv, mu, W,
-                    chunk=c, clamp_pred=clamp_pred,
-                    lo_r=lo_r, hi_r=hi_r, row_mean=row_mean,
-                    bias_none=(bias_mode == 'none'),
-                    inner_steps=inner_steps,
-                    resident=pallas_resident,
-                    cache_onehot=pallas_cache_onehot,
-                    link=link, all2d=pallas_all2d,
-                    dot_sum=dsum, interpret=pallas_interpret)
-                F_upd = jax.lax.dynamic_update_slice_in_dim(
-                    F_upd, win_out, lo, 0)
-                return (F_upd, sse + sse_b), None
+                F_upd, sse = fused_batch(F_upd, sse, ff, r, m, kl, lo,
+                                         lrv, regv, mu, W)
+                return (F_upd, sse), None
+            win = jax.lax.dynamic_slice_in_dim(F_upd, lo, W, 0)
             c, klp, mp, rp, ffp = pad_to_chunk(kl.shape[0], kl, m, r, ff)
             B = klp.shape[0]
             kc = klp.reshape(B // c, c)
@@ -737,8 +786,12 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
             step, (F_upd, jnp.zeros((), F_upd.dtype)), batches)
         return F_upd, sse
 
-    hp = half_pass_grouped if (use_pallas_full and pallas_group) \
-        else half_pass
+    if use_pallas_full and pallas_group:
+        hp = half_pass_grouped
+    elif use_pallas_full and int(pallas_gather_group) > 1:
+        hp = half_pass_gather_grouped
+    else:
+        hp = half_pass
 
     def epoch_fn(Paug, Qaug, mu, p_layout, q_layout):
         # epoch RMSE pools BOTH half-passes so the convergence rule sees

@@ -3,6 +3,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from mfrec_tpu.ops import sgd_mf
 from mfrec_tpu.ops.pallas_half_pass import half_pass_batch
 
 
@@ -453,3 +454,71 @@ def test_alternating_epoch_grouped_matches_scanned():
     np.testing.assert_allclose(np.asarray(Qgr), np.asarray(Qg),
                                atol=1e-6, rtol=1e-6)
     assert abs(float(rgr) - float(rg)) < 1e-4
+
+
+def test_half_pass_dot_split_matches_sum():
+    '''dot_sum='split' (per-128-lane-group keepdims reductions) must be
+    numerically identical to the plain f32 keepdims-sum at a width that
+    spans two vregs (k=130 = Netflix rank 128 + 2 aug bias columns).'''
+    rng = np.random.default_rng(13)
+    B, k, W, T = 256, 130, 16, 2
+    window = rng.normal(0, 0.3, (W, k)).astype(np.float32)
+    ff = rng.normal(0, 0.3, (B, k)).astype(np.float32)
+    r = rng.uniform(1, 5, B).astype(np.float32)
+    m = (rng.random(B) > 0.1).astype(np.float32)
+    kl = np.sort(rng.integers(0, W, B)).astype(np.int32)
+    lrv = np.full(k, 0.1, np.float32); lrv[-1] = 0.0
+    regv = np.full(k, 0.02, np.float32); regv[-1] = 0.0
+    outs = {}
+    for ds in (True, 'split'):
+        o, s = half_pass_batch(
+            jnp.asarray(window), jnp.asarray(ff), jnp.asarray(r),
+            jnp.asarray(m), jnp.asarray(kl), jnp.asarray(lrv),
+            jnp.asarray(regv), 3.4, W, chunk=128, interpret=True,
+            inner_steps=T, cache_onehot=True, all2d=True, dot_sum=ds)
+        outs[ds] = (np.asarray(o), float(s))
+    np.testing.assert_array_equal(outs['split'][0], outs[True][0])
+    assert outs['split'][1] == outs[True][1]
+    # resident twin
+    for ds in (True, 'split'):
+        o, s = half_pass_batch(
+            jnp.asarray(window), jnp.asarray(ff), jnp.asarray(r),
+            jnp.asarray(m), jnp.asarray(kl), jnp.asarray(lrv),
+            jnp.asarray(regv), 3.4, W, chunk=128, interpret=True,
+            inner_steps=T, resident=True, all2d=True, dot_sum=ds)
+        outs[ds] = (np.asarray(o), float(s))
+    np.testing.assert_array_equal(outs['split'][0], outs[True][0])
+
+
+def test_alternating_epoch_gather_grouped_matches_per_batch():
+    '''pallas_gather_group=G (one fixed-side gather per G batches around
+    per-batch kernel calls) must be BIT-identical to the per-batch scan:
+    same kernels, same order — only the gather/scan grouping changes.
+    G=3 does not divide the batch count -> exercises filler batches.'''
+    rng = np.random.default_rng(17)
+    U, I, N = 150, 90, 4000
+    users = rng.integers(0, U, N).astype(np.int32)
+    items = rng.integers(0, I, N).astype(np.int32)
+    vals = rng.uniform(1, 5, N).astype(np.float32)
+    pl_ = sgd_mf.sorted_pass_layout(users, items, vals, 256, axis='user',
+                                    max_window=32)
+    ql_ = sgd_mf.sorted_pass_layout(users, items, vals, 256, axis='item',
+                                    max_window=32)
+    W_user, W_item = pl_[-1], ql_[-1]
+    p_layout = tuple(jnp.asarray(x) for x in pl_[:-1])
+    q_layout = tuple(jnp.asarray(x) for x in ql_[:-1])
+    st = sgd_mf.init_state(U + W_user, I + W_item, 6, feature_init=0.05,
+                           mode='normal')
+    Paug, Qaug = sgd_mf.augment_factors(
+        st.P, st.Q, jnp.zeros(U + W_user), jnp.zeros(I + W_item))
+    mu = jnp.float32(vals.mean())
+    kw = dict(lr=0.1, K=0.02, bias_mode='fixed', chunk=128, donate=False,
+              inner_steps=2, use_pallas_full=True, pallas_interpret=True)
+    ep_pb = sgd_mf.make_alternating_epoch(W_user, W_item, **kw)
+    ep_gg = sgd_mf.make_alternating_epoch(W_user, W_item,
+                                          pallas_gather_group=3, **kw)
+    Pp, Qp, rp = ep_pb(Paug, Qaug, mu, p_layout, q_layout)
+    Pg, Qg, rg = ep_gg(Paug, Qaug, mu, p_layout, q_layout)
+    np.testing.assert_array_equal(np.asarray(Pg), np.asarray(Pp))
+    np.testing.assert_array_equal(np.asarray(Qg), np.asarray(Qp))
+    assert float(rg) == float(rp)

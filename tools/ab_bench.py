@@ -25,7 +25,8 @@ INNER = 4
 
 def build(window, batch, locality_sort, inner=INNER, chunk=4096,
           resident=False, ff_dtype=None, cache_onehot=False, all2d=False,
-          group=0, dot_sum=False, group_resident=False, probe_ff=None):
+          group=0, dot_sum=False, group_resident=False, probe_ff=None,
+          gather_group=0):
     pl_ = sgd_mf.sorted_pass_layout(users, items, vals, batch, axis='user',
                                     max_window=window,
                                     locality_sort=locality_sort)
@@ -46,7 +47,8 @@ def build(window, batch, locality_sort, inner=INNER, chunk=4096,
         pallas_resident=resident, ff_dtype=ff_dtype,
         pallas_cache_onehot=cache_onehot, pallas_all2d=all2d,
         pallas_group=group, pallas_dot_sum=dot_sum,
-        pallas_group_resident=group_resident, probe_ff=probe_ff)
+        pallas_group_resident=group_resident, probe_ff=probe_ff,
+        pallas_gather_group=gather_group)
     return ep, (Paug, Qaug), p_layout, q_layout
 
 
@@ -201,6 +203,42 @@ if __name__ == '__main__':
            'sumk',
            (128, BATCH // 2, False, 8, 8192, False, 'bfloat16', True, True,
             0, True),
+           blocks=3)
+    elif mode == 'ggroup':
+        # grouped ff gather: ONE gather op per G batches feeding G
+        # per-batch fused kernel calls — attacks the ~15 us/batch
+        # gather-op dispatch + scan-step overhead (AB=fixed_decomp)
+        # without the batch-group KERNEL's slow grid (definitive
+        # negative, ROADMAP r4)
+        print('--- A/B: per-batch gather vs gather-group G=8 '
+              '(T=8, chunk=8k, bf16 ff, dot_sum)')
+        ab('per-batch',
+           (128, BATCH // 2, False, 8, 8192, False, 'bfloat16', True, True,
+            0, True),
+           'ggroup8',
+           (128, BATCH // 2, False, 8, 8192, False, 'bfloat16', True, True,
+            0, True, False, None, 8))
+    elif mode == 'ggroup_g':
+        print('--- A/B: gather-group G=4 vs G=16 (T=8, chunk=8k, '
+              'bf16 ff, dot_sum)')
+        ab('ggroup4',
+           (128, BATCH // 2, False, 8, 8192, False, 'bfloat16', True, True,
+            0, True, False, None, 4),
+           'ggroup16',
+           (128, BATCH // 2, False, 8, 8192, False, 'bfloat16', True, True,
+            0, True, False, None, 16))
+    elif mode == 'netflix_dotsplit':
+        # rank 128 + 2 aug cols = 130 lanes: the naive keepdims-sum
+        # loses to the matvec (-6.4%, netflix_dotsum), but a per-vreg
+        # split reduction (128-lane group + 2-lane tail) avoids the
+        # masked cross-vreg tree — re-decide the dot at Netflix shape
+        print('--- Netflix r128 A/B: matvec dot vs SPLIT keepdims-sum '
+              '(T=8, chunk=8k, bf16 ff)')
+        ab('matvec',
+           (128, BATCH // 2, False, 8, 8192, False, 'bfloat16', True, True),
+           'split',
+           (128, BATCH // 2, False, 8, 8192, False, 'bfloat16', True, True,
+            0, 'split'),
            blocks=3)
     elif mode == 't16':
         # marginal sweep is now ~15 us (all2d+dot_sum): re-check whether
