@@ -243,7 +243,10 @@ def main():
         return bench_als(U, I, users, items)
 
     floor, bu_fit, bi_fit = bias_floor_rmse(users, items, vals, U, I)
-    inner = int(os.environ.get('BENCH_INNER', 8))
+    # T=16 adopted r4 (AB=t16 / AB=netflix_t16, both interleaved): +19%
+    # updates/s at ML-10M rank 64 (0.572 s/epoch, RMSE 0.339 vs 0.469)
+    # and +27% at Netflix rank 128 (7.64 s for 16 sweeps vs 4.86 for 8)
+    inner = int(os.environ.get('BENCH_INNER', 16))
 
     if mode == 'implicit':
         # SVD++ at sorted-window speed (alternating implicit tier).
@@ -297,6 +300,9 @@ def main():
         # measures the flagship path with the sigmoid chain hooked in.
         # Biases ride the augmented columns and train (KMF convention);
         # quality gate is the same planted-structure floor.
+        # (stays at T=8: the logistic link's quality at T=16 is
+        # unmeasured; only the identity-link tiers adopted T=16 in r4)
+        inner = int(os.environ.get('BENCH_INNER', 8))
         W = int(os.environ.get('BENCH_WINDOW', 128))
         pl_ = sgd_mf.sorted_pass_layout(users, items, vals, batch,
                                         axis='user', max_window=W)

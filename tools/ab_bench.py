@@ -227,6 +227,17 @@ if __name__ == '__main__':
            'ggroup16',
            (128, BATCH // 2, False, 8, 8192, False, 'bfloat16', True, True,
             0, True, False, None, 16))
+    elif mode == 'netflix_t16':
+        # T=16 wins +19% updates/s at ML-10M rank 64 (AB=t16 + the
+        # BENCH_INNER=16 bench: 0.572 s/epoch, RMSE 0.339) — re-decide
+        # at Netflix rank 128 where the marginal sweep is ~2x wider
+        print('--- Netflix r128 A/B: T=8 vs T=16 (all2d+matvec dot, '
+              'chunk=8k, bf16 ff)')
+        ab('t8',
+           (128, BATCH // 2, False, 8, 8192, False, 'bfloat16', True, True),
+           't16',
+           (128, BATCH // 2, False, 16, 8192, False, 'bfloat16', True, True),
+           blocks=3)
     elif mode == 'netflix_dotsplit':
         # rank 128 + 2 aug cols = 130 lanes: the naive keepdims-sum
         # loses to the matvec (-6.4%, netflix_dotsum), but a per-vreg
