@@ -243,10 +243,13 @@ def main():
         return bench_als(U, I, users, items)
 
     floor, bu_fit, bi_fit = bias_floor_rmse(users, items, vals, U, I)
-    # T=16 adopted r4 (AB=t16 / AB=netflix_t16, both interleaved): +19%
-    # updates/s at ML-10M rank 64 (0.572 s/epoch, RMSE 0.339 vs 0.469)
-    # and +27% at Netflix rank 128 (7.64 s for 16 sweeps vs 4.86 for 8)
-    inner = int(os.environ.get('BENCH_INNER', 16))
+    # T ladder climbed r4 by interleaved A/B (AB=t16/t32/netflix_t16/
+    # netflix_t32): at ML-10M rank 64, T=16 is +19% updates/s over 8
+    # and T=32 +10.6% over 16 (1.039 s/epoch = 1.97e10 = 533×) with
+    # per-epoch RMSE improving monotonically (0.469 → 0.339 → 0.311);
+    # marginal sweep cost rises with T (24 → 29 µs/batch), so 32 is
+    # near the rate optimum
+    inner = int(os.environ.get('BENCH_INNER', 32))
 
     if mode == 'implicit':
         # SVD++ at sorted-window speed (alternating implicit tier).

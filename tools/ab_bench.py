@@ -227,6 +227,27 @@ if __name__ == '__main__':
            'ggroup16',
            (128, BATCH // 2, False, 8, 8192, False, 'bfloat16', True, True,
             0, True, False, None, 16))
+    elif mode == 't32':
+        # T=16 adopted (+19%); sweeps past 8 cost ~24 us/batch — check
+        # whether 32 keeps amortizing (quality via BENCH_INNER=32)
+        print('--- A/B: T=16 vs T=32 (all2d+dot_sum, chunk=8k, bf16 ff)')
+        ab('t16',
+           (128, BATCH // 2, False, 16, 8192, False, 'bfloat16', True, True,
+            0, True),
+           't32',
+           (128, BATCH // 2, False, 32, 8192, False, 'bfloat16', True, True,
+            0, True),
+           blocks=3)
+    elif mode == 'netflix_t32':
+        # T=32 wins at ML-10M (+10.6%, RMSE 0.311): re-decide at
+        # Netflix rank 128 (quality via BENCH_MODE=netflix BENCH_INNER=32)
+        print('--- Netflix r128 A/B: T=16 vs T=32 (all2d+matvec dot, '
+              'chunk=8k, bf16 ff)')
+        ab('t16',
+           (128, BATCH // 2, False, 16, 8192, False, 'bfloat16', True, True),
+           't32',
+           (128, BATCH // 2, False, 32, 8192, False, 'bfloat16', True, True),
+           blocks=3)
     elif mode == 'netflix_t16':
         # T=16 wins +19% updates/s at ML-10M rank 64 (AB=t16 + the
         # BENCH_INNER=16 bench: 0.572 s/epoch, RMSE 0.339) — re-decide
