@@ -238,6 +238,17 @@ if __name__ == '__main__':
            (128, BATCH // 2, False, 32, 8192, False, 'bfloat16', True, True,
             0, True),
            blocks=3)
+    elif mode == 't64':
+        # definitive stop-evidence for the T ladder: marginal sweep
+        # cost rises with T (24 -> 29 us/batch), so 64 projects ~flat
+        print('--- A/B: T=32 vs T=64 (all2d+dot_sum, chunk=8k, bf16 ff)')
+        ab('t32',
+           (128, BATCH // 2, False, 32, 8192, False, 'bfloat16', True, True,
+            0, True),
+           't64',
+           (128, BATCH // 2, False, 64, 8192, False, 'bfloat16', True, True,
+            0, True),
+           blocks=3)
     elif mode == 'netflix_t32':
         # T=32 wins at ML-10M (+10.6%, RMSE 0.311): re-decide at
         # Netflix rank 128 (quality via BENCH_MODE=netflix BENCH_INNER=32)
