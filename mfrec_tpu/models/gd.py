@@ -89,15 +89,16 @@ class GDRecommender(MFRecommender):
         # match the measured headline, as the reference's default train()
         # IS its fastest path, gradient_descent.py:545).  batch_size and
         # inner_steps are the interleaved-A/B-tuned headline values
-        # (W=128/batch=16k/chunk=8k/T=32, see ARCHITECTURE.md; the T
+        # (W=128/batch=16k/chunk=8k/T=64, see ARCHITECTURE.md; the T
         # ladder was climbed r4 by interleaved A/B at each step — T=16
-        # +19% updates/s over 8, T=32 +10.6% over 16, per-epoch RMSE
-        # improving monotonically (0.469 → 0.339 → 0.311 on the bench's
-        # planted structure); the marginal sweep cost rises with T
-        # (24 → 29 µs/batch), so 32 is near the rate optimum).
+        # +19% updates/s over 8, T=32 +10.6%, T=64 +5.5% — with
+        # per-epoch RMSE improving monotonically at every step
+        # (0.469 → 0.339 → 0.311 → 0.300 on the bench's planted
+        # structure); the marginal sweep cost flattens at ~29 µs/batch,
+        # and 64 in-VMEM sweeps still beat re-streaming the epoch).
         self.engine = 'auto'
         self.batch_size = 16384
-        self.inner_steps = 32            # alternating: grad iters / batch
+        self.inner_steps = 64            # alternating: grad iters / batch
         self.n_slices = 1                # alternating_sharded: DCN slices
 
         if parameters:
