@@ -252,8 +252,8 @@ def main():
     # netflix_t16/netflix_t32): at ML-10M rank 64, T=16 is +19%
     # updates/s over 8, T=32 +10.6%, T=64 +5.5% (1.972 s/epoch =
     # 2.08e10 = 561×) with per-epoch RMSE improving monotonically
-    # (0.469 → 0.339 → 0.311 → 0.300); marginal sweep cost flattens
-    # at ~29 µs/batch
+    # (0.469 → 0.339 → 0.311 → 0.300); the marginal sweep is a
+    # constant ~24 µs/batch — T=64 is at 95% of the dispatch asymptote
     inner = int(os.environ.get('BENCH_INNER', 64))
 
     if mode == 'implicit':

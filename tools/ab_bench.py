@@ -239,8 +239,8 @@ if __name__ == '__main__':
             0, True),
            blocks=3)
     elif mode == 't64':
-        # definitive stop-evidence for the T ladder: marginal sweep
-        # cost rises with T (24 -> 29 us/batch), so 64 projects ~flat
+        # definitive stop-evidence for the T ladder (measured: still
+        # +5.5% — the marginal sweep is constant ~24 us/batch)
         print('--- A/B: T=32 vs T=64 (all2d+dot_sum, chunk=8k, bf16 ff)')
         ab('t32',
            (128, BATCH // 2, False, 32, 8192, False, 'bfloat16', True, True,
