@@ -237,11 +237,10 @@ def main():
         U, I, N, K = 480_189, 17_770, 100_000_000, 128
         config = 'netflix100m_rank128'
         mode = 'alternating'
-        # Netflix stays at its MEASURED operating point T=32 (13.21 s =
-        # 3.10e10 = 838×, RMSE 0.324; AB=netflix_t32 +15.7% over 16) —
-        # T=64 is unmeasured at this shape, so the default doesn't
-        # follow the ML-10M ladder past it
-        os.environ.setdefault('BENCH_INNER', '32')
+        # Netflix rides the same T=64 default: AB=netflix_t64 measured
+        # +8.5% over 32 (24.349 vs 13.213 interleaved) at RMSE 0.318 <
+        # 0.324 — 24.35 s/epoch = 3.36e10 updates/s (909×).  Marginal
+        # sweep constant ~28.5 µs/batch; T=64 is 91% of that asymptote
     users, items, vals = make_data(U, I, N)
 
     if mode == 'als':

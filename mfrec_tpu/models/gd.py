@@ -96,7 +96,11 @@ class GDRecommender(MFRecommender):
         # (0.469 → 0.339 → 0.311 → 0.300 on the bench's planted
         # structure); the marginal sweep is a constant ~24 µs/batch, and
         # T=64 runs at 95% of the dispatch asymptote — further
-        # doublings buy <3%).
+        # doublings buy <3%.  The sweep count is tuned JOINTLY with
+        # batch_size/learning_rate: each inner sweep re-iterates the
+        # same resident window, so if you shrink batch_size or raise
+        # learning_rate well past the tuned point, reduce inner_steps
+        # too or the per-window iteration can overshoot).
         self.engine = 'auto'
         self.batch_size = 16384
         self.inner_steps = 64            # alternating: grad iters / batch

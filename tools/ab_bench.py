@@ -249,6 +249,17 @@ if __name__ == '__main__':
            (128, BATCH // 2, False, 64, 8192, False, 'bfloat16', True, True,
             0, True),
            blocks=3)
+    elif mode == 'netflix_t64':
+        # close the ladder at Netflix shape too (ML-10M T=64 is +5.5%
+        # and the marginal sweep is constant ~24 us/batch there;
+        # quality via BENCH_MODE=netflix BENCH_INNER=64)
+        print('--- Netflix r128 A/B: T=32 vs T=64 (all2d+matvec dot, '
+              'chunk=8k, bf16 ff)')
+        ab('t32',
+           (128, BATCH // 2, False, 32, 8192, False, 'bfloat16', True, True),
+           't64',
+           (128, BATCH // 2, False, 64, 8192, False, 'bfloat16', True, True),
+           blocks=3)
     elif mode == 'netflix_t32':
         # T=32 wins at ML-10M (+10.6%, RMSE 0.311): re-decide at
         # Netflix rank 128 (quality via BENCH_MODE=netflix BENCH_INNER=32)
