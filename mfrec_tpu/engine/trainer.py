@@ -49,3 +49,120 @@ class ConvergenceDriver:
             self.history.append(rmse)
             epoch += 1
         return state
+
+
+class ResilientDriver(ConvergenceDriver):
+    '''Failure-detecting, self-recovering epoch loop.
+
+    The reference has no failure detection at all (SURVEY §5: bare
+    ``try/except`` swallowing, ``base.py:249-255``) and the survey scoped
+    it to "rely on checkpoint/resume".  This driver goes further: a
+    failed epoch — non-finite RMSE, or RMSE blowing past
+    ``blowup_factor`` x the best seen — is detected, the factor state is
+    rolled back to the last good snapshot, the epoch function is rebuilt
+    at a backed-off learning rate, and training resumes.  With
+    ``checkpoint_dir`` set, snapshots also go to disk (orbax-style), so
+    a killed process resumes from the last good epoch instead of epoch 0.
+
+    ``run(epoch_factory, state)``: ``epoch_factory(lr_scale)`` returns an
+    ``epoch_fn(state) -> (state, rmse)``; it is re-invoked with a smaller
+    ``lr_scale`` after each recovery (a deterministic diverging epoch
+    replayed unchanged would diverge again).
+    '''
+
+    def __init__(self, min_epochs, max_epochs, min_improvement,
+                 snapshot_every=5, blowup_factor=4.0, backoff=0.5,
+                 max_retries=2, checkpoint_dir=None, state_guard=None):
+        super().__init__(min_epochs, max_epochs, min_improvement,
+                         nan_guard=False)
+        self.snapshot_every = max(1, int(snapshot_every))
+        self.blowup_factor = float(blowup_factor)
+        self.backoff = float(backoff)
+        self.max_retries = int(max_retries)
+        self.checkpoint_dir = checkpoint_dir
+        # RMSE alone cannot catch clamped-prediction divergence: the
+        # error stays bounded by the rating range while the factors blow
+        # through f32 overflow, so by the time NaN reaches the RMSE the
+        # snapshots are already poisoned.  state_guard(state) -> bool
+        # inspects the state itself (finite + bounded magnitude).
+        self.state_guard = state_guard
+        self.recoveries = 0
+        self.lr_scale = 1.0
+
+    # -- snapshotting -----------------------------------------------------
+    def _host_copy(self, state):
+        import jax
+        import numpy as np
+        return jax.tree.map(np.array, state)
+
+    def _persist(self, state, epoch):
+        if self.checkpoint_dir is None:
+            return
+        from mfrec_tpu.engine.checkpoint import save_state_orbax
+        save_state_orbax(self.checkpoint_dir,
+                         {'state': state, 'epoch': epoch,
+                          'history': list(self.history),
+                          'lr_scale': self.lr_scale})
+
+    def load_snapshot(self, like=None):
+        '''Resume support: the last persisted {state, epoch, history,
+        lr_scale} dict, or None if nothing was persisted.'''
+        if self.checkpoint_dir is None:
+            return None
+        import os
+        from mfrec_tpu.engine.checkpoint import load_state_orbax
+        if not os.path.exists(self.checkpoint_dir):
+            return None
+        return load_state_orbax(self.checkpoint_dir, like=like)
+
+    def _failed(self, rmse, best):
+        import math
+        if not math.isfinite(rmse):
+            return True
+        return (best is not None
+                and rmse > self.blowup_factor * max(best, 1e-6))
+
+    def run(self, epoch_factory, state):
+        '''Train to convergence with rollback recovery; returns the
+        final state.  ``self.recoveries`` counts rollbacks taken,
+        ``self.lr_scale`` the final learning-rate scale.'''
+        epoch_fn = epoch_factory(self.lr_scale)
+        good_state = self._host_copy(state)
+        good_epoch = 0
+        good_hist_len = 0
+        rmse, rmse_last = 2.0, 2.0
+        best = None
+        epoch = 0
+        while (epoch < self.min_epochs
+               or rmse <= rmse_last - self.min_improvement):
+            if epoch >= self.max_epochs:
+                break
+            rmse_last = rmse
+            state, rmse_dev = epoch_fn(state)
+            rmse = float(rmse_dev)
+            if (self._failed(rmse, best)
+                    or (self.state_guard is not None
+                        and not self.state_guard(state))):
+                if self.recoveries >= self.max_retries:
+                    raise FloatingPointError(
+                        'training diverged: rmse=%r at epoch %d and the '
+                        '%d recovery attempts are exhausted'
+                        % (rmse, epoch, self.max_retries))
+                self.recoveries += 1
+                self.lr_scale *= self.backoff
+                epoch_fn = epoch_factory(self.lr_scale)
+                state = good_state
+                del self.history[good_hist_len:]
+                epoch = good_epoch
+                rmse = self.history[-1] if self.history else 2.0
+                rmse_last = rmse + 2.0 * self.min_improvement + 1.0
+                continue
+            self.history.append(rmse)
+            best = rmse if best is None else min(best, rmse)
+            epoch += 1
+            if epoch % self.snapshot_every == 0:
+                good_state = self._host_copy(state)
+                good_epoch = epoch
+                good_hist_len = len(self.history)
+                self._persist(good_state, epoch)
+        return state

@@ -39,7 +39,7 @@ from mfrec_tpu.models.base import DefaultRate, Error
 from mfrec_tpu.models.mf import MFRecommender
 from mfrec_tpu.ops import sgd_mf
 from mfrec_tpu.ops import similarity as sim_ops
-from mfrec_tpu.engine.trainer import ConvergenceDriver
+from mfrec_tpu.engine.trainer import ConvergenceDriver, ResilientDriver
 
 
 class GDRecommender(MFRecommender):
@@ -60,7 +60,11 @@ class GDRecommender(MFRecommender):
                         'batch_size': 'batch_size',
                         'engine': 'engine',
                         'inner_steps': 'inner_steps',
-                        'n_slices': 'n_slices'}
+                        'n_slices': 'n_slices',
+                        'resilience': 'resilience',
+                        'resilience_snapshot_every':
+                            'resilience_snapshot_every',
+                        'resilience_dir': 'resilience_dir'}
 
     _default_predictor_mode = 'dot_plus_one'
 
@@ -105,6 +109,16 @@ class GDRecommender(MFRecommender):
         self.batch_size = 16384
         self.inner_steps = 64            # alternating: grad iters / batch
         self.n_slices = 1                # alternating_sharded: DCN slices
+
+        # Failure detection / recovery (engine.trainer.ResilientDriver;
+        # a subsystem the reference lacks — SURVEY §5).  resilience = max
+        # rollback-and-backoff recoveries (0 disables, plain
+        # ConvergenceDriver + NaN guard); snapshots every
+        # resilience_snapshot_every good epochs, optionally persisted to
+        # resilience_dir for crash resume.
+        self.resilience = 0
+        self.resilience_snapshot_every = 5
+        self.resilience_dir = None
 
         if parameters:
             self.set_parameters(parameters)
@@ -359,28 +373,59 @@ class GDRecommender(MFRecommender):
             jnp.pad(state.bi, (0, W_item)))
         mu = state.mu
         import jax
-        epoch = sgd_mf.make_alternating_epoch(
-            W_user, W_item, lr, self.K,
-            lr_bu=lr_bu, lr_bi=lr_bi,
-            K_bu=self.K2, K_bi=self.K3, bias_mode=bias_mode,
-            lo_r=self.min_rating, hi_r=self.max_rating, chunk=chunk,
-            inner_steps=self.inner_steps,
-            # Pallas kernels only lower on TPU backends; the bf16 fixed
-            # side is the same accepted mixed-precision deviation as the
-            # kernel's bf16 window read (interleaved A/B: 10% faster at
-            # identical planted-structure RMSE).  ff_dtype is only
-            # honored when use_pallas_full is true, so one gate suffices.
-            use_pallas_full=jax.default_backend() != 'cpu',
-            ff_dtype='bfloat16')
-        driver = ConvergenceDriver(self.min_epochs, self.max_epochs,
-                                   self.min_improvement)
 
-        def one_epoch(pq):
-            Paug, Qaug = pq
-            Paug, Qaug, rmse = epoch(Paug, Qaug, mu, p_layout, q_layout)
-            return (Paug, Qaug), rmse
+        def build_epoch(lr_scale=1.0):
+            return sgd_mf.make_alternating_epoch(
+                W_user, W_item, lr * lr_scale, self.K,
+                lr_bu=lr_bu * lr_scale, lr_bi=lr_bi * lr_scale,
+                K_bu=self.K2, K_bi=self.K3, bias_mode=bias_mode,
+                lo_r=self.min_rating, hi_r=self.max_rating, chunk=chunk,
+                inner_steps=self.inner_steps,
+                # Pallas kernels only lower on TPU backends; the bf16
+                # fixed side is the same accepted mixed-precision
+                # deviation as the kernel's bf16 window read (interleaved
+                # A/B: 10% faster at identical planted-structure RMSE).
+                # ff_dtype is only honored when use_pallas_full is true,
+                # so one gate suffices.
+                use_pallas_full=jax.default_backend() != 'cpu',
+                ff_dtype='bfloat16')
 
-        Paug, Qaug = driver.run(one_epoch, (Paug, Qaug))
+        def one_epoch_of(epoch):
+            def one_epoch(pq):
+                Paug, Qaug = pq
+                Paug, Qaug, rmse = epoch(Paug, Qaug, mu, p_layout,
+                                         q_layout)
+                return (Paug, Qaug), rmse
+            return one_epoch
+
+        if int(self.resilience) > 0:
+            def factors_healthy(pq, _cap=1e8):
+                # finite AND bounded: with clamped predictions the RMSE
+                # stays in the rating range while diverging factors race
+                # to f32 overflow, so magnitude is the real signal
+                Pa, Qa = pq
+                ok = (jnp.isfinite(Pa).all() & jnp.isfinite(Qa).all()
+                      & (jnp.max(jnp.abs(Pa)) < _cap)
+                      & (jnp.max(jnp.abs(Qa)) < _cap))
+                return bool(ok)
+
+            driver = ResilientDriver(
+                self.min_epochs, self.max_epochs, self.min_improvement,
+                snapshot_every=self.resilience_snapshot_every,
+                max_retries=int(self.resilience),
+                checkpoint_dir=self.resilience_dir,
+                state_guard=factors_healthy)
+            Paug, Qaug = driver.run(
+                lambda s: one_epoch_of(build_epoch(s)), (Paug, Qaug))
+            if driver.recoveries:
+                self.logger.info(
+                    'resilient training: %d rollback(s), final lr scale '
+                    '%g', driver.recoveries, driver.lr_scale)
+        else:
+            driver = ConvergenceDriver(self.min_epochs, self.max_epochs,
+                                       self.min_improvement)
+            Paug, Qaug = driver.run(one_epoch_of(build_epoch()),
+                                    (Paug, Qaug))
         self.rmse_history = driver.history
         P, Q, bu, bi = sgd_mf.split_factors(Paug, Qaug)
         self.P = np.array(P)[:self.nbr_users]

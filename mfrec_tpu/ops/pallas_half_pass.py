@@ -271,17 +271,90 @@ def _kernel_resident(W, nj, lo_r, hi_r, clamp_pred, row_mean, bias_none,
         out_ref[:] = win_scr[:]
 
 
+def _kernel_tloop(W, T, lo_r, hi_r, clamp_pred, row_mean, bias_none,
+                  link, dot_sum, mu_ref, win_ref, ff_ref, r_ref, m_ref,
+                  kl_ref, lrv_ref, regv_ref, out_ref, sse_ref, oh_scr,
+                  cnt_scr):
+    '''Single-invocation variant (no pallas grid at all): the T inner
+    sweeps run as an in-kernel ``fori_loop`` against the VMEM-resident
+    batch.  The (T, chunks) grid pays a Mosaic grid-step transition per
+    sweep (~3-5 us — the gap between the in-kernel sweep cost and the
+    epoch-level marginal); here there are zero grid steps, so the
+    marginal sweep is exactly the loop body.  all-2D chain only
+    (r/m/kl arrive [B, 1]); onehot + counts are built once before the
+    loop, the window accumulates in ``out_ref``.  Numerics identical to
+    ``_kernel`` at chunk=B.'''
+    ff = ff_ref[:].astype(jnp.float32)                 # [B, k]
+    r = r_ref[:]                                       # [B, 1]
+    m = m_ref[:]
+    kl2 = kl_ref[:]
+    B = ff.shape[0]
+    k = win_ref.shape[1]
+    lrv = lrv_ref[:][None, :]
+    regv = regv_ref[:][None, :]
+    oh_scr[:] = (kl2 == jax.lax.broadcasted_iota(
+        jnp.int32, (B, W), 1)).astype(jnp.bfloat16)
+    cnt_scr[:] = jax.lax.dot_general(
+        oh_scr[:], m.astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [W, 1]
+    out_ref[:] = win_ref[:]
+
+    def sweep(t, _):
+        onehot = oh_scr[:]
+        win = out_ref[:]
+        fu = jax.lax.dot_general(
+            onehot, win.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [B, k]
+        dot = _pred_dot2d(fu, ff, k, dot_sum)          # [B, 1]
+        if link == 'logistic':
+            rng_w = hi_r - lo_r
+            sig = jax.nn.sigmoid(dot)
+            pred = lo_r + sig * rng_w
+            err = (r - pred) * m
+            eff = err * sig * (1.0 - sig) * rng_w
+        else:
+            pred = (1.0 + dot) if bias_none else (mu_ref[0, 0] + dot)
+            if clamp_pred:
+                pred = jnp.clip(pred, lo_r, hi_r)
+            err = (r - pred) * m
+            eff = err
+
+        @pl.when(t == 0)      # epoch RMSE = pre-update residual
+        def _():
+            sse_ref[0, 0] = (err * err).sum()
+
+        # error term only — the diagonal-regularization identity (see
+        # _kernel) folds the reg term into the window update
+        acc = jax.lax.dot_general(
+            onehot, (eff * ff).astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [W, k]
+        cnt = cnt_scr[:]
+        alive = (cnt > 0.0).astype(jnp.float32)
+        reg = regv * win
+        if row_mean:
+            gsum = acc / jnp.maximum(cnt, 1.0) - reg * alive
+        else:
+            gsum = acc - reg * cnt
+        out_ref[:] = win + lrv * gsum
+        return 0
+
+    jax.lax.fori_loop(0, T, sweep, 0)
+
+
 @functools.partial(jax.jit, static_argnames=('W', 'chunk', 'clamp_pred',
                                              'lo_r', 'hi_r', 'row_mean',
                                              'bias_none', 'interpret',
                                              'inner_steps', 'resident',
                                              'cache_onehot', 'link',
-                                             'all2d', 'dot_sum'))
+                                             'all2d', 'dot_sum', 'tloop'))
 def half_pass_batch(window, ff, r, m, kl, lrv, regv, mu, W, chunk=4096,
                     clamp_pred=True, lo_r=1.0, hi_r=5.0, row_mean=True,
                     bias_none=False, interpret=False, inner_steps=1,
                     resident=False, cache_onehot=False, link='identity',
-                    all2d=False, dot_sum=False):
+                    all2d=False, dot_sum=False, tloop=False):
     '''One fused batch step.  window [W, k]; ff [B, k] pre-gathered fixed
     rows; kl [B] window-local updated-row ids (masked rows may point
     anywhere valid — their gradients are zero); lrv/regv [k] per-column
@@ -304,6 +377,39 @@ def half_pass_batch(window, ff, r, m, kl, lrv, regv, mu, W, chunk=4096,
     if B % ch != 0:
         raise ValueError('batch %d not a multiple of chunk %d' % (B, ch))
     mu_arr = jnp.full((1, 1), mu, jnp.float32)
+    if tloop:
+        # no pallas grid at all: T sweeps via in-kernel fori_loop over
+        # the VMEM-resident batch (see _kernel_tloop)
+        if not all2d:
+            raise ValueError('tloop requires the all-2D chain')
+        kernel = functools.partial(_kernel_tloop, int(W),
+                                   int(inner_steps), lo_r, hi_r,
+                                   bool(clamp_pred), bool(row_mean),
+                                   bool(bias_none), link, dot_sum)
+        r, m, kl = r[:, None], m[:, None], kl[:, None]
+        vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+        out, sse = pl.pallas_call(
+            kernel,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),      # mu
+                vm(), vm(), vm(), vm(), vm(),               # win ff r m kl
+                vm(), vm(),                                 # lrv regv
+            ],
+            out_specs=(
+                vm(),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((W, k), jnp.float32),
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            ),
+            scratch_shapes=[pltpu.VMEM((B, W), jnp.bfloat16),  # onehot
+                            pltpu.VMEM((W, 1), jnp.float32)],  # counts
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(mu_arr, window, ff, r, m, kl, lrv, regv)
+        return out, sse[0, 0]
     if resident:
         kernel = functools.partial(_kernel_resident, int(W), B // ch,
                                    lo_r, hi_r, bool(clamp_pred),

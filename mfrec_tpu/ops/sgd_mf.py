@@ -458,7 +458,8 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
                            pallas_cache_onehot=None, pallas_all2d=None,
                            pallas_group=0, pallas_group_resident=False,
                            pallas_dot_sum=None, pallas_gather_group=0,
-                           pallas_interpret=False, probe_ff=None):
+                           pallas_interpret=False, probe_ff=None,
+                           pallas_tloop=False):
     '''Build a jitted scatter-free epoch over *augmented* factors: a P
     half-pass over the user-sorted stream (Q fixed), then a Q half-pass
     over the item-sorted stream (P fixed) — blockwise-alternating SGD.
@@ -642,7 +643,8 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
             resident=pallas_resident,
             cache_onehot=pallas_cache_onehot,
             link=link, all2d=pallas_all2d,
-            dot_sum=dsum, interpret=pallas_interpret)
+            dot_sum=dsum, interpret=pallas_interpret,
+            tloop=pallas_tloop)
         F_upd = jax.lax.dynamic_update_slice_in_dim(F_upd, win_out, lo, 0)
         return F_upd, sse + sse_b
 

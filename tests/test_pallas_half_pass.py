@@ -522,3 +522,44 @@ def test_alternating_epoch_gather_grouped_matches_per_batch():
     np.testing.assert_array_equal(np.asarray(Pg), np.asarray(Pp))
     np.testing.assert_array_equal(np.asarray(Qg), np.asarray(Qp))
     assert float(rg) == float(rp)
+
+
+def test_half_pass_tloop_matches_grid():
+    '''tloop (in-kernel fori over T, no pallas grid) must be numerically
+    identical to the (T, 1)-grid path at chunk=B — same math, same bf16
+    rounding points, the grid machinery is the only thing removed.'''
+    rng = np.random.default_rng(7)
+    B, k, W, T = 128, 8, 16, 4
+    window0 = rng.normal(0, 0.3, (W, k)).astype(np.float32)
+    ff = rng.normal(0, 0.3, (B, k)).astype(np.float32)
+    r = rng.uniform(1, 5, B).astype(np.float32)
+    m = (rng.random(B) > 0.1).astype(np.float32)
+    kl = np.sort(rng.integers(0, W, B)).astype(np.int32)
+    lrv = np.full(k, 0.1, np.float32); lrv[-1] = 0.0
+    regv = np.full(k, 0.02, np.float32); regv[-1] = 0.0
+    args = (jnp.asarray(window0), jnp.asarray(ff), jnp.asarray(r),
+            jnp.asarray(m), jnp.asarray(kl), jnp.asarray(lrv),
+            jnp.asarray(regv))
+    for dot_sum in (True, False):
+        out_g, sse_g = half_pass_batch(
+            *args, 3.4, W, chunk=B, interpret=True, inner_steps=T,
+            cache_onehot=True, all2d=True, dot_sum=dot_sum)
+        out_t, sse_t = half_pass_batch(
+            *args, 3.4, W, chunk=B, interpret=True, inner_steps=T,
+            all2d=True, dot_sum=dot_sum, tloop=True)
+        np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_g),
+                                   atol=1e-6)
+        assert abs(float(sse_t) - float(sse_g)) \
+            < 1e-5 * max(float(sse_g), 1.0)
+    # logistic link rides the same body
+    out_g, sse_g = half_pass_batch(
+        *args, 0.0, W, chunk=B, interpret=True, inner_steps=T,
+        cache_onehot=True, all2d=True, dot_sum=True, link='logistic',
+        clamp_pred=False)
+    out_t, sse_t = half_pass_batch(
+        *args, 0.0, W, chunk=B, interpret=True, inner_steps=T,
+        all2d=True, dot_sum=True, link='logistic', clamp_pred=False,
+        tloop=True)
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_g),
+                               atol=1e-6)
+    assert abs(float(sse_t) - float(sse_g)) < 1e-5 * max(float(sse_g), 1.0)

@@ -26,7 +26,7 @@ INNER = 4
 def build(window, batch, locality_sort, inner=INNER, chunk=4096,
           resident=False, ff_dtype=None, cache_onehot=False, all2d=False,
           group=0, dot_sum=False, group_resident=False, probe_ff=None,
-          gather_group=0):
+          gather_group=0, tloop=False):
     pl_ = sgd_mf.sorted_pass_layout(users, items, vals, batch, axis='user',
                                     max_window=window,
                                     locality_sort=locality_sort)
@@ -48,7 +48,7 @@ def build(window, batch, locality_sort, inner=INNER, chunk=4096,
         pallas_cache_onehot=cache_onehot, pallas_all2d=all2d,
         pallas_group=group, pallas_dot_sum=dot_sum,
         pallas_group_resident=group_resident, probe_ff=probe_ff,
-        pallas_gather_group=gather_group)
+        pallas_gather_group=gather_group, pallas_tloop=tloop)
     return ep, (Paug, Qaug), p_layout, q_layout
 
 
@@ -104,6 +104,58 @@ def ab_implicit(blocks=4):
           % ([round(x, 4) for x in ta], float(np.median(ta)), ra))
     print('pallas: %s  median %.4f  rmse %.4f'
           % ([round(x, 4) for x in tb], float(np.median(tb)), rb))
+
+
+def build_kmf(inner, chunk=8192, window=128, batch=1 << 14):
+    '''KMF logistic-link epoch exactly as bench.py BENCH_MODE=kmf builds
+    it (learned aug-column biases, clamp off, sigmoid chain in-kernel).'''
+    pl_ = sgd_mf.sorted_pass_layout(users, items, vals, batch, axis='user',
+                                    max_window=window)
+    ql_ = sgd_mf.sorted_pass_layout(users, items, vals, batch, axis='item',
+                                    max_window=window)
+    W_user, W_item = pl_[-1], ql_[-1]
+    p_layout = tuple(jnp.asarray(x) for x in pl_[:-1])
+    q_layout = tuple(jnp.asarray(x) for x in ql_[:-1])
+    st = sgd_mf.init_state(U + W_user, I + W_item, K, feature_init=0.05,
+                           mode='normal')
+    Paug, Qaug = sgd_mf.augment_factors(
+        st.P, st.Q, jnp.zeros(U + W_user, jnp.float32),
+        jnp.zeros(I + W_item, jnp.float32))
+    ep = sgd_mf.make_alternating_epoch(
+        W_user, W_item, lr=0.15, K=0.02, lr_bu=0.05, lr_bi=0.05,
+        bias_mode='learned', clamp_pred=False, link='logistic',
+        inner_steps=inner, chunk=chunk, use_pallas_full=True,
+        donate=False, ff_dtype='bfloat16')
+    return ep, (Paug, Qaug), p_layout, q_layout
+
+
+def ab_kmf(name_a, inner_a, name_b, inner_b, blocks=3):
+    '''Interleaved KMF-epoch A/B (mu=0 — the logistic link carries the
+    level through the learned aug biases).'''
+    ep_a, st_a, pa, qa = build_kmf(inner_a)
+    ep_b, st_b, pb, qb = build_kmf(inner_b)
+    mu0 = jnp.float32(0.0)
+
+    def blk(ep, st, pl, ql, epochs=3):
+        Pa, Qa = st
+        t0 = time.perf_counter()
+        for _ in range(epochs):
+            Pa, Qa, rmse = ep(Pa, Qa, mu0, pl, ql)
+        r = float(rmse)
+        return (time.perf_counter() - t0) / epochs, (Pa, Qa), r
+    _, st_a, _ = blk(ep_a, st_a, pa, qa, epochs=1)
+    _, st_b, _ = blk(ep_b, st_b, pb, qb, epochs=1)
+    ta, tb = [], []
+    ra = rb = None
+    for _ in range(blocks):
+        dt, st_a, ra = blk(ep_a, st_a, pa, qa)
+        ta.append(dt)
+        dt, st_b, rb = blk(ep_b, st_b, pb, qb)
+        tb.append(dt)
+    print('%s: %s  median %.4f  rmse %.4f'
+          % (name_a, [round(x, 4) for x in ta], float(np.median(ta)), ra))
+    print('%s: %s  median %.4f  rmse %.4f'
+          % (name_b, [round(x, 4) for x in tb], float(np.median(tb)), rb))
 
 
 def run_block(ep, state, pl, ql, epochs=3):
@@ -429,6 +481,80 @@ if __name__ == '__main__':
            'g64_t10',
            (128, BATCH // 2, False, 10, 8192, False, 'bfloat16', True, True,
             64))
+    elif mode == 't64chunk':
+        # At T=64 the per-sweep grid overhead is ~60% of the marginal
+        # cost (in-kernel probe 15 us vs in-epoch 24 us/batch).
+        # chunk=B collapses the grid to (T, 1): one grid step per sweep
+        # and the ff block index map becomes constant, so ff is fetched
+        # once per batch instead of re-streamed per sweep (probe:
+        # ch=16384 18.1 vs ch=8192 20.2 us/sweep at T=2/10).
+        print('--- A/B: T=64 chunk=8k vs chunk=16k (=B, all2d+dot_sum, '
+              'bf16 ff)')
+        ab('c8k',
+           (128, BATCH // 2, False, 64, 8192, False, 'bfloat16', True, True,
+            0, True),
+           'c16k',
+           (128, BATCH // 2, False, 64, 16384, False, 'bfloat16', True, True,
+            0, True),
+           blocks=3)
+    elif mode == 'netflix_t64chunk':
+        # same chunk=B question at the Netflix rank-128 shape (matvec
+        # dot — the k<=128 dot_sum gate keeps sumk off there)
+        print('--- Netflix r128 A/B: T=64 chunk=8k vs chunk=16k (=B, '
+              'all2d, bf16 ff)')
+        ab('c8k',
+           (128, BATCH // 2, False, 64, 8192, False, 'bfloat16', True, True),
+           'c16k',
+           (128, BATCH // 2, False, 64, 16384, False, 'bfloat16', True,
+            True),
+           blocks=3)
+    elif mode == 'kmf_ladder':
+        # KMF logistic T ladder (quality at T=16 already probed good:
+        # BENCH_MODE=kmf BENCH_INNER=16 → RMSE 0.358 < floor); this is
+        # the interleaved RATE check gating a higher KMF default
+        print('--- KMF logistic A/B: T=8 vs T=16 (chunk=8k, bf16 ff)')
+        ab_kmf('t8', 8, 't16', 16)
+        print('--- KMF logistic A/B: T=16 vs T=32 (chunk=8k, bf16 ff)')
+        ab_kmf('t16', 16, 't32', 32)
+    elif mode == 'implicit_ladder':
+        # SVD++ tier: does the XLA alternating-implicit epoch amortize
+        # more inner sweeps the way the Pallas tier does?  (default T=4)
+        print('--- SVD++ A/B: T=4 vs T=8 (XLA base, W=256/B=32k)')
+        ep_a, st_a, pa, qa, nrm = build_implicit(False, inner=4)
+        ep_b, st_b, pb, qb, _ = build_implicit(False, inner=8)
+
+        def blk(ep, st, pl, ql, epochs=3):
+            Pa, Qa, Yp = st
+            t0 = time.perf_counter()
+            for _ in range(epochs):
+                Pa, Qa, Yp, rmse = ep(Pa, Qa, Yp, mu, pl, ql, nrm)
+            r = float(rmse)
+            return (time.perf_counter() - t0) / epochs, (Pa, Qa, Yp), r
+        _, st_a, _ = blk(ep_a, st_a, pa, qa, epochs=1)
+        _, st_b, _ = blk(ep_b, st_b, pb, qb, epochs=1)
+        ta, tb = [], []
+        ra = rb = None
+        for _ in range(3):
+            dt, st_a, ra = blk(ep_a, st_a, pa, qa)
+            ta.append(dt)
+            dt, st_b, rb = blk(ep_b, st_b, pb, qb)
+            tb.append(dt)
+        print('t4: %s  median %.4f  rmse %.4f'
+              % ([round(x, 4) for x in ta], float(np.median(ta)), ra))
+        print('t8: %s  median %.4f  rmse %.4f'
+              % ([round(x, 4) for x in tb], float(np.median(tb)), rb))
+    elif mode == 't64tloop':
+        # in-kernel fori over T (no pallas grid) vs the (T, 1) grid at
+        # chunk=B: isolates the per-sweep Mosaic grid-step transition
+        print('--- A/B: T=64 chunk=16k grid vs tloop (all2d+dot_sum, '
+              'bf16 ff)')
+        ab('grid',
+           (128, BATCH // 2, False, 64, 16384, False, 'bfloat16', True, True,
+            0, True),
+           'tloop',
+           (128, BATCH // 2, False, 64, 16384, False, 'bfloat16', False,
+            True, 0, True, False, None, 0, True),
+           blocks=3)
     elif mode == 'grid_cached':
         print('--- A/B: full-grid vs full-grid+onehot-cache (T=8, bf16 ff)')
         ab('full', (128, BATCH // 2, False, 8, 8192, False, 'bfloat16'),

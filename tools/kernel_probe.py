@@ -529,6 +529,57 @@ if __name__ == '__main__':
     if mode == 'grp':
         grp_mode()
         sys.exit(0)
+    if mode == 'hiT':
+        # The T-ladder epochs measure a marginal sweep of ~24 us/batch
+        # (t32->t64 differencing) while the T=2->10 probe says ~15 —
+        # either the in-kernel marginal grows with T (VMEM/pipelining
+        # effect) or the low-T differencing hides overhead under DMA
+        # overlap.  Chain the PRODUCTION kernel (shipped options) at
+        # T=8/32/64 x ch=8k/16k and difference adjacent rungs.
+        from mfrec_tpu.ops.pallas_half_pass import half_pass_batch
+        window, ff, r, m, kl, lrv, regv = data[66]
+        ffb = ff.astype(jnp.bfloat16)
+
+        @functools.partial(jax.jit, static_argnames=('T', 'ch'))
+        def chain_prod(win, T, ch):
+            def step(w, _):
+                out, sse = half_pass_batch(
+                    w, ffb, r, m, kl, lrv, regv, 3.5, W, chunk=ch,
+                    inner_steps=T, cache_onehot=True, all2d=True,
+                    dot_sum=True)
+                return out, sse
+            w, sses = jax.lax.scan(step, win, None, length=N_BATCH)
+            return w, sses.sum()
+
+        def time_prod(T, ch, iters=5):
+            out, sse = chain_prod(window, T, ch)
+            float(sse)
+            best = []
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                out, sse = chain_prod(window, T, ch)
+                float(sse)
+                float(out[0, 0])
+                best.append(time.perf_counter() - t0)
+            return min(best) / N_BATCH
+
+        res = {}
+        for rep in range(3):
+            for ch in (8192, 16384):
+                ts = {T: time_prod(T, ch) for T in (8, 32, 64)}
+                m8_32 = (ts[32] - ts[8]) / 24
+                m32_64 = (ts[64] - ts[32]) / 32
+                res.setdefault(ch, []).append((m8_32, m32_64))
+                print('rep %d ch=%-5d t8 %7.1f t32 %7.1f t64 %7.1f us '
+                      ' marg(8-32) %5.1f  marg(32-64) %5.1f us/batch'
+                      % (rep, ch, ts[8] * 1e6, ts[32] * 1e6,
+                         ts[64] * 1e6, m8_32 * 1e6, m32_64 * 1e6),
+                      flush=True)
+        for ch, v in res.items():
+            print('ch=%-5d median marg(8-32) %5.1f  marg(32-64) %5.1f'
+                  % (ch, statistics.median(x[0] for x in v) * 1e6,
+                     statistics.median(x[1] for x in v) * 1e6))
+        sys.exit(0)
     if mode == 'fix':
         cases = [('full', 66, CH), ('dot_mxu_b16', 66, CH),
                  ('bf16_chain', 66, CH), ('all2d', 66, CH),
