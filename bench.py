@@ -328,7 +328,9 @@ def main():
             W_user, W_item, lr=float(os.environ.get('BENCH_LR', 0.15)),
             K=0.02, lr_bu=0.05, lr_bi=0.05, bias_mode='learned',
             clamp_pred=False, link='logistic', inner_steps=inner,
-            chunk=int(os.environ.get('BENCH_CHUNK', 8192)),
+            chunk=int(os.environ.get('BENCH_CHUNK', batch)),
+            pallas_tloop={'auto': None, '1': True, '0': False}[
+                os.environ.get('BENCH_TLOOP', 'auto')],
             use_pallas_full=jax.default_backend() != 'cpu',
             ff_dtype='bfloat16')
         state = (Paug, Qaug)
@@ -370,7 +372,13 @@ def main():
         ep = sgd_mf.make_alternating_epoch(
             W_user, W_item, lr=float(os.environ.get('BENCH_LR', 0.15)),
             K=0.02, bias_mode='fixed', inner_steps=inner,
-            chunk=int(os.environ.get('BENCH_CHUNK', 8192)),
+            # default chunk=B: the (T, 1) grid at chunk=B measured +26%
+            # over chunk=8192 (AB=t64chunk), and the default tloop
+            # kernel is whole-batch anyway (chunk only feeds the
+            # grid fallback / BENCH_TLOOP=0)
+            chunk=int(os.environ.get('BENCH_CHUNK', batch)),
+            pallas_tloop={'auto': None, '1': True, '0': False}[
+                os.environ.get('BENCH_TLOOP', 'auto')],
             use_pallas_agg=pallas_mode == 'agg',
             use_pallas_full=pallas_mode in ('full', 'resident'),
             pallas_resident=pallas_mode == 'resident',

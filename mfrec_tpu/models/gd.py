@@ -93,7 +93,8 @@ class GDRecommender(MFRecommender):
         # match the measured headline, as the reference's default train()
         # IS its fastest path, gradient_descent.py:545).  batch_size and
         # inner_steps are the interleaved-A/B-tuned headline values
-        # (W=128/batch=16k/chunk=8k/T=64, see ARCHITECTURE.md; the T
+        # (W=128/batch=16k/chunk=B/T=64 on the no-grid tloop kernel,
+        # see ARCHITECTURE.md; the T
         # ladder was climbed r4 by interleaved A/B at each step — T=16
         # +19% updates/s over 8, T=32 +10.6%, T=64 +5.5% — with
         # per-epoch RMSE improving monotonically at every step
@@ -351,8 +352,13 @@ class GDRecommender(MFRecommender):
         (``ops.sgd_mf.make_alternating_epoch``) — the fastest single-chip
         path; blockwise-alternating update order.'''
         uidx, iidx, vals = self.ratings.coo()
-        # tuned headline chunk (interleaved A/B: 8192 +0.9% over 4096)
-        chunk = min(8192, self.batch_size)
+        # chunk = the whole batch: the r4 interleaved A/B measured the
+        # (T, 1) grid at chunk=B 26% faster than chunk=8192 (one grid
+        # step per sweep, ff never re-streamed) — and the default Pallas
+        # path is now the no-grid tloop kernel, which is whole-batch
+        # resident and ignores chunk entirely (auto gate in
+        # half_pass_batch; grid at chunk=B is the fallback)
+        chunk = self.batch_size
         lr, lr_bu, lr_bi = self._alt_lrs()
         # W=128 beat 256 and 64 in interleaved A/B on v5e (ML-10M:
         # 0.398 vs 0.433/0.401 s per 4-sweep epoch) and converges better

@@ -354,7 +354,7 @@ def half_pass_batch(window, ff, r, m, kl, lrv, regv, mu, W, chunk=4096,
                     clamp_pred=True, lo_r=1.0, hi_r=5.0, row_mean=True,
                     bias_none=False, interpret=False, inner_steps=1,
                     resident=False, cache_onehot=False, link='identity',
-                    all2d=False, dot_sum=False, tloop=False):
+                    all2d=False, dot_sum=False, tloop=None):
     '''One fused batch step.  window [W, k]; ff [B, k] pre-gathered fixed
     rows; kl [B] window-local updated-row ids (masked rows may point
     anywhere valid — their gradients are zero); lrv/regv [k] per-column
@@ -377,6 +377,16 @@ def half_pass_batch(window, ff, r, m, kl, lrv, regv, mu, W, chunk=4096,
     if B % ch != 0:
         raise ValueError('batch %d not a multiple of chunk %d' % (B, ch))
     mu_arr = jnp.full((1, 1), mu, jnp.float32)
+    if tloop is None:
+        # auto: the no-grid in-kernel-T variant whenever the whole batch
+        # fits comfortably in VMEM — measured +38% over the (T, 1) grid
+        # at the headline shape (1.1338 vs 1.5647 s/epoch interleaved,
+        # AB=t64tloop; numerics bit-identical, parity-tested).  The
+        # estimate counts the resident inputs (bf16 ff + onehot) plus the
+        # f32 ff/fu/g per-sweep values the compiler keeps live.
+        est = B * (14 * k + 2 * W)
+        tloop = (bool(all2d) and not resident
+                 and est < 64 * 1024 * 1024)
     if tloop:
         # no pallas grid at all: T sweeps via in-kernel fori_loop over
         # the VMEM-resident batch (see _kernel_tloop)

@@ -459,7 +459,7 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
                            pallas_group=0, pallas_group_resident=False,
                            pallas_dot_sum=None, pallas_gather_group=0,
                            pallas_interpret=False, probe_ff=None,
-                           pallas_tloop=False):
+                           pallas_tloop=None):
     '''Build a jitted scatter-free epoch over *augmented* factors: a P
     half-pass over the user-sorted stream (Q fixed), then a Q half-pass
     over the item-sorted stream (P fixed) — blockwise-alternating SGD.

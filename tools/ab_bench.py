@@ -555,6 +555,18 @@ if __name__ == '__main__':
            (128, BATCH // 2, False, 64, 16384, False, 'bfloat16', False,
             True, 0, True, False, None, 0, True),
            blocks=3)
+    elif mode == 'netflix_t64tloop':
+        # tloop vs the shipped r4 grid config at the Netflix rank-128
+        # shape (k=130 -> matvec dot; VMEM estimate 34 MB, gate passes)
+        print('--- Netflix r128 A/B: T=64 grid(c8k) vs tloop (all2d, '
+              'bf16 ff)')
+        ab('grid_c8k',
+           (128, BATCH // 2, False, 64, 8192, False, 'bfloat16', True,
+            True),
+           'tloop',
+           (128, BATCH // 2, False, 64, 16384, False, 'bfloat16', False,
+            True, 0, False, False, None, 0, True),
+           blocks=3)
     elif mode == 'grid_cached':
         print('--- A/B: full-grid vs full-grid+onehot-cache (T=8, bf16 ff)')
         ab('full', (128, BATCH // 2, False, 8, 8192, False, 'bfloat16'),
