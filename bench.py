@@ -307,9 +307,9 @@ def main():
         # measures the flagship path with the sigmoid chain hooked in.
         # Biases ride the augmented columns and train (KMF convention);
         # quality gate is the same planted-structure floor.
-        # (stays at T=8: the logistic link's quality at T=16 is
-        # unmeasured; only the identity-link tiers adopted T=16 in r4)
-        inner = int(os.environ.get('BENCH_INNER', 8))
+        # T=64 adopted r4 (AB=kmf_ladder/kmf_t64 on the tloop kernel:
+        # +27%/+15.6%/+8.4% at T=16/32/64, RMSE monotone 0.559 -> 0.320)
+        inner = int(os.environ.get('BENCH_INNER', 64))
         W = int(os.environ.get('BENCH_WINDOW', 128))
         pl_ = sgd_mf.sorted_pass_layout(users, items, vals, batch,
                                         axis='user', max_window=W)

@@ -64,7 +64,14 @@ class KMFRecommender(MFRecommender):
         # scatter-add tier); 'fused'/'serial' remain explicit options.
         self.engine = 'auto'
         self.batch_size = 16384
-        self.inner_steps = 8
+        # T ladder climbed on-chip r4 (AB=kmf_ladder/kmf_t64, tloop
+        # kernel): T=8 26.8 sweeps/s -> T=16 +27% -> T=32 +15.6% ->
+        # T=64 +8.4% (1.5012 s/epoch interleaved) with per-epoch RMSE
+        # improving monotonically (0.559 -> 0.446 -> 0.339 -> 0.320);
+        # T=128 projects +4.5% — ladder closed at 64, matching the
+        # identity-link headline tier.  Tuned jointly with
+        # batch_size/learning_rate like GDRecommender.inner_steps.
+        self.inner_steps = 64
 
         if parameters:
             self.set_parameters(parameters)

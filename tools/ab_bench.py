@@ -516,6 +516,9 @@ if __name__ == '__main__':
         ab_kmf('t8', 8, 't16', 16)
         print('--- KMF logistic A/B: T=16 vs T=32 (chunk=8k, bf16 ff)')
         ab_kmf('t16', 16, 't32', 32)
+    elif mode == 'kmf_t64':
+        print('--- KMF logistic A/B: T=32 vs T=64 (tloop, bf16 ff)')
+        ab_kmf('t32', 32, 't64', 64)
     elif mode == 'implicit_ladder':
         # SVD++ tier: does the XLA alternating-implicit epoch amortize
         # more inner sweeps the way the Pallas tier does?  (default T=4)
