@@ -470,15 +470,31 @@ def test_half_pass_dot_split_matches_sum():
     lrv = np.full(k, 0.1, np.float32); lrv[-1] = 0.0
     regv = np.full(k, 0.02, np.float32); regv[-1] = 0.0
     outs = {}
+    # pin the grid path (tloop=False): the bit-exactness claim below is
+    # about the chunked grid's reduction order; under the tloop kernel
+    # XLA orders the two lane-group sums slightly differently (checked
+    # with fp-reorder tolerance after this block)
     for ds in (True, 'split'):
         o, s = half_pass_batch(
             jnp.asarray(window), jnp.asarray(ff), jnp.asarray(r),
             jnp.asarray(m), jnp.asarray(kl), jnp.asarray(lrv),
             jnp.asarray(regv), 3.4, W, chunk=128, interpret=True,
-            inner_steps=T, cache_onehot=True, all2d=True, dot_sum=ds)
+            inner_steps=T, cache_onehot=True, all2d=True, dot_sum=ds,
+            tloop=False)
         outs[ds] = (np.asarray(o), float(s))
     np.testing.assert_array_equal(outs['split'][0], outs[True][0])
     assert outs['split'][1] == outs[True][1]
+    # tloop twin: same split-vs-sum equivalence within fp reordering
+    touts = {}
+    for ds in (True, 'split'):
+        o, s = half_pass_batch(
+            jnp.asarray(window), jnp.asarray(ff), jnp.asarray(r),
+            jnp.asarray(m), jnp.asarray(kl), jnp.asarray(lrv),
+            jnp.asarray(regv), 3.4, W, chunk=128, interpret=True,
+            inner_steps=T, all2d=True, dot_sum=ds, tloop=True)
+        touts[ds] = (np.asarray(o), float(s))
+    np.testing.assert_allclose(touts['split'][0], touts[True][0],
+                               atol=5e-6)
     # resident twin
     for ds in (True, 'split'):
         o, s = half_pass_batch(
