@@ -237,10 +237,10 @@ def main():
         U, I, N, K = 480_189, 17_770, 100_000_000, 128
         config = 'netflix100m_rank128'
         mode = 'alternating'
-        # Netflix rides the same T=64 default: AB=netflix_t64 measured
-        # +8.5% over 32 (24.349 vs 13.213 interleaved) at RMSE 0.318 <
-        # 0.324 — 24.35 s/epoch = 3.36e10 updates/s (909×).  Marginal
-        # sweep constant ~28.5 µs/batch; T=64 is 91% of that asymptote
+        # Netflix rides the same T=64 default (AB=netflix_t64 +8.5%
+        # over 32) and the tloop kernel (AB=netflix_t64tloop +40.1%
+        # over the grid): 17.373 s/epoch = 4.72e10 updates/s (1274×)
+        # at RMSE 0.318 < 0.324
     users, items, vals = make_data(U, I, N)
 
     if mode == 'als':

@@ -570,6 +570,17 @@ if __name__ == '__main__':
            (128, BATCH // 2, False, 64, 16384, False, 'bfloat16', False,
             True, 0, False, False, None, 0, True),
            blocks=3)
+    elif mode == 't128':
+        # does the ladder reopen past 64 on the tloop kernel?
+        # (marginal ~13 us/batch projects T=128 at only +4-5% rate)
+        print('--- A/B: T=64 vs T=128 (tloop, bf16 ff)')
+        ab('t64',
+           (128, BATCH // 2, False, 64, 16384, False, 'bfloat16', False,
+            True, 0, True, False, None, 0, True),
+           't128',
+           (128, BATCH // 2, False, 128, 16384, False, 'bfloat16', False,
+            True, 0, True, False, None, 0, True),
+           blocks=3)
     elif mode == 'grid_cached':
         print('--- A/B: full-grid vs full-grid+onehot-cache (T=8, bf16 ff)')
         ab('full', (128, BATCH // 2, False, 8, 8192, False, 'bfloat16'),
