@@ -247,13 +247,15 @@ def main():
         return bench_als(U, I, users, items)
 
     floor, bu_fit, bi_fit = bias_floor_rmse(users, items, vals, U, I)
-    # T ladder climbed r4 by interleaved A/B (AB=t16/t32/t64 +
-    # netflix_t16/netflix_t32): at ML-10M rank 64, T=16 is +19%
-    # updates/s over 8, T=32 +10.6%, T=64 +5.5% (1.972 s/epoch =
-    # 2.08e10 = 561×) with per-epoch RMSE improving monotonically
-    # (0.469 → 0.339 → 0.311 → 0.300); the marginal sweep is a
-    # constant ~24 µs/batch — T=64 is at 95% of the dispatch asymptote
-    inner = int(os.environ.get('BENCH_INNER', 64))
+    # T ladder climbed r4 by interleaved A/B at every rung
+    # (AB=t16/t32/t64/t128): ML-10M rank 64 on the tloop kernel runs
+    # T=128 at 2.138 s/epoch = 3.83e10 = 1035× (+5.9% over T=64) with
+    # per-epoch RMSE improving monotonically at every step
+    # (0.469 → ... → 0.2996 → 0.2931); the tloop marginal sweep is a
+    # constant ~12.9 µs/batch.  Netflix pins its measured T=64
+    # (AB=netflix_t64tloop) until the 128 rung is measured there.
+    inner = int(os.environ.get('BENCH_INNER',
+                               128 if config == 'ml10m' else 64))
 
     if mode == 'implicit':
         # SVD++ at sorted-window speed (alternating implicit tier).

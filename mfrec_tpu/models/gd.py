@@ -60,6 +60,7 @@ class GDRecommender(MFRecommender):
                         'batch_size': 'batch_size',
                         'engine': 'engine',
                         'inner_steps': 'inner_steps',
+                        'inner_steps_implicit': 'inner_steps_implicit',
                         'n_slices': 'n_slices',
                         'resilience': 'resilience',
                         'resilience_snapshot_every':
@@ -98,17 +99,23 @@ class GDRecommender(MFRecommender):
         # ladder was climbed r4 by interleaved A/B at each step — T=16
         # +19% updates/s over 8, T=32 +10.6%, T=64 +5.5% — with
         # per-epoch RMSE improving monotonically at every step
-        # (0.469 → 0.339 → 0.311 → 0.300 on the bench's planted
-        # structure); the marginal sweep is a constant ~24 µs/batch, and
-        # T=64 runs at 95% of the dispatch asymptote — further
-        # doublings buy <3%.  The sweep count is tuned JOINTLY with
+        # (0.469 → 0.339 → 0.311 → 0.2996 → 0.2931 on the bench's
+        # planted structure); the tloop kernel's marginal sweep is a
+        # constant ~12.9 µs/batch and T=128 runs +5.9% over T=64
+        # (AB=t128) — the next doubling projects ~+3%.  The sweep
+        # count is tuned JOINTLY with
         # batch_size/learning_rate: each inner sweep re-iterates the
         # same resident window, so if you shrink batch_size or raise
         # learning_rate well past the tuned point, reduce inner_steps
         # too or the per-window iteration can overshoot).
         self.engine = 'auto'
         self.batch_size = 16384
-        self.inner_steps = 64            # alternating: grad iters / batch
+        self.inner_steps = 128           # alternating: grad iters / batch
+        # The SVD++ (implicit) tier has its OWN sweep-count operating
+        # point: its Y-aggregation phases couple rows across the batch
+        # and the benchmarked config is T=4 (BENCH_MODE=implicit) — the
+        # explicit tier's T=128 is not transferable.
+        self.inner_steps_implicit = 4
         self.n_slices = 1                # alternating_sharded: DCN slices
 
         # Failure detection / recovery (engine.trainer.ResilientDriver;
@@ -583,7 +590,7 @@ class GDRecommender(MFRecommender):
         epoch = sgd_mf.make_alternating_implicit_epoch(
             W_user, W_item, lr, lr,
             self.K, self.K, lo_r=self.min_rating, hi_r=self.max_rating,
-            chunk=chunk, inner_steps=self.inner_steps)
+            chunk=chunk, inner_steps=self.inner_steps_implicit)
         # (deliberately the XLA base even on TPU: the fused Pallas
         # half-pass measured slower inside this epoch — its phases
         # interleave with the Y aggregations — and bf16 rounding hurts
@@ -649,7 +656,7 @@ class GDRecommender(MFRecommender):
             mesh, W, lr=lr, lr_y=lr, K=self.K, K_y=self.K,
             lo_r=self.min_rating, hi_r=self.max_rating,
             chunk=min(8192, self.batch_size),
-            inner_steps=self.inner_steps)
+            inner_steps=self.inner_steps_implicit)
         p_dev = tuple(jnp.asarray(x) for x in p_layout)
         q_dev = tuple(jnp.asarray(x) for x in q_layout)
         driver = ConvergenceDriver(self.min_epochs, self.max_epochs,

@@ -747,7 +747,11 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
                 cnt = jnp.einsum('nc,ncw->w', mc, onehot,
                                  preferred_element_type=jnp.float32)
                 cnt = jnp.maximum(cnt, 1.0)[:, None]
-            for t in range(inner_steps):
+            # fori_loop, not a python range: at the shipped T=128 an
+            # unrolled loop makes the traced graph (and CPU-test compile
+            # time) explode; the loop body is shape-static
+            def sweep(t, carry):
+                win, sse = carry
                 fu = win[klp]             # [B, k] gather from the window
                 dot = (fu * ffp).sum(-1)
                 if link == 'logistic':
@@ -765,8 +769,8 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
                         pred = clamp(pred, lo_r, hi_r)
                     err = (rp - pred) * mp
                     eff = err
-                if t == 0:
-                    sse = sse + (err * err).sum()
+                # epoch RMSE = the pre-update residual (t == 0 only)
+                sse = jnp.where(t == 0, sse + (err * err).sum(), sse)
                 g = eff[:, None] * ffp - regv[None, :] * fu * mp[:, None]
                 if use_pallas_agg:
                     from mfrec_tpu.ops.pallas_window_agg import \
@@ -780,7 +784,8 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
                                       preferred_element_type=jnp.float32)
                     if row_mean:
                         gsum = gsum / cnt
-                win = win + lrv[None, :] * gsum
+                return win + lrv[None, :] * gsum, sse
+            win, sse = jax.lax.fori_loop(0, inner_steps, sweep, (win, sse))
             F_upd = jax.lax.dynamic_update_slice_in_dim(F_upd, win, lo, 0)
             return (F_upd, sse), None
 

@@ -202,22 +202,26 @@ def make_sharded_alternating_epoch(mesh, W, lr, K, bias_mode='fixed',
                                  preferred_element_type=jnp.float32)
                 cnt = jnp.maximum(cnt, 1.0)[:, None]
             win = jax.lax.dynamic_slice_in_dim(F_upd, lo_b, W, 0)
-            for t in range(inner_steps):
+
+            # fori_loop, not python range: the shipped inner_steps
+            # default (128) would explode the traced graph unrolled
+            def sweep(t, carry):
+                win, sse = carry
                 fu = win[kli]
                 dot = (fu * ff).sum(-1)
                 pred = (1.0 + dot) if bias_mode == 'none' else (mu + dot)
                 if clamp_pred:
                     pred = clamp(pred, lo_r, hi_r)
                 err = (r - pred) * m
-                if t == 0:
-                    sse = sse + (err * err).sum()
+                sse = jnp.where(t == 0, sse + (err * err).sum(), sse)
                 g = err[:, None] * ff - regv[None, :] * fu * m[:, None]
                 gc = g.reshape(B // ch, ch, -1).astype(jnp.bfloat16)
                 gsum = jnp.einsum('nck,ncw->wk', gc, onehot,
                                   preferred_element_type=jnp.float32)
                 if row_mean:
                     gsum = gsum / cnt
-                win = win + lrv[None, :] * gsum
+                return win + lrv[None, :] * gsum, sse
+            win, sse = jax.lax.fori_loop(0, inner_steps, sweep, (win, sse))
             F_upd = jax.lax.dynamic_update_slice_in_dim(F_upd, win, lo_b, 0)
             return (F_upd, sse), None
 

@@ -522,9 +522,12 @@ if __name__ == '__main__':
     elif mode == 'implicit_ladder':
         # SVD++ tier: does the XLA alternating-implicit epoch amortize
         # more inner sweeps the way the Pallas tier does?  (default T=4)
-        print('--- SVD++ A/B: T=4 vs T=8 (XLA base, W=256/B=32k)')
-        ep_a, st_a, pa, qa, nrm = build_implicit(False, inner=4)
-        ep_b, st_b, pb, qb, _ = build_implicit(False, inner=8)
+        t_a = int(os.environ.get('AB_TA', 4))
+        t_b = int(os.environ.get('AB_TB', 8))
+        print('--- SVD++ A/B: T=%d vs T=%d (XLA base, W=256/B=32k)'
+              % (t_a, t_b))
+        ep_a, st_a, pa, qa, nrm = build_implicit(False, inner=t_a)
+        ep_b, st_b, pb, qb, _ = build_implicit(False, inner=t_b)
 
         def blk(ep, st, pl, ql, epochs=3):
             Pa, Qa, Yp = st
@@ -542,10 +545,10 @@ if __name__ == '__main__':
             ta.append(dt)
             dt, st_b, rb = blk(ep_b, st_b, pb, qb)
             tb.append(dt)
-        print('t4: %s  median %.4f  rmse %.4f'
-              % ([round(x, 4) for x in ta], float(np.median(ta)), ra))
-        print('t8: %s  median %.4f  rmse %.4f'
-              % ([round(x, 4) for x in tb], float(np.median(tb)), rb))
+        print('t%d: %s  median %.4f  rmse %.4f'
+              % (t_a, [round(x, 4) for x in ta], float(np.median(ta)), ra))
+        print('t%d: %s  median %.4f  rmse %.4f'
+              % (t_b, [round(x, 4) for x in tb], float(np.median(tb)), rb))
     elif mode == 't64tloop':
         # in-kernel fori over T (no pallas grid) vs the (T, 1) grid at
         # chunk=B: isolates the per-sweep Mosaic grid-step transition
