@@ -265,7 +265,10 @@ def main():
         # smaller row_mean batches overshoot at the same lr.
         W = int(os.environ.get('BENCH_WINDOW', 256))
         batch = int(os.environ.get('BENCH_BATCH', 1 << 15))
-        inner = int(os.environ.get('BENCH_INNER', 4))
+        # T=32 adopted r4 (AB=implicit_ladder: +43.9/+28.1/+16.4% at
+        # 8/16/32 with RMSE monotone to 0.3249; T=64 +8.9% but RMSE
+        # REGRESSES to 0.3613 — the quality gate closes this ladder)
+        inner = int(os.environ.get('BENCH_INNER', 32))
         pl_ = sgd_mf.sorted_pass_layout(users, items, vals, batch,
                                         axis='user', max_window=W)
         ql_ = sgd_mf.sorted_pass_layout(users, items, vals, batch,
@@ -451,7 +454,11 @@ def main():
     # one epoch sweeps N ratings x K features, `inner` times over for the
     # alternating tier's in-VMEM iterations (each is a genuine full-data
     # SGD pass; T is reported so the sweep rate is auditable)
-    sweeps = inner if mode in ('alternating', 'kmf') else 1
+    # the implicit tier's inner sweeps are the same genuine full-data
+    # gradient passes as the alternating/kmf tiers' (each re-iterates
+    # every window row against every rating in the batch); Y updates
+    # stay once-per-epoch
+    sweeps = inner if mode in ('alternating', 'kmf', 'implicit') else 1
     updates_per_s = N * K * sweeps / epoch_s
     baseline = 3.7e7          # reference single-feature updates/s (BASELINE.md)
     print(json.dumps({

@@ -111,11 +111,14 @@ class GDRecommender(MFRecommender):
         self.engine = 'auto'
         self.batch_size = 16384
         self.inner_steps = 128           # alternating: grad iters / batch
-        # The SVD++ (implicit) tier has its OWN sweep-count operating
-        # point: its Y-aggregation phases couple rows across the batch
-        # and the benchmarked config is T=4 (BENCH_MODE=implicit) — the
-        # explicit tier's T=128 is not transferable.
-        self.inner_steps_implicit = 4
+        # The SVD++ (implicit) tier has its OWN sweep-count ladder: its
+        # Y-aggregation phases couple rows across the batch, and unlike
+        # the explicit tier the quality gate CLOSES it — measured r4
+        # (AB=implicit_ladder): T=8 +43.9% rate / RMSE 0.5695, T=16
+        # +28.1% / 0.4436, T=32 +16.4% / 0.3249, but T=64 (+8.9%)
+        # WORSENS RMSE to 0.3613 — the per-window iteration overshoots
+        # the Y coupling.  T=32 is the shipped default.
+        self.inner_steps_implicit = 32
         self.n_slices = 1                # alternating_sharded: DCN slices
 
         # Failure detection / recovery (engine.trainer.ResilientDriver;
