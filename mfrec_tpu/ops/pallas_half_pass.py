@@ -382,9 +382,14 @@ def half_pass_batch(window, ff, r, m, kl, lrv, regv, mu, W, chunk=4096,
         # fits comfortably in VMEM — measured +38% over the (T, 1) grid
         # at the headline shape (1.1338 vs 1.5647 s/epoch interleaved,
         # AB=t64tloop; numerics bit-identical, parity-tested).  The
-        # estimate counts the resident inputs (bf16 ff + onehot) plus the
-        # f32 ff/fu/g per-sweep values the compiler keeps live.
-        est = B * (14 * k + 2 * W)
+        # estimate counts the resident inputs (bf16 ff + onehot), the
+        # f32 ff/fu/g per-sweep values the compiler keeps live, AND the
+        # three [B, 1] data columns at their PHYSICAL size: (8, 128)
+        # tiling pads each to [B, 128] — 512 B/row each, measured as
+        # 16 MB-per-column VMEM allocations at B=32k (the W=256/B=32k
+        # implicit shape OOMs without this term; the grid path double-
+        # buffers per-chunk slices instead and stays viable there).
+        est = B * (3 * 512 + 14 * k + 2 * W)
         tloop = (bool(all2d) and not resident
                  and est < 64 * 1024 * 1024)
     if tloop:

@@ -81,8 +81,10 @@ def build_implicit(use_pallas, window=256, batch=1 << 15, inner=4):
 
 
 def ab_implicit(blocks=4):
-    ep_a, st_a, pa, qa, nrm = build_implicit(False)
-    ep_b, st_b, pb, qb, _ = build_implicit(True)
+    inner = int(os.environ.get('AB_T', 4))
+    print('(inner_steps=%d both sides)' % inner)
+    ep_a, st_a, pa, qa, nrm = build_implicit(False, inner=inner)
+    ep_b, st_b, pb, qb, _ = build_implicit(True, inner=inner)
 
     def blk(ep, st, pl, ql, epochs=3):
         Pa, Qa, Yp = st
