@@ -344,6 +344,21 @@ def _kernel_tloop(W, T, lo_r, hi_r, clamp_pred, row_mean, bias_none,
     jax.lax.fori_loop(0, T, sweep, 0)
 
 
+def tloop_auto(B, k, W, all2d=True, resident=False):
+    '''Auto-gate for the no-grid in-kernel-T (tloop) variant: on when the
+    whole batch fits comfortably in VMEM — measured +38% over the (T, 1)
+    grid at the headline shape (AB=t64tloop; numerics bit-identical).
+    The estimate counts the resident inputs (bf16 ff + onehot), the f32
+    ff/fu/g per-sweep values the compiler keeps live, AND the three
+    [B, 1] data columns at their PHYSICAL size: (8, 128) tiling pads each
+    to [B, 128] — 512 B/row each, measured as 16 MB-per-column VMEM
+    allocations at B=32k (the W=256/B=32k implicit shape OOMs without
+    this term; the grid path double-buffers per-chunk slices instead and
+    stays viable there).'''
+    est = B * (3 * 512 + 14 * k + 2 * W)
+    return bool(all2d) and not resident and est < 64 * 1024 * 1024
+
+
 @functools.partial(jax.jit, static_argnames=('W', 'chunk', 'clamp_pred',
                                              'lo_r', 'hi_r', 'row_mean',
                                              'bias_none', 'interpret',
@@ -378,20 +393,7 @@ def half_pass_batch(window, ff, r, m, kl, lrv, regv, mu, W, chunk=4096,
         raise ValueError('batch %d not a multiple of chunk %d' % (B, ch))
     mu_arr = jnp.full((1, 1), mu, jnp.float32)
     if tloop is None:
-        # auto: the no-grid in-kernel-T variant whenever the whole batch
-        # fits comfortably in VMEM — measured +38% over the (T, 1) grid
-        # at the headline shape (1.1338 vs 1.5647 s/epoch interleaved,
-        # AB=t64tloop; numerics bit-identical, parity-tested).  The
-        # estimate counts the resident inputs (bf16 ff + onehot), the
-        # f32 ff/fu/g per-sweep values the compiler keeps live, AND the
-        # three [B, 1] data columns at their PHYSICAL size: (8, 128)
-        # tiling pads each to [B, 128] — 512 B/row each, measured as
-        # 16 MB-per-column VMEM allocations at B=32k (the W=256/B=32k
-        # implicit shape OOMs without this term; the grid path double-
-        # buffers per-chunk slices instead and stays viable there).
-        est = B * (3 * 512 + 14 * k + 2 * W)
-        tloop = (bool(all2d) and not resident
-                 and est < 64 * 1024 * 1024)
+        tloop = tloop_auto(B, k, W, all2d=all2d, resident=resident)
     if tloop:
         # no pallas grid at all: T sweeps via in-kernel fori_loop over
         # the VMEM-resident batch (see _kernel_tloop)

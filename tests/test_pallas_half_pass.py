@@ -579,3 +579,21 @@ def test_half_pass_tloop_matches_grid():
     np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_g),
                                atol=1e-6)
     assert abs(float(sse_t) - float(sse_g)) < 1e-5 * max(float(sse_g), 1.0)
+
+
+def test_tloop_auto_gate_shapes():
+    '''Pin the tloop auto-gate at the shipped operating points: the
+    headline and Netflix shapes ride tloop; the implicit W=256/B=32k
+    shape falls back to the chunked grid (its three [B, 1] columns cost
+    16 MB each at physical (8, 128) tiling and OOM VMEM under tloop —
+    measured, commit 108b7a3).'''
+    from mfrec_tpu.ops.pallas_half_pass import tloop_auto
+    # ML-10M headline: B=16k, k=64+bias, W=128 (est ~44 MB)
+    assert tloop_auto(1 << 14, 65, 128)
+    # Netflix rank 128: k=128+2 bias cols (est ~59 MB)
+    assert tloop_auto(1 << 14, 130, 128)
+    # SVD++ tier shape: B=32k, W=256 -> est ~97 MB, grid fallback
+    assert not tloop_auto(1 << 15, 65, 256)
+    # tloop requires the all-2D chain; the resident variant keeps its grid
+    assert not tloop_auto(1 << 14, 65, 128, all2d=False)
+    assert not tloop_auto(1 << 14, 65, 128, resident=True)

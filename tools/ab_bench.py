@@ -52,9 +52,13 @@ def build(window, batch, locality_sort, inner=INNER, chunk=4096,
     return ep, (Paug, Qaug), p_layout, q_layout
 
 
-def build_implicit(use_pallas, window=256, batch=1 << 15, inner=4):
+def build_implicit(use_pallas, window=256, batch=1 << 15, inner=4,
+                   chunk=None):
     '''SVD++ alternating-implicit epoch at the bench operating point
-    (W=256/B=32k — the plain tier's W=128 diverges here).'''
+    (W=256/B=32k — the plain tier's W=128 diverges here).  chunk
+    defaults to the builder's 4096 (AB_CHUNK overrides: chunk=B rides
+    the one-grid-step-per-sweep win on the Pallas base; tloop stays
+    auto-gated OFF at this shape — [B,1] columns OOM VMEM at B=32k).'''
     pl_ = sgd_mf.sorted_pass_layout(users, items, vals, batch, axis='user',
                                     max_window=window)
     ql_ = sgd_mf.sorted_pass_layout(users, items, vals, batch, axis='item',
@@ -73,18 +77,23 @@ def build_implicit(use_pallas, window=256, batch=1 << 15, inner=4):
     nrm[:U] = np.where(counts > 0,
                        1.0 / np.sqrt(np.maximum(counts, 1.0)), 0.0)
     nrm_rows = jnp.asarray(nrm)
+    kw = {}
+    if chunk is not None:
+        kw['chunk'] = chunk
     ep = sgd_mf.make_alternating_implicit_epoch(
         W_user, W_item, lr=0.15, lr_y=0.05, K=0.02, K_y=0.02,
         inner_steps=inner, use_pallas_full=use_pallas, ff_dtype=None,
-        donate=False)
+        donate=False, **kw)
     return ep, (Paug, Qaug, Ypad), p_layout, q_layout, nrm_rows
 
 
 def ab_implicit(blocks=4):
     inner = int(os.environ.get('AB_T', 4))
-    print('(inner_steps=%d both sides)' % inner)
+    chunk = os.environ.get('AB_CHUNK')
+    chunk = int(chunk) if chunk else None
+    print('(inner_steps=%d both sides, pallas chunk=%s)' % (inner, chunk))
     ep_a, st_a, pa, qa, nrm = build_implicit(False, inner=inner)
-    ep_b, st_b, pb, qb, _ = build_implicit(True, inner=inner)
+    ep_b, st_b, pb, qb, _ = build_implicit(True, inner=inner, chunk=chunk)
 
     def blk(ep, st, pl, ql, epochs=3):
         Pa, Qa, Yp = st
@@ -573,6 +582,19 @@ if __name__ == '__main__':
             True),
            'tloop',
            (128, BATCH // 2, False, 64, 16384, False, 'bfloat16', False,
+            True, 0, False, False, None, 0, True),
+           blocks=3)
+    elif mode == 'netflix_t128tloop':
+        # does the T ladder reopen past 64 at the Netflix rank-128
+        # shape on the tloop kernel?  (rate standard: adopt if the
+        # interleaved gain matches the T=64 rung's +8.5%-class margin
+        # and the quality gate holds)
+        print('--- Netflix r128 A/B: T=64 vs T=128 (tloop, bf16 ff)')
+        ab('t64',
+           (128, BATCH // 2, False, 64, 16384, False, 'bfloat16', False,
+            True, 0, False, False, None, 0, True),
+           't128',
+           (128, BATCH // 2, False, 128, 16384, False, 'bfloat16', False,
             True, 0, False, False, None, 0, True),
            blocks=3)
     elif mode == 't128':
