@@ -237,10 +237,12 @@ def main():
         U, I, N, K = 480_189, 17_770, 100_000_000, 128
         config = 'netflix100m_rank128'
         mode = 'alternating'
-        # Netflix rides the same T=64 default (AB=netflix_t64 +8.5%
-        # over 32) and the tloop kernel (AB=netflix_t64tloop +40.1%
-        # over the grid): 17.373 s/epoch = 4.72e10 updates/s (1274×)
-        # at RMSE 0.318 < 0.324
+        # Netflix climbed the same tloop ladder: T=64 +8.5% over 32
+        # (AB=netflix_t64), tloop +40.1% over the grid
+        # (AB=netflix_t64tloop, 17.373 s = 4.72e10 = 1274×), T=128
+        # +6.7% over 64 (AB=netflix_t128tloop: 32.557 vs 2×17.377
+        # interleaved) — 32.554 s/epoch = 5.03e10 updates/s (1360×)
+        # at RMSE 0.3123 < 0.318 (T=64): quality still improving
     users, items, vals = make_data(U, I, N)
 
     if mode == 'als':
@@ -252,10 +254,10 @@ def main():
     # T=128 at 2.138 s/epoch = 3.83e10 = 1035× (+5.9% over T=64) with
     # per-epoch RMSE improving monotonically at every step
     # (0.469 → ... → 0.2996 → 0.2931); the tloop marginal sweep is a
-    # constant ~12.9 µs/batch.  Netflix pins its measured T=64
-    # (AB=netflix_t64tloop) until the 128 rung is measured there.
-    inner = int(os.environ.get('BENCH_INNER',
-                               128 if config == 'ml10m' else 64))
+    # constant ~12.9 µs/batch.  Netflix measured its own T=128 rung
+    # (AB=netflix_t128tloop +6.7%, gate RMSE 0.3123 < 0.318) — both
+    # headline configs share the model default T=128.
+    inner = int(os.environ.get('BENCH_INNER', 128))
 
     if mode == 'implicit':
         # SVD++ at sorted-window speed (alternating implicit tier).
@@ -292,11 +294,17 @@ def main():
         ep = sgd_mf.make_alternating_implicit_epoch(
             W_user, W_item, lr=float(os.environ.get('BENCH_LR', 0.15)),
             lr_y=0.05, K=0.02, K_y=0.02, inner_steps=inner,
-            # XLA base measured FASTER here than the fused Pallas kernel
-            # (0.463 vs 0.652 s/epoch, and bf16 rounding visibly hurts
-            # the Y-coupled convergence: RMSE 0.693 -> 0.703) — the
-            # interleaved Y phases break the kernel's pipelining
-            use_pallas_full=os.environ.get('BENCH_IMPLICIT_PALLAS') == '1',
+            # fused Pallas base by default since the T=32 climb: the r2
+            # negative (XLA 0.463 vs Pallas 0.652 at T=4) REVERSED once
+            # in-VMEM sweeps dominate (AB=implicit AB_T=32: XLA 2.5911
+            # vs Pallas 1.8935 s/epoch = +36.8% at identical RMSE
+            # 0.3136).  ff stays f32 — bf16 rounding hurts the
+            # Y-coupled convergence (r2 measurement, unchanged).
+            # BENCH_IMPLICIT_PALLAS=0 forces the XLA base; on CPU the
+            # kernel can't lower, so the XLA base always runs there.
+            use_pallas_full=(
+                os.environ.get('BENCH_IMPLICIT_PALLAS', '1') == '1'
+                and jax.default_backend() != 'cpu'),
             ff_dtype=None)
         state = (Paug, Qaug, Ypad)
 
@@ -489,10 +497,11 @@ def main():
 
 def _defaults_match(batch, inner, mode, config='ml10m'):
     if mode != 'alternating' or os.environ.get('BENCH_LR') \
-            or config != 'ml10m':
-        # only meaningful for the headline config (the Netflix mode
-        # pins its own measured T=32 operating point, which is not the
-        # ML-10M-tuned model default)
+            or config not in ('ml10m', 'netflix100m_rank128'):
+        # meaningful for the two headline configs — since the Netflix
+        # T=128 adoption (AB=netflix_t128tloop) both run at the shipped
+        # GDRecommender defaults (engine auto, batch 16k, T=128, the
+        # row-mean lr 0.15)
         return None
     from mfrec_tpu.models.gd import GDRecommender
     m = GDRecommender(4, 4)

@@ -590,14 +590,19 @@ class GDRecommender(MFRecommender):
                                         0.0)
         nrm_rows = jnp.asarray(nrm)
         mu = state.mu
+        import jax
         epoch = sgd_mf.make_alternating_implicit_epoch(
             W_user, W_item, lr, lr,
             self.K, self.K, lo_r=self.min_rating, hi_r=self.max_rating,
-            chunk=chunk, inner_steps=self.inner_steps_implicit)
-        # (deliberately the XLA base even on TPU: the fused Pallas
-        # half-pass measured slower inside this epoch — its phases
-        # interleave with the Y aggregations — and bf16 rounding hurts
-        # the Y-coupled convergence; see ROADMAP measurement)
+            chunk=chunk, inner_steps=self.inner_steps_implicit,
+            # fused Pallas half-pass base: the r2 negative (XLA faster
+            # at T=4) REVERSED once the tier climbed to T=32 — the
+            # in-VMEM sweeps dominate and the all2d+dot_sum kernel is
+            # ~2x faster per sweep (AB=implicit AB_T=32: 2.5911 vs
+            # 1.8935 s/epoch = +36.8% at identical RMSE 0.3136).
+            # ff_dtype stays f32: bf16 rounding hurts the Y-coupled
+            # convergence (ROADMAP r2 measurement, unchanged)
+            use_pallas_full=jax.default_backend() != 'cpu')
         driver = ConvergenceDriver(self.min_epochs, self.max_epochs,
                                    self.min_improvement)
 

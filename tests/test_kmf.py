@@ -70,7 +70,10 @@ def test_kmf_model_end_to_end(small_dataset):
     model = KMFRecommender(U, I, {'nbr_epochs': 200, 'nbr_features': 8,
                                   'learning_rate': 0.02,
                                   'regularization_users': 0.05,
-                                  'regularization_items': 0.05})
+                                  'regularization_items': 0.05,
+                                  # pin the pre-T=64 sweep count (the
+                                  # shipped KMF default is TPU-tuned)
+                                  'inner_steps': 8})
     model.seed(0)
     model.set_ratings(u, i, v)
     model.train()

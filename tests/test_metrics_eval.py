@@ -20,7 +20,10 @@ def _trained(small_dataset, **over):
     (u, i, v), test = small_dataset
     U, I = int(u.max()) + 1, int(i.max()) + 1
     params = {'min_epochs': 15, 'max_epochs': 15, 'nbr_features': 6,
-              'learning_rate': 0.01, 'regularization_model': 0.02}
+              'learning_rate': 0.01, 'regularization_model': 0.02,
+              # pin the pre-T=128 sweep count (metric behavior, not
+              # training rate, is under test — 16x less CPU work)
+              'inner_steps': 8}
     params.update(over)
     m = GDRecommender(U, I, params)
     m.seed(0)
@@ -84,7 +87,8 @@ def test_folding_in_harness(small_dataset):
 
     def factory():
         m = GDRecommender(U, I, {'min_epochs': 5, 'max_epochs': 5,
-                                 'nbr_features': 6, 'learning_rate': 0.01})
+                                 'nbr_features': 6, 'learning_rate': 0.01,
+                                 'inner_steps': 8})
         m.seed(0)
         return m
 
@@ -103,7 +107,7 @@ def test_sweep_parameter(small_dataset):
 
     def factory(extra):
         params = {'min_epochs': 5, 'max_epochs': 5, 'nbr_features': 6,
-                  'learning_rate': 0.01}
+                  'learning_rate': 0.01, 'inner_steps': 8}
         params.update(extra)
         m = GDRecommender(U, I, params)
         m.seed(0)
