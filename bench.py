@@ -294,6 +294,11 @@ def main():
         ep = sgd_mf.make_alternating_implicit_epoch(
             W_user, W_item, lr=float(os.environ.get('BENCH_LR', 0.15)),
             lr_y=0.05, K=0.02, K_y=0.02, inner_steps=inner,
+            # chunk ladder on the Pallas base (AB=implicit_chunk):
+            # 8192 beats 4096 by +1.5% at identical RMSE; 16384 OOMs
+            # scoped VMEM on the (T, B/ch) grid at W=256/B=32k (the
+            # model layer's min(8192, batch) agrees)
+            chunk=int(os.environ.get('BENCH_CHUNK', 8192)),
             # fused Pallas base by default since the T=32 climb: the r2
             # negative (XLA 0.463 vs Pallas 0.652 at T=4) REVERSED once
             # in-VMEM sweeps dominate (AB=implicit AB_T=32: XLA 2.5911

@@ -530,6 +530,13 @@ if __name__ == '__main__':
     elif mode == 'kmf_t64':
         print('--- KMF logistic A/B: T=32 vs T=64 (tloop, bf16 ff)')
         ab_kmf('t32', 32, 't64', 64)
+    elif mode == 'kmf_t128':
+        # the t64 rung measured +8.4% and projected T=128 at +4.5%;
+        # the explicit tiers adopted their 128 rungs at +5.9/+6.7%, so
+        # measure rather than trust the projection (adopt at >=5% with
+        # a monotone quality gate, same standard as every other rung)
+        print('--- KMF logistic A/B: T=64 vs T=128 (tloop, bf16 ff)')
+        ab_kmf('t64', 64, 't128', 128)
     elif mode == 'implicit_ladder':
         # SVD++ tier: does the XLA alternating-implicit epoch amortize
         # more inner sweeps the way the Pallas tier does?  (default T=4)
@@ -560,6 +567,41 @@ if __name__ == '__main__':
               % (t_a, [round(x, 4) for x in ta], float(np.median(ta)), ra))
         print('t%d: %s  median %.4f  rmse %.4f'
               % (t_b, [round(x, 4) for x in tb], float(np.median(tb)), rb))
+    elif mode == 'implicit_chunk':
+        # now that the implicit tier rides the Pallas base (AB=implicit
+        # AB_T=32 +36.8%), does its grid want bigger chunks?  (chunk=B
+        # won +26.2% on the explicit tier; tloop is auto-gated OFF at
+        # W=256/B=32k, so the (T, B/ch) grid is what's tuned here)
+        inner = int(os.environ.get('AB_T', 32))
+        c_a = int(os.environ.get('AB_CA', 4096))
+        c_b = int(os.environ.get('AB_CB', 8192))
+        print('--- SVD++ Pallas-base A/B: chunk=%d vs %d (T=%d, W=256, '
+              'B=32k)' % (c_a, c_b, inner))
+        ep_a, st_a, pa, qa, nrm = build_implicit(True, inner=inner,
+                                                 chunk=c_a)
+        ep_b, st_b, pb, qb, _ = build_implicit(True, inner=inner,
+                                               chunk=c_b)
+
+        def blk(ep, st, pl, ql, epochs=3):
+            Pa, Qa, Yp = st
+            t0 = time.perf_counter()
+            for _ in range(epochs):
+                Pa, Qa, Yp, rmse = ep(Pa, Qa, Yp, mu, pl, ql, nrm)
+            r = float(rmse)
+            return (time.perf_counter() - t0) / epochs, (Pa, Qa, Yp), r
+        _, st_a, _ = blk(ep_a, st_a, pa, qa, epochs=1)
+        _, st_b, _ = blk(ep_b, st_b, pb, qb, epochs=1)
+        ta, tb = [], []
+        ra = rb = None
+        for _ in range(4):
+            dt, st_a, ra = blk(ep_a, st_a, pa, qa)
+            ta.append(dt)
+            dt, st_b, rb = blk(ep_b, st_b, pb, qb)
+            tb.append(dt)
+        print('c%d: %s  median %.4f  rmse %.4f'
+              % (c_a, [round(x, 4) for x in ta], float(np.median(ta)), ra))
+        print('c%d: %s  median %.4f  rmse %.4f'
+              % (c_b, [round(x, 4) for x in tb], float(np.median(tb)), rb))
     elif mode == 't64tloop':
         # in-kernel fori over T (no pallas grid) vs the (T, 1) grid at
         # chunk=B: isolates the per-sweep Mosaic grid-step transition
