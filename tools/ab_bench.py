@@ -639,6 +639,18 @@ if __name__ == '__main__':
            (128, BATCH // 2, False, 128, 16384, False, 'bfloat16', False,
             True, 0, False, False, None, 0, True),
            blocks=3)
+    elif mode == 't256':
+        # stop-evidence for the T ladder past the adopted 128 (the
+        # constant ~12.9 us/batch marginal projects ~+3%; measure
+        # rather than trust the projection — same lesson as kmf_t128)
+        print('--- A/B: T=128 vs T=256 (tloop, bf16 ff)')
+        ab('t128',
+           (128, BATCH // 2, False, 128, 16384, False, 'bfloat16', False,
+            True, 0, True, False, None, 0, True),
+           't256',
+           (128, BATCH // 2, False, 256, 16384, False, 'bfloat16', False,
+            True, 0, True, False, None, 0, True),
+           blocks=3)
     elif mode == 't128':
         # does the ladder reopen past 64 on the tloop kernel?
         # (marginal ~13 us/batch projects T=128 at only +4-5% rate)

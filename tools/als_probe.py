@@ -5,13 +5,18 @@ lever: the [R, L, k] neighbor gather materializes in HBM before the
 Gram einsum.  Before building a fused gather+Gram kernel (hard: Mosaic
 has no dynamic row gather), measure what the gather actually costs.
 
-Variants (all the same shapes and op graph — timing-only surgery on
-the BUCKET DATA, so ops/als.py is untouched):
+Variants (timing-only surgery on the BUCKET DATA, so ops/als.py is
+untouched — except `coarse`, which is numerics-identical and
+adoptable):
   default — real nnz-bucket neighbor lists (random access)
   seq     — nbr_idx rewritten to sequential indices (locality-perfect
             access; numerics wrong, timing-only)
   cg1     — default buckets, cg_steps=1 (vs the steady 3): the
             per-CG-step cost by subtraction
+  coarse  — a (32, 256, 2048)-rung bucket ladder instead of the
+            default powers of two: ~3x fewer per-bucket op sequences
+            and larger batched Gram/CG ops at more padded FLOPs
+            (masked padding — numerically identical results)
 
 Run from the repo root: python tools/als_probe.py
 '''
@@ -69,11 +74,17 @@ if __name__ == '__main__':
     ib = als_ops.device_buckets(ib_h)
     ub_s = als_ops.device_buckets(seq_buckets(ub_h, I))
     ib_s = als_ops.device_buckets(seq_buckets(ib_h, U))
+    coarse = (32, 256, 2048)
+    ub_c = als_ops.device_buckets(r.padded_rows(axis='user',
+                                                buckets=coarse))
+    ib_c = als_ops.device_buckets(r.padded_rows(axis='item',
+                                                buckets=coarse))
 
     variants = {
         'default': (ub, ib, 3),
         'seq': (ub_s, ib_s, 3),
         'cg1': (ub, ib, 1),
+        'coarse': (ub_c, ib_c, 3),
     }
     built = {nm: build(*cfg) for nm, cfg in variants.items()}
     times = {nm: [] for nm in variants}
