@@ -230,6 +230,16 @@ def main():
         return bench_serving(
             B=int(os.environ.get('BENCH_SERVE_B', 1024)),
             rated_L=int(os.environ.get('BENCH_RATED_L', 0)))
+    # full_train: the reference's only published wall-clock claim is
+    # "49 minutes" for FULL ML-10M training at 40 features
+    # (/root/reference/mfrec/recommendation/gradient_descent.py:41-45).
+    # This mode times full training on the flagship tier at shipped
+    # defaults — epochs until the train-RMSE improvement drops below
+    # min_improvement (the reference's own stopping knob) — instead of
+    # steady-state epoch rate.
+    full_train = mode == 'full_train'
+    if full_train:
+        mode = 'alternating'
     config = 'ml10m'
     if mode == 'netflix':
         # Netflix-prize scale (BASELINE config 5) on one chip:
@@ -442,8 +452,48 @@ def main():
 
     # compile + warmup (value fetch: on relayed platforms
     # block_until_ready does not reliably block)
+    init_host = tuple(np.array(x) for x in state) if full_train else None
     state, rmse = epoch(state)
     float(rmse)
+
+    if full_train:
+        # time a COMPLETE training run from fresh factors (compile is
+        # already warm — the reference's 49 min has no compile either).
+        # Per-epoch device->host RMSE sync is part of real training
+        # (the model layer's ConvergenceDriver does the same).
+        min_imp = float(os.environ.get('BENCH_MIN_IMPROVEMENT', 1e-4))
+        max_ep = int(os.environ.get('BENCH_MAX_EPOCHS', 60))
+        min_ep = int(os.environ.get('BENCH_MIN_EPOCHS', 3))
+        state = tuple(jnp.asarray(x) for x in init_host)
+        history = []
+        t0 = time.perf_counter()
+        for e in range(max_ep):
+            state, rmse = epoch(state)
+            r = float(rmse)
+            history.append(r)
+            if (len(history) >= max(2, min_ep)
+                    and history[-2] - history[-1] < min_imp):
+                break
+        total = time.perf_counter() - t0
+        print(json.dumps({
+            'metric': 'ml10m_rank64_full_train_s',
+            'value': round(total, 3),
+            'unit': 's, full training to plateau (min_improvement %g)'
+                    % min_imp,
+            # reference: 49 min = 2940 s for full ML-10M training
+            # (gradient_descent.py:41-45, 2011 CPU, 40 features)
+            'vs_baseline': round(2940.0 / total, 1),
+            'epochs': len(history),
+            'epoch_s': round(total / max(len(history), 1), 4),
+            'inner_steps': inner,
+            'final_train_rmse': round(history[-1], 4),
+            'bias_floor_rmse': round(floor, 4),
+            'beats_floor': bool(history[-1] < floor),
+            'device': str(jax.devices()[0]),
+            'engine_defaults_match': _defaults_match(batch, inner,
+                                                     mode, config),
+        }))
+        return
 
     # BENCH_TRACE=<logdir>: capture a jax.profiler trace of one timed
     # block (view with tensorboard/xprof; host-side events always record,
