@@ -431,7 +431,7 @@ def half_pass_batch(window, ff, r, m, kl, lrv, regv, mu, W, chunk=4096,
         kernel = functools.partial(_kernel_resident, int(W), B // ch,
                                    lo_r, hi_r, bool(clamp_pred),
                                    bool(row_mean), bool(bias_none), link,
-                                   bool(all2d), bool(dot_sum))
+                                   bool(all2d), dot_sum)
         if all2d:
             r, m, kl = r[:, None], m[:, None], kl[:, None]
             colr = lambda: pl.BlockSpec((B, 1), lambda t: (0, 0),
@@ -482,7 +482,7 @@ def half_pass_batch(window, ff, r, m, kl, lrv, regv, mu, W, chunk=4096,
     kernel = functools.partial(_kernel, int(W), lo_r, hi_r,
                                bool(clamp_pred), bool(row_mean),
                                bool(bias_none), bool(cache_onehot), link,
-                               bool(all2d), bool(dot_sum))
+                               bool(all2d), dot_sum)
     if all2d:
         r, m, kl = r[:, None], m[:, None], kl[:, None]
         col = lambda: pl.BlockSpec((ch, 1), lambda t, j: (j, 0),
@@ -820,7 +820,7 @@ def half_pass_group(F_upd, ff, r, m, kl, lo, lrv, regv, mu, W, chunk=4096,
         kernel = functools.partial(_kernel_group_resident, int(W), nj,
                                    lo_r, hi_r, bool(clamp_pred),
                                    bool(row_mean), bool(bias_none), link,
-                                   bool(dot_sum), bool(interpret))
+                                   dot_sum, bool(interpret))
         colr = lambda: pl.BlockSpec((B, 1), lambda g, t, lo: (g, 0),
                                     memory_space=pltpu.VMEM)
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -855,7 +855,7 @@ def half_pass_group(F_upd, ff, r, m, kl, lo, lrv, regv, mu, W, chunk=4096,
     else:
         kernel = functools.partial(_kernel_group, int(W), int(k), lo_r,
                                    hi_r, bool(clamp_pred), bool(row_mean),
-                                   bool(bias_none), link, bool(dot_sum),
+                                   bool(bias_none), link, dot_sum,
                                    bool(interpret))
         col = lambda: pl.BlockSpec((ch, 1),
                                    lambda g, t, j, lo: (g * nj + j, 0),

@@ -357,6 +357,21 @@ if __name__ == '__main__':
            (128, BATCH // 2, False, 8, 8192, False, 'bfloat16', True, True,
             0, 'split'),
            blocks=3)
+    elif mode == 'netflix_dotsplit_tloop':
+        # the r4 self-review found the original AB=netflix_dotsplit
+        # measured NOTHING (bool(dot_sum) coerced 'split' to the plain
+        # keepdims-sum on the grid path) — re-decide split vs matvec at
+        # k=130 on the SHIPPED tloop kernel, where the string always
+        # reached the dot
+        print('--- Netflix r128 A/B: matvec dot vs SPLIT keepdims-sum '
+              '(tloop, T=64, bf16 ff)')
+        ab('matvec',
+           (128, BATCH // 2, False, 64, 16384, False, 'bfloat16', False,
+            True, 0, False, False, None, 0, True),
+           'split',
+           (128, BATCH // 2, False, 64, 16384, False, 'bfloat16', False,
+            True, 0, 'split', False, None, 0, True),
+           blocks=3)
     elif mode == 't16':
         # marginal sweep is now ~15 us (all2d+dot_sum): re-check whether
         # more in-VMEM sweeps amortize further (rate only; quality at
@@ -639,6 +654,17 @@ if __name__ == '__main__':
            (128, BATCH // 2, False, 128, 16384, False, 'bfloat16', False,
             True, 0, False, False, None, 0, True),
            blocks=3)
+    elif mode == 'netflix_t256':
+        # ladder-end stop-evidence at the Netflix shape (t64/t128 data
+        # projects ~+3.4%: fixed ~2.2 s + 0.2372 s/sweep-epoch)
+        print('--- Netflix r128 A/B: T=128 vs T=256 (tloop, bf16 ff)')
+        ab('t128',
+           (128, BATCH // 2, False, 128, 16384, False, 'bfloat16', False,
+            True, 0, False, False, None, 0, True),
+           't256',
+           (128, BATCH // 2, False, 256, 16384, False, 'bfloat16', False,
+            True, 0, False, False, None, 0, True),
+           blocks=2)
     elif mode == 't256':
         # stop-evidence for the T ladder past the adopted 128 (the
         # constant ~12.9 us/batch marginal projects ~+3%; measure

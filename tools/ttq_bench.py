@@ -1,0 +1,151 @@
+'''Time-to-target-RMSE bench — the quality-led ladder (ROADMAP r5).
+
+The rate A/Bs rejected ML-10M T=256 (+3.0%) and KMF T=128 (+4.4%)
+under the >=5% rate-adoption standard, but per-epoch RMSE still
+improved at those rungs.  Rate-at-fixed-epoch is the wrong metric for
+a quality-hungry user; the decision-grade question is: at a fixed
+TARGET train RMSE, which inner_steps reaches it in the least
+wall-clock?  This tool answers it directly.
+
+Method (same protocol as bench.py BENCH_MODE=full_train): for each
+config, one fresh-factors trajectory — compile warmed on a throwaway
+epoch, state reset from host, then epochs with a per-epoch
+device->host RMSE sync — recording (cumulative seconds, RMSE) per
+epoch until the improvement drops below TTQ_STOP_IMP or TTQ_MAX_EP.
+The report prints each trajectory and the FIRST-CROSSING time for a
+ladder of targets.  Trajectories are sequential (a trajectory is
+stateful, so the interleaved-block A/B discipline cannot apply);
+the ~20%/hours relay drift (CLAUDE.md) is BRACKETED instead: the
+first config re-runs at the end (A, B, ..., A2) and the report
+prints the A2/A per-epoch-time ratio — conclusions are only
+decision-grade when that bracket is tight (within a few %).
+
+    TTQ=ml10m python tools/ttq_bench.py   # T=64/128/256, rank 64
+    TTQ=kmf   python tools/ttq_bench.py   # T=32/64/128, logistic
+
+Reference anchor: full training is the reference's only published
+wall-clock claim (gradient_descent.py:41-45, "49 minutes" ML-10M).
+'''
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+import jax.numpy as jnp
+
+import bench
+import ab_bench as abm
+
+
+def trajectory(build_fn, label, mu, max_ep, stop_imp):
+    ep, st, pl, ql = build_fn()
+    st_host = tuple(np.array(x) for x in st)
+    # warm the compile on a throwaway step, then restart from fresh
+    # factors so epoch 1's time is a training epoch, not a compile
+    p, q, r = ep(st[0], st[1], mu, pl, ql)
+    float(r)
+    del p, q
+    st = tuple(jnp.asarray(x) for x in st_host)
+    rows = []
+    t0 = time.perf_counter()
+    for _ in range(max_ep):
+        p, q, r = ep(st[0], st[1], mu, pl, ql)
+        st = (p, q)
+        rv = float(r)                      # per-epoch sync (real training
+        rows.append((time.perf_counter() - t0, rv))  # does the same)
+        if len(rows) >= 3 and rows[-2][1] - rows[-1][1] < stop_imp:
+            break
+    ep_s = rows[-1][0] / len(rows)
+    print('%s: %d epochs, %.2f s total (%.4f s/epoch), final rmse %.4f'
+          % (label, len(rows), rows[-1][0], ep_s, rows[-1][1]))
+    print('   traj: ' + ' '.join('%.1fs@%.4f' % rc for rc in rows))
+    return rows
+
+
+def first_crossing(rows, target):
+    for t, r in rows:
+        if r <= target:
+            return t
+    return None
+
+
+def report(trajs, targets, bracket):
+    '''trajs: list of (label, rows); bracket: (label, ratio).'''
+    print('\ntime-to-target (s; - = never reached):')
+    hdr = 'target  ' + ''.join('%12s' % lb for lb, _ in trajs)
+    print(hdr)
+    table = {}
+    for tgt in targets:
+        cells = []
+        for lb, rows in trajs:
+            c = first_crossing(rows, tgt)
+            table.setdefault(lb, {})[tgt] = c
+            cells.append('%12s' % ('-' if c is None else '%.2f' % c))
+        print('%.4f  %s' % (tgt, ''.join(cells)))
+    print('\ndrift bracket: %s re-run epoch-time ratio %.3f '
+          '(tight <1.05 = decision-grade)' % bracket)
+    print(json.dumps({'ttq': {lb: {('%.4f' % t): (None if c is None
+                                                  else round(c, 2))
+                                   for t, c in d.items()}
+                              for lb, d in table.items()},
+                      'drift_ratio': round(bracket[1], 4)}))
+
+
+def main():
+    mode = os.environ.get('TTQ', 'ml10m')
+    max_ep = int(os.environ.get('TTQ_MAX_EP', 48))
+    stop_imp = float(os.environ.get('TTQ_STOP_IMP', 5e-5))
+    if mode == 'ml10m':
+        # shipped headline tier at the exact AB=t256 configs (tloop,
+        # chunk=B, bf16 ff, all2d, keepdims-sum dot at k=64)
+        ts = [int(x) for x in
+              os.environ.get('TTQ_T', '64,128,256').split(',')]
+        mk = lambda T: (lambda: abm.build(
+            128, 1 << 14, False, T, 1 << 14, False, 'bfloat16', False,
+            True, 0, True, False, None, 0, True))
+        mu = jnp.float32(abm.vals.mean())
+        targets = [float(x) for x in os.environ.get(
+            'TTQ_TARGETS',
+            '0.34,0.32,0.31,0.30,0.295,0.293,0.291,0.290,0.289,0.288'
+        ).split(',')]
+    elif mode == 'kmf':
+        ts = [int(x) for x in
+              os.environ.get('TTQ_T', '32,64,128').split(',')]
+        mk = lambda T: (lambda: abm.build_kmf(T))
+        mu = jnp.float32(0.0)
+        targets = [float(x) for x in os.environ.get(
+            'TTQ_TARGETS',
+            '0.40,0.36,0.34,0.33,0.325,0.320,0.317,0.315,0.313,0.311'
+        ).split(',')]
+    else:
+        raise SystemExit('unknown TTQ mode %r' % mode)
+
+    trajs = []
+    for T in ts:
+        trajs.append(('T=%d' % T,
+                      trajectory(mk(T), 'T=%d' % T, mu, max_ep, stop_imp)))
+    # drift bracket: re-run the first config
+    lb0 = 'T=%d' % ts[0]
+    rows2 = trajectory(mk(ts[0]), lb0 + ' (re-run)', mu, max_ep, stop_imp)
+    e1 = trajs[0][1][-1][0] / len(trajs[0][1])
+    e2 = rows2[-1][0] / len(rows2)
+    report(trajs, targets, (lb0, e2 / e1))
+
+
+if __name__ == '__main__':
+    # data build inside the guard (imports must not trigger generation)
+    U, I, N, K = 69878, 10677, 10_000_000, 64
+    # smoke-scale overrides (CPU sanity runs), same names as bench.py
+    U = int(os.environ.get('BENCH_U', U))
+    I = int(os.environ.get('BENCH_I', I))
+    N = int(os.environ.get('BENCH_N', N))
+    K = int(os.environ.get('BENCH_K', K))
+    abm.U, abm.I, abm.N, abm.K = U, I, N, K
+    abm.users, abm.items, abm.vals = bench.make_data(U, I, N)
+    _floor, abm.bu_fit, abm.bi_fit = bench.bias_floor_rmse(
+        abm.users, abm.items, abm.vals, U, I)
+    print('bias-floor rmse %.4f' % _floor)
+    main()
