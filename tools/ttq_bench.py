@@ -20,8 +20,10 @@ first config re-runs at the end (A, B, ..., A2) and the report
 prints the A2/A per-epoch-time ratio — conclusions are only
 decision-grade when that bracket is tight (within a few %).
 
-    TTQ=ml10m python tools/ttq_bench.py   # T=64/128/256, rank 64
-    TTQ=kmf   python tools/ttq_bench.py   # T=32/64/128, logistic
+    TTQ=ml10m   python tools/ttq_bench.py   # T=64/128/256, rank 64
+    TTQ=kmf     python tools/ttq_bench.py   # T=32/64/128, logistic
+    TTQ=netflix python tools/ttq_bench.py   # T=64/128, rank 128, 100M
+    TTQ=implicit python tools/ttq_bench.py  # SVD++ T=8/16/32, W=256
 
 Reference anchor: full training is the reference's only published
 wall-clock claim (gradient_descent.py:41-45, "49 minutes" ML-10M).
@@ -40,20 +42,21 @@ import bench
 import ab_bench as abm
 
 
-def trajectory(build_fn, label, mu, max_ep, stop_imp):
-    ep, st, pl, ql = build_fn()
+def trajectory(build_fn, label, max_ep, stop_imp):
+    '''build_fn() -> (step, state0) with step(state) -> (state, rmse);
+    state0 is a tuple of device arrays (host-copied for the reset).'''
+    step, st = build_fn()
     st_host = tuple(np.array(x) for x in st)
     # warm the compile on a throwaway step, then restart from fresh
     # factors so epoch 1's time is a training epoch, not a compile
-    p, q, r = ep(st[0], st[1], mu, pl, ql)
+    _st, r = step(st)
     float(r)
-    del p, q
+    del _st
     st = tuple(jnp.asarray(x) for x in st_host)
     rows = []
     t0 = time.perf_counter()
     for _ in range(max_ep):
-        p, q, r = ep(st[0], st[1], mu, pl, ql)
-        st = (p, q)
+        st, r = step(st)
         rv = float(r)                      # per-epoch sync (real training
         rows.append((time.perf_counter() - t0, rv))  # does the same)
         if len(rows) >= 3 and rows[-2][1] - rows[-1][1] < stop_imp:
@@ -98,27 +101,82 @@ def main():
     mode = os.environ.get('TTQ', 'ml10m')
     max_ep = int(os.environ.get('TTQ_MAX_EP', 48))
     stop_imp = float(os.environ.get('TTQ_STOP_IMP', 5e-5))
+
+    def explicit(T, *, netflix=False):
+        # AB=t256 / netflix_t128tloop configs: tloop, chunk=B, bf16 ff,
+        # all2d; dot is keepdims-sum at k=64, matvec at k=130
+        def bf():
+            ep, st, pl, ql = abm.build(
+                128, 1 << 14, False, T, 1 << 14, False, 'bfloat16',
+                False, True, 0, not netflix, False, None, 0, True)
+            mu = jnp.float32(abm.vals.mean())
+            def step(s):
+                Pa, Qa, r = ep(s[0], s[1], mu, pl, ql)
+                return (Pa, Qa), r
+            return step, st
+        return bf
+
+    def kmf(T):
+        def bf():
+            ep, st, pl, ql = abm.build_kmf(T)
+            mu = jnp.float32(0.0)
+            def step(s):
+                Pa, Qa, r = ep(s[0], s[1], mu, pl, ql)
+                return (Pa, Qa), r
+            return step, st
+        return bf
+
+    def implicit(T):
+        # shipped SVD++ config: fused Pallas base, chunk 8192, ff f32
+        def bf():
+            ep, st, pl, ql, nrm = abm.build_implicit(True, inner=T,
+                                                     chunk=8192)
+            mu = jnp.float32(abm.vals.mean())
+            def step(s):
+                Pa, Qa, Yp, r = ep(s[0], s[1], s[2], mu, pl, ql, nrm)
+                return (Pa, Qa, Yp), r
+            return step, st
+        return bf
+
     if mode == 'ml10m':
-        # shipped headline tier at the exact AB=t256 configs (tloop,
-        # chunk=B, bf16 ff, all2d, keepdims-sum dot at k=64)
         ts = [int(x) for x in
               os.environ.get('TTQ_T', '64,128,256').split(',')]
-        mk = lambda T: (lambda: abm.build(
-            128, 1 << 14, False, T, 1 << 14, False, 'bfloat16', False,
-            True, 0, True, False, None, 0, True))
-        mu = jnp.float32(abm.vals.mean())
+        mk = explicit
         targets = [float(x) for x in os.environ.get(
             'TTQ_TARGETS',
             '0.34,0.32,0.31,0.30,0.295,0.293,0.291,0.290,0.289,0.288'
         ).split(',')]
+    elif mode == 'netflix':
+        # T=256 is NOT in the default list: AB=netflix_t256 crashed the
+        # TPU worker and the rung is projection-rejected; the decision
+        # pair is 64 vs the shipped 128.  Epochs are ~17/33 s, so the
+        # cap defaults lower.
+        ts = [int(x) for x in
+              os.environ.get('TTQ_T', '64,128').split(',')]
+        mk = lambda T: explicit(T, netflix=True)
+        max_ep = int(os.environ.get('TTQ_MAX_EP', 20))
+        targets = [float(x) for x in os.environ.get(
+            'TTQ_TARGETS',
+            '0.40,0.36,0.34,0.33,0.325,0.321,0.318,0.315,0.3125,0.310'
+        ).split(',')]
     elif mode == 'kmf':
         ts = [int(x) for x in
               os.environ.get('TTQ_T', '32,64,128').split(',')]
-        mk = lambda T: (lambda: abm.build_kmf(T))
-        mu = jnp.float32(0.0)
+        mk = kmf
         targets = [float(x) for x in os.environ.get(
             'TTQ_TARGETS',
             '0.40,0.36,0.34,0.33,0.325,0.320,0.317,0.315,0.313,0.311'
+        ).split(',')]
+    elif mode == 'implicit':
+        # SVD++ tier: the rate ladder closed at T=32 BY THE QUALITY
+        # GATE (T=64 regresses RMSE through the Y coupling); TTQ asks
+        # whether the cheaper T=16 reaches shared targets sooner
+        ts = [int(x) for x in
+              os.environ.get('TTQ_T', '8,16,32').split(',')]
+        mk = implicit
+        targets = [float(x) for x in os.environ.get(
+            'TTQ_TARGETS',
+            '0.45,0.40,0.36,0.34,0.33,0.322,0.318,0.314,0.311,0.309'
         ).split(',')]
     else:
         raise SystemExit('unknown TTQ mode %r' % mode)
@@ -126,10 +184,10 @@ def main():
     trajs = []
     for T in ts:
         trajs.append(('T=%d' % T,
-                      trajectory(mk(T), 'T=%d' % T, mu, max_ep, stop_imp)))
+                      trajectory(mk(T), 'T=%d' % T, max_ep, stop_imp)))
     # drift bracket: re-run the first config
     lb0 = 'T=%d' % ts[0]
-    rows2 = trajectory(mk(ts[0]), lb0 + ' (re-run)', mu, max_ep, stop_imp)
+    rows2 = trajectory(mk(ts[0]), lb0 + ' (re-run)', max_ep, stop_imp)
     e1 = trajs[0][1][-1][0] / len(trajs[0][1])
     e2 = rows2[-1][0] / len(rows2)
     report(trajs, targets, (lb0, e2 / e1))
@@ -138,6 +196,8 @@ def main():
 if __name__ == '__main__':
     # data build inside the guard (imports must not trigger generation)
     U, I, N, K = 69878, 10677, 10_000_000, 64
+    if os.environ.get('TTQ', 'ml10m') == 'netflix':
+        U, I, N, K = 480_189, 17_770, 100_000_000, 128
     # smoke-scale overrides (CPU sanity runs), same names as bench.py
     U = int(os.environ.get('BENCH_U', U))
     I = int(os.environ.get('BENCH_I', I))
