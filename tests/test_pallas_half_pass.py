@@ -508,6 +508,41 @@ def test_half_pass_dot_split_matches_sum():
                                atol=5e-6)
 
 
+def test_dot_sum_split_reaches_pred_dot_on_all_paths(monkeypatch):
+    '''Plumbing regression for the r4 bool-coercion bug: half_pass_batch
+    passed dot_sum through bool() on the grid/resident kernels, so
+    dot_sum='split' silently ran the plain keepdims-sum and the split
+    parity assertions above passed VACUOUSLY.  Pin the knob's plumbing
+    directly: record what _pred_dot2d actually receives on every kernel
+    path (the kernels resolve the module global at trace time, so a spy
+    sees the bound value).'''
+    from mfrec_tpu.ops import pallas_half_pass as php
+    rng = np.random.default_rng(7)
+    # deliberately unique shapes: half_pass_batch is jitted, and a
+    # static-signature collision with another test would cache-hit and
+    # skip the retrace the spy needs to observe
+    B, k, W, T = 192, 130, 24, 3
+    window = jnp.asarray(rng.normal(0, 0.3, (W, k)).astype(np.float32))
+    ff = jnp.asarray(rng.normal(0, 0.3, (B, k)).astype(np.float32))
+    r = jnp.asarray(rng.uniform(1, 5, B).astype(np.float32))
+    m = jnp.asarray((rng.random(B) > 0.1).astype(np.float32))
+    kl = jnp.asarray(np.sort(rng.integers(0, W, B)).astype(np.int32))
+    lrv = jnp.asarray(np.full(k, 0.1, np.float32))
+    regv = jnp.asarray(np.full(k, 0.02, np.float32))
+    seen = []
+    orig = php._pred_dot2d
+    monkeypatch.setattr(php, '_pred_dot2d',
+                        lambda fu, ff_, k_, ds: (seen.append(ds),
+                                                 orig(fu, ff_, k_, ds))[1])
+    for kw in ({'tloop': False}, {'tloop': True}, {'resident': True}):
+        seen.clear()
+        half_pass_batch(window, ff, r, m, kl, lrv, regv, 3.4, W,
+                        chunk=96, interpret=True, inner_steps=T,
+                        all2d=True, dot_sum='split', **kw)
+        assert seen and all(ds == 'split' for ds in seen), \
+            'dot_sum string did not reach _pred_dot2d on %r' % (kw,)
+
+
 def test_alternating_epoch_gather_grouped_matches_per_batch():
     '''pallas_gather_group=G (one fixed-side gather per G batches around
     per-batch kernel calls) must be BIT-identical to the per-batch scan:
