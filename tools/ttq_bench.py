@@ -55,12 +55,22 @@ def trajectory(build_fn, label, max_ep, stop_imp):
     st = tuple(jnp.asarray(x) for x in st_host)
     rows = []
     t0 = time.perf_counter()
+    # patience: SVD++'s Y-coupled objective has DETERMINISTIC transient
+    # RMSE bumps mid-trajectory (e.g. epoch 4 at T=8) that recover, so
+    # stop only after `patience` consecutive epochs without improving
+    # the best-so-far by stop_imp
+    patience = int(os.environ.get('TTQ_PATIENCE', 3))
+    best, stall = float('inf'), 0
     for _ in range(max_ep):
         st, r = step(st)
         rv = float(r)                      # per-epoch sync (real training
         rows.append((time.perf_counter() - t0, rv))  # does the same)
-        if len(rows) >= 3 and rows[-2][1] - rows[-1][1] < stop_imp:
-            break
+        if rv < best - stop_imp:
+            best, stall = rv, 0
+        else:
+            stall += 1
+            if len(rows) >= 3 and stall >= patience:
+                break
     ep_s = rows[-1][0] / len(rows)
     print('%s: %d epochs, %.2f s total (%.4f s/epoch), final rmse %.4f'
           % (label, len(rows), rows[-1][0], ep_s, rows[-1][1]))
