@@ -829,7 +829,7 @@ def half_pass_group(F_upd, ff, r, m, kl, lo, lrv, regv, mu, W, chunk=4096,
             in_specs=[
                 pl.BlockSpec((1, 1), lambda g, t, lo: (0, 0),
                              memory_space=pltpu.SMEM),      # mu
-                pl.BlockSpec(memory_space=pltpu.ANY),       # F_upd (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),       # F_upd (HBM)
                 pl.BlockSpec((B, k), lambda g, t, lo: (g, 0),
                              memory_space=pltpu.VMEM),      # ff (whole)
                 colr(),                                     # r
@@ -841,7 +841,7 @@ def half_pass_group(F_upd, ff, r, m, kl, lo, lrv, regv, mu, W, chunk=4096,
                              memory_space=pltpu.VMEM),      # regv
             ],
             out_specs=(
-                pl.BlockSpec(memory_space=pltpu.ANY),       # F_upd out
+                pl.BlockSpec(memory_space=pl.ANY),       # F_upd out
                 pl.BlockSpec((1, 1), lambda g, t, lo: (0, 0),
                              memory_space=pltpu.SMEM),      # sse
             ),
@@ -866,7 +866,7 @@ def half_pass_group(F_upd, ff, r, m, kl, lo, lrv, regv, mu, W, chunk=4096,
             in_specs=[
                 pl.BlockSpec((1, 1), lambda g, t, j, lo: (0, 0),
                              memory_space=pltpu.SMEM),          # mu
-                pl.BlockSpec(memory_space=pltpu.ANY),           # F_upd
+                pl.BlockSpec(memory_space=pl.ANY),           # F_upd
                 pl.BlockSpec((ch, k), lambda g, t, j, lo: (g * nj + j, 0),
                              memory_space=pltpu.VMEM),          # ff
                 col(),                                          # r
@@ -878,7 +878,7 @@ def half_pass_group(F_upd, ff, r, m, kl, lo, lrv, regv, mu, W, chunk=4096,
                              memory_space=pltpu.VMEM),          # regv
             ],
             out_specs=(
-                pl.BlockSpec(memory_space=pltpu.ANY),           # F_upd out
+                pl.BlockSpec(memory_space=pl.ANY),           # F_upd out
                 pl.BlockSpec((1, 1), lambda g, t, j, lo: (0, 0),
                              memory_space=pltpu.SMEM),          # sse
             ),
