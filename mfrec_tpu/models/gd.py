@@ -823,6 +823,15 @@ class GDRecommender(MFRecommender):
             import jax
             engine = ('alternating_sharded' if len(jax.devices()) > 1
                       else 'alternating')
+        if int(self.resilience) > 0 and engine != 'alternating':
+            # ResilientDriver is wired into _run_alternating only;
+            # silently ignoring a requested reliability feature would be
+            # worse than refusing (engine='alternating' forces the
+            # resilient path even on a multi-device auto pick)
+            raise Error(
+                "resilience is only wired on engine='alternating' "
+                "(got %r); set engine='alternating' or resilience=0"
+                % (engine,))
         if engine == 'funk':
             self._run_funk(mode, verbose=verbose)
         elif engine == 'funk_fused':

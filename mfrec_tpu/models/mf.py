@@ -13,6 +13,7 @@ import jax.numpy as jnp
 
 from mfrec_tpu.models.base import BaseRecommender, Error
 from mfrec_tpu.ops import topk as topk_ops
+from mfrec_tpu.utils import math_
 
 
 class MFRecommender(BaseRecommender):
@@ -128,8 +129,8 @@ class MFRecommender(BaseRecommender):
             lo, hi = float(self.min_rating), float(self.max_rating)
 
             def post(s):
-                return lo + (hi - lo) / (1.0 + np.exp(-np.clip(
-                    s, -60.0, 60.0)))
+                return math_.sigmoid(np.clip(s, -60.0, 60.0),
+                                     scale_range=hi - lo, y0=lo)
 
             return bu, bi, 0.0, post
         return bu, bi, float(self.overall_bias or 0.0), None   # 'bias'
@@ -238,10 +239,14 @@ class MFRecommender(BaseRecommender):
         <= 2^-11 relative, so quasi-ties may reorder).
 
         ``device_q``: a pre-padded ``(Qp, bi_padded)`` device pair from
-        ``ops.pallas_topk.pad_items_for_pallas(Q, bi, 1024)`` — skips the
-        per-call host pad + HBM upload of the full item matrix (the
+        ``ops.pallas_topk.pad_items_for_pallas(Q, bi_eff, 1024)`` — skips
+        the per-call host pad + HBM upload of the full item matrix (the
         serving view caches one; pass it for any hand-rolled serving
-        loop).  Pre-cast ``Qp`` to bf16 with ``fast`` to also halve the
+        loop).  ``bi_eff`` must be the MODE-MAPPED item bias from
+        ``_pallas_score_terms(mode)`` — the dot/dot_plus_one predictors
+        score with a zeroed item bias, so a pair built from the raw
+        ``items_bias`` would silently mis-rank under those modes (the
+        serving view builds its cached pair this way, serving/server.py).  Pre-cast ``Qp`` to bf16 with ``fast`` to also halve the
         kernel's HBM streaming.
 
         ``sharded`` (default: auto when >1 device): run the mesh-sharded
@@ -275,7 +280,8 @@ class MFRecommender(BaseRecommender):
                 self.P[users], self.Q, bu[users], bi, mu,
                 rated_idx, rated_mask, n, predictor=mode,
                 lo=self.min_rating, hi=self.max_rating,
-                use_pallas=use_pallas)
+                use_pallas=use_pallas, score_dtype=score_dtype,
+                packed_merge=packed_merge)
         if use_pallas:
             from mfrec_tpu.ops import pallas_topk
             interp = jax.default_backend() == 'cpu'

@@ -399,6 +399,11 @@ def half_pass_batch(window, ff, r, m, kl, lrv, regv, mu, W, chunk=4096,
         # the VMEM-resident batch (see _kernel_tloop)
         if not all2d:
             raise ValueError('tloop requires the all-2D chain')
+        if resident:
+            raise ValueError('tloop=True is incompatible with '
+                             'resident=True (the tloop kernel is already '
+                             'whole-batch VMEM-resident); pass tloop=None '
+                             'to auto-gate or drop resident')
         kernel = functools.partial(_kernel_tloop, int(W),
                                    int(inner_steps), lo_r, hi_r,
                                    bool(clamp_pred), bool(row_mean),

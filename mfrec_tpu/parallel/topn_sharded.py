@@ -25,6 +25,7 @@ from jax.sharding import PartitionSpec as PS
 from jax import shard_map
 
 from mfrec_tpu.ops import topk as topk_ops
+from mfrec_tpu.utils import math_
 
 
 def pad_items_sharded(Q, bi, D, block=None):
@@ -167,5 +168,6 @@ def sharded_topn(P_rows, Q, bu_rows, bi, mu, rated_idx, rated_mask, n,
         # the Pallas path ranked on the pre-link z (monotone in the
         # final score); map through the sigmoid link for score parity
         # with the XLA path
-        sc = lo + (hi - lo) / (1.0 + np.exp(-np.clip(sc, -60.0, 60.0)))
+        sc = math_.sigmoid(np.clip(sc, -60.0, 60.0),
+                           scale_range=hi - lo, y0=lo)
     return idx, sc

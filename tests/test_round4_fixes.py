@@ -243,3 +243,78 @@ def test_refresh_loop_retries_after_rebuild_failure(monkeypatch):
         assert fails['n'] == 0                 # it actually retried
     finally:
         srv.stop()
+
+
+# ------------------------------------- r4 self-review closures (late r4)
+
+def test_resilience_requires_alternating_engine(tiny_dataset):
+    '''resilience>0 on an engine that does not wire ResilientDriver must
+    refuse loudly, not silently train unprotected (r4 self-review #5).'''
+    (u, i, v), _ = tiny_dataset
+    U, I = int(u.max()) + 1, int(i.max()) + 1
+    m = GDRecommender(U, I, {'min_epochs': 2, 'max_epochs': 2,
+                             'nbr_features': 4, 'engine': 'fused',
+                             'resilience': 2})
+    m.seed(0)
+    m.set_ratings(u, i, v)
+    with pytest.raises(Error, match='resilience'):
+        m.train(handle_bias=True)
+
+
+def test_resilience_ok_on_alternating(tiny_dataset):
+    (u, i, v), _ = tiny_dataset
+    U, I = int(u.max()) + 1, int(i.max()) + 1
+    m = GDRecommender(U, I, {'min_epochs': 2, 'max_epochs': 2,
+                             'nbr_features': 4, 'engine': 'alternating',
+                             'batch_size': 256, 'inner_steps': 2,
+                             'resilience': 1})
+    m.seed(0)
+    m.set_ratings(u, i, v)
+    m.train(handle_bias=True)                     # must not raise
+    assert np.isfinite(m.get_rmse_history()[-1])
+
+
+def test_tloop_resident_raises():
+    '''tloop=True forced together with resident=True is a conflicting
+    request (the tloop kernel is already whole-batch resident) and must
+    raise instead of silently dropping resident (r4 self-review #6).'''
+    import jax.numpy as jnp
+    from mfrec_tpu.ops.pallas_half_pass import half_pass_batch
+    W, B, k = 8, 16, 4
+    with pytest.raises(ValueError, match='resident'):
+        half_pass_batch(jnp.zeros((W, k), jnp.float32),
+                        jnp.zeros((B, k), jnp.float32),
+                        jnp.zeros((B,), jnp.float32),
+                        jnp.ones((B,), jnp.float32),
+                        jnp.zeros((B,), jnp.int32),
+                        jnp.full((k,), 0.1, jnp.float32),
+                        jnp.zeros((k,), jnp.float32),
+                        0.0, W, chunk=B, all2d=True,
+                        tloop=True, resident=True)
+
+
+def test_recommend_batch_threads_fast_options_to_sharded(
+        monkeypatch, tiny_dataset):
+    '''sharded=True must not silently drop score_dtype/packed_merge —
+    they previously reached only the single-chip Pallas path
+    (r4 self-review #3).'''
+    import mfrec_tpu.parallel.topn_sharded as ts
+    (u, i, v), _ = tiny_dataset
+    U, I = int(u.max()) + 1, int(i.max()) + 1
+    m = GDRecommender(U, I, {'nbr_features': 4})
+    m.set_ratings(u, i, v)
+    rng = np.random.default_rng(0)
+    m.P = rng.normal(size=(U, 4)).astype(np.float32)
+    m.Q = rng.normal(size=(I, 4)).astype(np.float32)
+    seen = {}
+
+    def spy(*a, **kw):
+        seen.update(kw)
+        return np.zeros((2, 3), np.int64), np.zeros((2, 3), np.float32)
+
+    monkeypatch.setattr(ts, 'sharded_topn', spy)
+    m.recommend_batch([0, 1], nbr_recommendations=3, sharded=True,
+                      use_pallas=True, score_dtype='bfloat16',
+                      packed_merge=True)
+    assert seen.get('score_dtype') == 'bfloat16'
+    assert seen.get('packed_merge') is True
