@@ -96,8 +96,18 @@ class Ratings:
 
     # ------------------------------------------------------------- mutation
     def set(self, user_index, item_index, value):
-        self._users.append(int(user_index))
-        self._items.append(int(item_index))
+        user_index, item_index = int(user_index), int(item_index)
+        # bounds-check at write time like the reference's lil_matrix
+        # (base.py set_rating raises IndexError); an out-of-range key
+        # would otherwise reach the native counting sort, whose count
+        # array is sized nbr_users/nbr_items — an out-of-bounds write
+        if not (0 <= user_index < self.nbr_users
+                and 0 <= item_index < self.nbr_items):
+            raise IndexError(
+                'rating (%d, %d) out of range for %d users x %d items'
+                % (user_index, item_index, self.nbr_users, self.nbr_items))
+        self._users.append(user_index)
+        self._items.append(item_index)
         self._values.append(float(value))
         self._dirty = True
 
@@ -107,6 +117,15 @@ class Ratings:
         values = np.asarray(values, np.float32)
         if not (users.shape == items.shape == values.shape):
             raise ValueError('users/items/values must have identical shapes')
+        if users.size and (
+                int(users.min()) < 0 or int(users.max()) >= self.nbr_users
+                or int(items.min()) < 0
+                or int(items.max()) >= self.nbr_items):
+            raise IndexError(
+                'ratings out of range for %d users x %d items '
+                '(got users [%d, %d], items [%d, %d])'
+                % (self.nbr_users, self.nbr_items, users.min(), users.max(),
+                   items.min(), items.max()))
         # bulk appends stay as arrays (no python-object round trip);
         # flush any pending scalar appends first to preserve write order
         # (last write wins, chronologically)
@@ -192,7 +211,11 @@ class Ratings:
             counts = np.bincount(self._u, minlength=self.nbr_users)
             ptr = np.zeros(self.nbr_users + 1, np.int64)
             np.cumsum(counts, out=ptr[1:])
-            self._cache['csr'] = (ptr, self._i.copy(), self._v.copy())
+            # share the consolidated arrays: every mutation path
+            # reassigns self._i/_v and clears _cache, so the cached view
+            # can never be invalidated in place — copying here doubled
+            # transient host memory (~0.8 GB at the Netflix 100M stream)
+            self._cache['csr'] = (ptr, self._i, self._v)
         return self._cache['csr']
 
     def csc(self):

@@ -122,17 +122,69 @@ class ResilientDriver(ConvergenceDriver):
         return (best is not None
                 and rmse > self.blowup_factor * max(best, 1e-6))
 
-    def run(self, epoch_factory, state):
+    @staticmethod
+    def _coerce_state(restored, like):
+        '''Rebuild ``restored`` with ``like``'s container types (orbax
+        round-trips tuples as lists) — returns None when leaf count or
+        any leaf shape disagrees (a stale checkpoint from a different
+        model/rank must not be silently loaded).'''
+        import jax
+        import numpy as np
+        leaves = jax.tree.leaves(restored)
+        want = jax.tree.leaves(like)
+        if len(leaves) != len(want) or any(
+                np.shape(x) != np.shape(y) for x, y in zip(leaves, want)):
+            return None
+        return jax.tree.unflatten(jax.tree.structure(like), leaves)
+
+    def run(self, epoch_factory, state, resume=True):
         '''Train to convergence with rollback recovery; returns the
         final state.  ``self.recoveries`` counts rollbacks taken,
-        ``self.lr_scale`` the final learning-rate scale.'''
-        epoch_fn = epoch_factory(self.lr_scale)
+        ``self.lr_scale`` the final learning-rate scale.
+
+        With ``checkpoint_dir`` set and ``resume`` true (the default), a
+        compatible on-disk snapshot is loaded first, so a killed process
+        continues from the last good epoch instead of epoch 0 — the
+        crash-resume promise above.  An incompatible or unreadable
+        snapshot logs a warning and trains fresh (then overwrites it at
+        the next snapshot point).'''
         good_state = self._host_copy(state)
         good_epoch = 0
         good_hist_len = 0
         rmse, rmse_last = 2.0, 2.0
         best = None
         epoch = 0
+        if resume and self.checkpoint_dir is not None:
+            import logging
+            log = logging.getLogger(__name__)
+            snap = None
+            try:
+                snap = self.load_snapshot()
+            except Exception as exc:
+                log.warning('resilient resume: unreadable checkpoint at '
+                            '%s (%s) — training fresh',
+                            self.checkpoint_dir, exc)
+            if snap is not None:
+                coerced = self._coerce_state(snap['state'], state)
+                if coerced is not None:
+                    state = coerced
+                    good_state = self._host_copy(state)
+                    good_epoch = epoch = int(snap['epoch'])
+                    self.history = [float(x) for x in snap['history']]
+                    good_hist_len = len(self.history)
+                    self.lr_scale = float(snap['lr_scale'])
+                    rmse = self.history[-1] if self.history else 2.0
+                    rmse_last = float('inf')   # run >=1 epoch post-resume
+                    best = min(self.history) if self.history else None
+                    log.info('resilient resume: continuing from epoch %d '
+                             '(rmse %.6g, lr scale %g) at %s', epoch, rmse,
+                             self.lr_scale, self.checkpoint_dir)
+                else:
+                    log.warning('resilient resume: checkpoint at %s does '
+                                'not match the model state (different '
+                                'shape/structure) — training fresh',
+                                self.checkpoint_dir)
+        epoch_fn = epoch_factory(self.lr_scale)
         while (epoch < self.min_epochs
                or rmse <= rmse_last - self.min_improvement):
             if epoch >= self.max_epochs:

@@ -126,7 +126,10 @@ class GDRecommender(MFRecommender):
         # rollback-and-backoff recoveries (0 disables, plain
         # ConvergenceDriver + NaN guard); snapshots every
         # resilience_snapshot_every good epochs, optionally persisted to
-        # resilience_dir for crash resume.
+        # resilience_dir for crash resume: when that directory holds a
+        # compatible snapshot, train() CONTINUES from its epoch (clear
+        # or change the directory to train fresh; a shape-mismatched
+        # snapshot is ignored with a warning).
         self.resilience = 0
         self.resilience_snapshot_every = 5
         self.resilience_dir = None

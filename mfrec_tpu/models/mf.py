@@ -273,7 +273,24 @@ class MFRecommender(BaseRecommender):
             rated_mask = np.zeros((len(users), 1), np.float32)
         if sharded is None:
             sharded = len(jax.devices()) > 1 and not use_pallas
-        mode = self._predictor_mode(predictor) or 'dot_plus_one'
+        mode = self._predictor_mode(predictor)
+        if mode is None:
+            # models whose predictor has no mu+bu+bi+dot mapping
+            # (SVDRecommender's singular-value scaling, KNNSVD's kNN
+            # vote) must score through their own host predictor, like
+            # find_recommended_items does — coercing them to
+            # dot_plus_one silently mis-ranks (ranking_metrics and the
+            # serving view route through here).  Host path; always
+            # masks rated items.
+            idx = np.zeros((len(users), n), np.int32)
+            sc = np.full((len(users), n), topk_ops.NEG, np.float32)
+            for row, uu in enumerate(users):
+                ids, vals = self.find_recommended_items(
+                    user_index=int(uu), nbr_recommendations=n,
+                    predictor=predictor)
+                idx[row, :len(ids)] = ids[:n]
+                sc[row, :len(vals)] = vals[:n]
+            return idx, sc
         if sharded:
             from mfrec_tpu.parallel.topn_sharded import sharded_topn
             return sharded_topn(

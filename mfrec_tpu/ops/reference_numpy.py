@@ -52,7 +52,10 @@ def funk_train_oracle(min_epochs, max_epochs, min_improvement, dim, f_init,
     cache = np.zeros(n)
     hist = []
     for f in range(dim):
-        rmse, epoch = 2.0, 0
+        # rmse_last reset per feature (same min_epochs=0 converge-only
+        # semantics as ConvergenceDriver — it must neither NameError on
+        # the first feature nor leak across features)
+        rmse, rmse_last, epoch = 2.0, 2.0, 0
         while epoch < min_epochs or rmse <= rmse_last - min_improvement:
             if cap_epochs and epoch >= max_epochs:
                 break

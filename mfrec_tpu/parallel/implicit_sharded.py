@@ -29,30 +29,10 @@ from jax.sharding import PartitionSpec as PS
 from jax import shard_map
 
 from mfrec_tpu.ops.sgd_mf import clamp
-
-
-def _chunked_agg(vals, kli, m, W, chunk, mean):
-    '''One-hot MXU aggregation of vals [B, k] into the batch's W-row
-    window by window-local ids (masked rows contribute nothing).'''
-    ch = min(chunk, kli.shape[0])
-    pad = -kli.shape[0] % ch
-    if pad:
-        vals = jnp.pad(vals, ((0, pad), (0, 0)))
-        kli = jnp.pad(kli, (0, pad))
-        m = jnp.pad(m, (0, pad))
-    B = kli.shape[0]
-    kc = kli.reshape(B // ch, ch)
-    onehot = (kc[:, :, None] ==
-              jnp.arange(W)[None, None, :]).astype(jnp.bfloat16)
-    vc = (vals * m[:, None]).reshape(B // ch, ch, -1).astype(jnp.bfloat16)
-    out = jnp.einsum('nck,ncw->wk', vc, onehot,
-                     preferred_element_type=jnp.float32)
-    if mean:
-        mc = m.reshape(B // ch, ch).astype(jnp.bfloat16)
-        cnt = jnp.einsum('nc,ncw->w', mc, onehot,
-                         preferred_element_type=jnp.float32)
-        out = out / jnp.maximum(cnt, 1.0)[:, None]
-    return out
+# single source of truth for the one-hot MXU window-aggregation numerics
+# (bf16 operands, f32 accumulation, cnt clamp) — a fix there must apply
+# to the sharded SVD++ epoch too, so no local copy
+from mfrec_tpu.ops.sgd_mf import _agg_window as _chunked_agg
 
 
 def make_sharded_implicit_epoch(mesh, W, lr, lr_y, K, K_y, clamp_pred=True,

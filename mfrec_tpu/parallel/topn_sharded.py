@@ -61,6 +61,10 @@ def make_sharded_topn(mesh, n, Ishard, block=1024, predictor='bias',
                   rblk_i, rblk_m):
         d = jax.lax.axis_index(axis)
         offset = d * Ishard
+        # rows added by pad_items_sharded carry bi = NEG; predictors
+        # whose score form ignores the item bias (dot/dot_plus_one)
+        # would otherwise rank them as real zero-vector items
+        pad_neg = bi_shard <= topk_ops.NEG / 2
         if use_pallas:
             from mfrec_tpu.ops import pallas_topk
             # map the predictor mode onto the kernel's fixed
@@ -68,7 +72,6 @@ def make_sharded_topn(mesh, n, Ishard, block=1024, predictor='bias',
             # bias so they never reach the top-n); logistic ranks on
             # the pre-link z — the sigmoid is applied monotonically to
             # the final scores below
-            pad_neg = bi_shard <= topk_ops.NEG / 2
             if predictor == 'dot_plus_one':
                 bu_k = jnp.zeros_like(bu)
                 bi_k = jnp.where(pad_neg, bi_shard, 0.0)
@@ -102,6 +105,11 @@ def make_sharded_topn(mesh, n, Ishard, block=1024, predictor='bias',
                 P_rows, Q_shard, bu, bi_shard, mu, lidx, lmask, n,
                 block=min(block, Q_shard.shape[0]), predictor=predictor,
                 lo=lo, hi=hi)
+            # topn_scores only masks its OWN block padding; the shard
+            # pad rows score dot(+1)=0/1 under dot/dot_plus_one (and
+            # exactly `lo` under logistic) and can surface as phantom
+            # ids >= nbr_items — force them to NEG by bias lookup
+            sc = jnp.where(pad_neg[idx], topk_ops.NEG, sc)
         idx = idx + offset
         # pool the [B, n] candidates from all shards and re-rank
         all_s = jax.lax.all_gather(sc, axis)        # [D, B, n]
@@ -140,8 +148,11 @@ def sharded_topn(P_rows, Q, bu_rows, bi, mu, rated_idx, rated_mask, n,
                  use_pallas=False, n_devices=None, score_dtype=None,
                  packed_merge=False):
     '''Convenience wrapper: builds the mesh over all visible devices,
-    pads/shards Q, runs the sharded retrieval, and filters padded rows.
-    Host-facing twin of ``ops.topk.topn_scores`` (same return contract).'''
+    pads/shards Q, and runs the sharded retrieval; padded rows are
+    suppressed by NEG scores (they can only appear, NEG-scored, when a
+    user has fewer than n rankable items — exactly like the block
+    padding in the single-chip path).  Host-facing twin of
+    ``ops.topk.topn_scores`` (same return contract).'''
     D = n_devices or len(jax.devices())
     Qp, bip, Ishard = pad_items_sharded(np.asarray(Q, np.float32),
                                         np.asarray(bi, np.float32), D,
