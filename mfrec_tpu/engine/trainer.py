@@ -133,7 +133,9 @@ class ResilientDriver(ConvergenceDriver):
         leaves = jax.tree.leaves(restored)
         want = jax.tree.leaves(like)
         if len(leaves) != len(want) or any(
-                np.shape(x) != np.shape(y) for x, y in zip(leaves, want)):
+                np.shape(x) != np.shape(y)
+                or np.asarray(x).dtype != np.asarray(y).dtype
+                for x, y in zip(leaves, want)):
             return None
         return jax.tree.unflatten(jax.tree.structure(like), leaves)
 
@@ -208,6 +210,11 @@ class ResilientDriver(ConvergenceDriver):
                 epoch = good_epoch
                 rmse = self.history[-1] if self.history else 2.0
                 rmse_last = rmse + 2.0 * self.min_improvement + 1.0
+                # best must rewind with the history: keeping the lower
+                # best from the discarded trajectory makes healthy
+                # post-rollback epochs trip the blowup test and exhausts
+                # max_retries on a converging run
+                best = min(self.history) if self.history else None
                 continue
             self.history.append(rmse)
             best = rmse if best is None else min(best, rmse)

@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 
 from mfrec_tpu.models.base import Error
+from mfrec_tpu.ops.topk import NEG as topk_NEG
 
 
 def shannon_entropy(recommender, recommendations):
@@ -220,16 +221,22 @@ def ranking_metrics(recommender, u_test, nbr_recommendations=10,
         for s in range(0, len(eligible), 1024):
             chunk = eligible[s:s + 1024]
             try:
-                ids, _ = recommender.recommend_batch(
+                ids, sc = recommender.recommend_batch(
                     np.asarray(chunk, np.int64), nbr_recommendations=N,
                     predictor=predictor)
             except (KeyError, Error):
                 # keep already-computed chunks; only THIS chunk's users
                 # fall back to the per-user path below
                 continue
-            ids = np.asarray(ids)
+            ids, sc = np.asarray(ids), np.asarray(sc)
             for j, u in enumerate(chunk):
-                recs[u] = ids[j].tolist()
+                # drop NEG-scored filler slots (a user with fewer than N
+                # unrated items gets id-0 padding from the device top-n
+                # init) — find_recommended_items filters the same way,
+                # and a phantom id-0 "recommendation" would inflate
+                # NDCG/MRR/coverage whenever item 0 is relevant
+                live = sc[j] > topk_NEG / 2
+                recs[u] = np.asarray(ids[j])[live].tolist()
     for user_index in eligible:
         relevant = relevant_by_user[user_index]
         if user_index in recs:

@@ -198,7 +198,12 @@ def topn_scores_pallas(P_rows, Q, bu_rows, bi, mu, n=10, block=1024,
     -inf by <= 2^-11 relative, so quasi-ties may reorder.'''
     B, K = P_rows.shape
     I = Q.shape[0]
-    assert I % block == 0, 'pad Q to a block multiple'
+    if I % block != 0:
+        # API-input validation must survive python -O (a stripped
+        # assert would silently truncate the grid and never score the
+        # last partial item block)
+        raise ValueError('pad Q to a block multiple (%d rows, block %d) '
+                         '— see pad_items_for_pallas' % (I, block))
     if packed_merge and block > (1 << PACK_BITS):
         raise ValueError('packed_merge needs block <= %d' % (1 << PACK_BITS))
     if packed_merge and n > block:
@@ -207,8 +212,10 @@ def topn_scores_pallas(P_rows, Q, bu_rows, bi, mu, n=10, block=1024,
         raise ValueError('packed_merge needs n <= block')
     if rated_blocks is not None:
         bidx, bmask = rated_blocks
-        assert bidx.shape[0] == I // block, \
-            'rated_blocks built for a different block size'
+        if bidx.shape[0] != I // block:
+            raise ValueError('rated_blocks built for a different block '
+                             'size (%d blocks vs %d)'
+                             % (bidx.shape[0], I // block))
         L = int(bidx.shape[2])
     elif rated_idx is None or rated_idx.shape[1] == 0:
         L = 0

@@ -46,7 +46,10 @@ def window_aggregate(g, kl, mask, W, chunk=4096, interpret=False):
     mask 0 must already be zero); mask rides along as the count column.'''
     B, k = g.shape
     ch = min(chunk, B)
-    assert B % ch == 0
+    if B % ch != 0:
+        # must survive python -O: a stripped assert would let the grid
+        # truncate and silently drop the tail rows from the aggregation
+        raise ValueError('batch %d not a multiple of chunk %d' % (B, ch))
     # fold the mask into the count column by scaling a ones column: done
     # inside the kernel via g's own rows — zero rows still count, so mask
     # must zero kl-counts too: replace kl of masked rows by W (one-hot

@@ -853,9 +853,17 @@ def make_alternating_implicit_epoch(W_user, W_item, lr, lr_y, K, K_y,
 
       1. A[u] = nrm_u * sum_{j in R(u)} y_j — aggregate Y rows into user
          windows over the user-sorted stream (one-hot MXU agg).
-      2. P half-pass on the EFFECTIVE factors Peff = Paug + A (updates
-         are linear, so training Peff and subtracting A afterwards
-         updates exactly p_u).
+      2. P half-pass on the EFFECTIVE factors Peff = Paug + A.  The
+         error-gradient part is linear, so subtracting A afterwards
+         recovers p_u's error updates exactly; the L2 decay, however,
+         applies to Peff — this tier regularizes the effective user
+         vector ||p_u + A_u||^2 rather than Koren's ||p_u||^2 alone
+         (DELIBERATE deviation: predictions depend only on p_u + A_u,
+         so p_u alone is not identifiable and shrinking the composite
+         is the better-posed penalty; A_u keeps its own shrinkage
+         through the K_y decay on Y in step 5.  Validated empirically —
+         the benchmarked RMSE 0.310 and the T-ladder quality gates all
+         train this objective).
       3. Q half-pass against the updated Peff.
       4. G[u] = nrm_u * sum_{i in R(u)} err_ui q_i — error-weighted item
          factors aggregated into user windows.

@@ -32,6 +32,14 @@ def _prep(F, method, eps=1e-12):
     if method == 'pearson':
         F = F - F.mean(axis=1, keepdims=True)
         method = 'cosine'
+    if method == 'norm_cosine':
+        # component-mean centering (reference gradient_descent.py:
+        # 814-824): the per-component mean of the passed matrix IS the
+        # model's components_mean restricted to these columns, so the
+        # centering lives here and direct ops callers get the
+        # documented semantics (GDRecommender.similar_items pre-centers
+        # with the same quantity and rewrites to 'cosine_log')
+        F = F - F.mean(axis=0, keepdims=True)
     if method in ('cosine', 'cosine_log', 'norm_cosine'):
         norms = jnp.sqrt((F * F).sum(1))
         Fn = F / jnp.maximum(norms, eps)[:, None]
@@ -50,6 +58,12 @@ def similarity_to_queries(F, query_rows, method='cosine'):
         F = F - F.mean(axis=1, keepdims=True)
         query_rows = query_rows - query_rows.mean(axis=1, keepdims=True)
         method = 'cosine'
+    if method == 'norm_cosine':
+        # queries center by F's component mean (the reference centers
+        # both sides with the SAME components_mean), not their own
+        mu = F.mean(axis=0, keepdims=True)
+        F = F - mu
+        query_rows = query_rows - mu
     Fn, _ = _prep(F, 'cosine')
     Qn, _ = _prep(query_rows, 'cosine')
     s = Qn @ Fn.T

@@ -98,6 +98,10 @@ class _ServingView:
         cmax = int(counts.max()) if counts.size else 1
         self.rated_pad = 1 << max(cmax - 1, 0).bit_length()
         self.retrieval = retrieval
+        # the Pallas retrieval kernel extracts at most one block of
+        # top-n per call (packed merge REQUIRES n <= block); a larger
+        # request is clamped rather than 500-ing the whole chunk
+        self.max_n = 1024 if retrieval in ('fast', 'pallas') else None
         self._dq = None
         self._dq_lock = threading.Lock()
 
@@ -189,6 +193,9 @@ class _Batcher:
         users = [s['user'] for s in batch]
         n_dev = max(self.bucket_n(s['n'], view.model.nbr_items)
                     for s in batch)
+        if getattr(view, 'max_n', None):
+            # graceful clamp: one oversize n must not error the chunk
+            n_dev = min(n_dev, view.max_n)
         B = self.pad_to
         padded = users + [users[0]] * (B - len(users))
         try:
@@ -216,8 +223,7 @@ class _Batcher:
             if first is None:                    # shutdown sentinel
                 break
             batch = [first]
-            deadline = threading.Event()
-            deadline.wait(self.window_s)
+            time.sleep(self.window_s)      # batching window
             while len(batch) < self.max_batch:
                 try:
                     nxt = self.q.get_nowait()
@@ -411,6 +417,11 @@ class RecommenderServer:
         while self._stale.is_set() and time.monotonic() < deadline:
             time.sleep(0.01)
         with self._write_lock:
+            # clear BEFORE rebuilding (same order as _refresh_loop): a
+            # write landing mid-rebuild re-sets the flag and gets its
+            # own refresh; without the clear, the background refresher
+            # redundantly rebuilds this identical view right after
+            self._stale.clear()
             self.view = _ServingView(self.model, self.retrieval)
 
     def _warmup(self):

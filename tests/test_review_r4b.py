@@ -238,3 +238,165 @@ def test_funk_oracle_min_epochs_zero_no_crash():
                              ratings)
     assert np.all(np.isfinite(u)) and np.all(np.isfinite(v))
     assert isinstance(hist, list)
+
+
+# ------------------------------------- second review pass (late r4)
+
+def test_rollback_resets_best_no_spurious_exhaustion():
+    '''Epochs improve to 0.3 then diverge BEFORE any snapshot: the
+    rollback replays from init, whose healthy first RMSE (1.3) exceeds
+    blowup_factor x the discarded trajectory's best (4 x 0.3) — with
+    the stale best the driver spuriously exhausts max_retries.'''
+    from mfrec_tpu.engine.trainer import ResilientDriver
+
+    def factory(lr_scale):
+        def epoch(state):
+            step = int(state) + 1
+            if lr_scale == 1.0:
+                rmse = [0.5, 0.3, float('nan')][min(step - 1, 2)]
+            else:                     # backed-off replay, converging
+                rmse = 1.3 / step
+            return np.asarray(step), rmse
+        return epoch
+
+    d = ResilientDriver(min_epochs=3, max_epochs=6, min_improvement=0.0,
+                        snapshot_every=5, max_retries=1)
+    out = d.run(factory, np.asarray(0))          # must not raise
+    assert d.recoveries == 1
+    assert np.isfinite(d.history[-1])
+
+
+def test_coerce_state_rejects_dtype_mismatch(tmp_path):
+    from mfrec_tpu.engine.trainer import ResilientDriver
+    path = str(tmp_path / 'ckpt')
+    d1 = ResilientDriver(min_epochs=2, max_epochs=2, min_improvement=0.0,
+                         snapshot_every=1, checkpoint_dir=path)
+
+    def f32_factory(lr_scale):
+        def epoch(state):
+            return state + np.float32(1.0), 1.0
+        return epoch
+    d1.run(f32_factory, np.zeros((2, 2), np.float32))
+    log = []
+
+    def f64_factory(lr_scale):
+        def epoch(state):
+            log.append(1)
+            return state + 1.0, 1.0
+        return epoch
+    d2 = ResilientDriver(min_epochs=1, max_epochs=1, min_improvement=0.0,
+                         snapshot_every=1, checkpoint_dir=path)
+    out = d2.run(f64_factory, np.zeros((2, 2), np.float64))
+    assert out.dtype == np.float64 and len(log) == 1   # trained fresh
+
+
+def test_batcher_clamps_oversize_n_for_packed_merge():
+    '''One /recommend?n>block request must not 500 the whole chunk on
+    the packed-merge retrieval — n is clamped to the view's max_n.'''
+    from mfrec_tpu.serving.server import _Batcher
+    seen = {}
+
+    class FakeModel:
+        nbr_items = 4096
+
+        def recommend_batch(self, users, nbr_recommendations,
+                            rated_pad_to=None, **kw):
+            seen['n'] = nbr_recommendations
+            B = len(users)
+            return (np.zeros((B, nbr_recommendations), np.int64),
+                    np.ones((B, nbr_recommendations), np.float32))
+
+    class FakeView:
+        model = FakeModel()
+        rated_pad = 8
+        max_n = 1024
+
+        def retrieval_kwargs(self):
+            return {}
+
+    view = FakeView()
+    b = _Batcher(lambda: view, nbr_recommendations=10, window_ms=1.0,
+                 max_batch=8, pad_to=4, submit_timeout_s=30.0)
+    try:
+        items, scores = b.submit(0, 1500)
+        assert seen['n'] == 1024                  # clamped, not 2048
+        assert len(items) == 1024                 # truncated to device n
+    finally:
+        b.stop()
+
+
+def test_ranking_metrics_ignores_neg_filler():
+    '''recommend_batch filler slots (id 0, score NEG) must not count as
+    recommendations — phantom hits inflated NDCG/MRR/coverage whenever
+    item 0 was relevant.'''
+    from mfrec_tpu.eval.metrics import ranking_metrics
+    from mfrec_tpu.ops.topk import NEG
+
+    class Stub:
+        nbr_users = 3
+        nbr_items = 10
+
+        def recommend_batch(self, users, nbr_recommendations,
+                            predictor=None):
+            B = len(users)
+            ids = np.zeros((B, nbr_recommendations), np.int64)
+            sc = np.full((B, nbr_recommendations), NEG, np.float32)
+            ids[:, 0] = 5
+            sc[:, 0] = 1.0                       # one real rec: item 5
+            return ids, sc
+
+    u_test = np.asarray([[0, 0, 5.0],            # item 0 relevant for u0
+                         [1, 5, 5.0]])           # item 5 relevant for u1
+    out = ranking_metrics(Stub(), u_test, nbr_recommendations=4)
+    assert out['mrr'] == pytest.approx(0.5)      # u0 no hit, u1 rank 1
+    assert out['coverage'] == pytest.approx(0.1)  # only item 5 recommended
+
+
+def test_server_refresh_clears_stale(tiny_dataset):
+    from mfrec_tpu.serving.server import RecommenderServer
+    (u, i, v), _ = tiny_dataset
+    U, I = int(u.max()) + 1, int(i.max()) + 1
+    m = GDRecommender(U, I, {'min_epochs': 2, 'max_epochs': 2,
+                             'nbr_features': 4, 'engine': 'alternating',
+                             'batch_size': 256, 'inner_steps': 2})
+    m.seed(0)
+    m.set_ratings(u, i, v)
+    m.train(handle_bias=True)
+    srv = RecommenderServer(m, port=0, warmup=False,
+                            view_refresh_ms=10_000.0)
+    try:
+        srv.rate(0, 1, 5.0) if hasattr(srv, 'rate') else srv._stale.set()
+        srv.refresh(timeout=2.0)
+        assert not srv._stale.is_set()
+    finally:
+        srv.stop()
+
+
+def test_norm_cosine_is_component_mean_centered():
+    '''ops-level norm_cosine must center by the component mean (it was
+    byte-identical to cosine_log, a documented-but-unimplemented trap).'''
+    from mfrec_tpu.ops.similarity import similar_topk
+    rng = np.random.default_rng(3)
+    F = rng.normal(size=(12, 5)).astype(np.float32) + 2.0  # offset mean
+    q = np.asarray([2, 7])
+    idx_n, sim_n = similar_topk(F, q, k=3, method='norm_cosine')
+    Fc = F - F.mean(axis=0, keepdims=True)
+    idx_c, sim_c = similar_topk(Fc, q, k=3, method='cosine_log')
+    np.testing.assert_array_equal(np.asarray(idx_n), np.asarray(idx_c))
+    np.testing.assert_allclose(np.asarray(sim_n), np.asarray(sim_c),
+                               rtol=1e-5, atol=1e-6)
+    # and it genuinely differs from the uncentered variant
+    idx_u, sim_u = similar_topk(F, q, k=3, method='cosine_log')
+    assert not np.allclose(np.asarray(sim_n), np.asarray(sim_u))
+
+
+def test_pallas_topk_unpadded_q_raises():
+    from mfrec_tpu.ops.pallas_topk import topn_scores_pallas
+    import jax.numpy as jnp
+    P = jnp.zeros((2, 4), jnp.float32)
+    Q = jnp.zeros((1000, 4), jnp.float32)         # not a 1024 multiple
+    bu = jnp.zeros((2,), jnp.float32)
+    bi = jnp.zeros((1000,), jnp.float32)
+    with pytest.raises(ValueError, match='block multiple'):
+        topn_scores_pallas(P, Q, bu, bi, 0.0, n=5, block=1024,
+                           interpret=True)
