@@ -61,6 +61,7 @@ class GDRecommender(MFRecommender):
                         'engine': 'engine',
                         'inner_steps': 'inner_steps',
                         'inner_steps_implicit': 'inner_steps_implicit',
+                        'lr_decay': 'lr_decay',
                         'n_slices': 'n_slices',
                         'resilience': 'resilience',
                         'resilience_snapshot_every':
@@ -119,6 +120,17 @@ class GDRecommender(MFRecommender):
         # WORSENS RMSE to 0.3613 — the per-window iteration overshoots
         # the Y coupling.  T=32 is the shipped default.
         self.inner_steps_implicit = 32
+        # Per-epoch multiplicative learning-rate decay on the
+        # alternating engine (1.0 = constant rate, the reference's
+        # semantics — gd_estimator.pyx has no schedule).  The effective
+        # rate at epoch e is lr * lr_decay**e, applied through ONE
+        # compiled epoch program (the scale is a traced scalar operand,
+        # sgd_mf.make_alternating_epoch lr_scale) — a schedule costs no
+        # recompiles.  Constant-rate SGD plateaus at its step-noise
+        # floor; decay trades early progress for a deeper floor, so it
+        # only pays for quality-hungry runs (see README time-to-quality
+        # notes for the measured trade-off).
+        self.lr_decay = 1.0
         self.n_slices = 1                # alternating_sharded: DCN slices
 
         # Failure detection / recovery (engine.trainer.ResilientDriver;
@@ -393,10 +405,10 @@ class GDRecommender(MFRecommender):
         mu = state.mu
         import jax
 
-        def build_epoch(lr_scale=1.0):
+        def build_epoch():
             return sgd_mf.make_alternating_epoch(
-                W_user, W_item, lr * lr_scale, self.K,
-                lr_bu=lr_bu * lr_scale, lr_bi=lr_bi * lr_scale,
+                W_user, W_item, lr, self.K,
+                lr_bu=lr_bu, lr_bi=lr_bi,
                 K_bu=self.K2, K_bi=self.K3, bias_mode=bias_mode,
                 lo_r=self.min_rating, hi_r=self.max_rating, chunk=chunk,
                 inner_steps=self.inner_steps,
@@ -409,11 +421,31 @@ class GDRecommender(MFRecommender):
                 use_pallas_full=jax.default_backend() != 'cpu',
                 ff_dtype='bfloat16')
 
-        def one_epoch_of(epoch):
+        decay = float(self.lr_decay)
+        if not (0.0 < decay <= 1.0):
+            raise Error('lr_decay must be in (0, 1] (got %r)'
+                        % self.lr_decay)
+        driver_ref = []                  # filled once the driver exists
+
+        def one_epoch_of(epoch, scale=1.0):
+            # With a schedule (decay<1) or a resilience backoff
+            # (scale<1) the per-epoch rate rides the TRACED lr_scale arg
+            # of the compiled epoch — one program for the whole
+            # schedule.  The exponent is the driver's history length, so
+            # it rewinds with ResilientDriver rollbacks and continues
+            # across crash resume.
+            plain = decay == 1.0 and scale == 1.0
+
             def one_epoch(pq):
                 Paug, Qaug = pq
-                Paug, Qaug, rmse = epoch(Paug, Qaug, mu, p_layout,
-                                         q_layout)
+                if plain:
+                    Paug, Qaug, rmse = epoch(Paug, Qaug, mu, p_layout,
+                                             q_layout)
+                else:
+                    e = len(driver_ref[0].history) if driver_ref else 0
+                    Paug, Qaug, rmse = epoch(
+                        Paug, Qaug, mu, p_layout, q_layout,
+                        jnp.float32(scale * decay ** e))
                 return (Paug, Qaug), rmse
             return one_epoch
 
@@ -434,8 +466,12 @@ class GDRecommender(MFRecommender):
                 max_retries=int(self.resilience),
                 checkpoint_dir=self.resilience_dir,
                 state_guard=factors_healthy)
+            driver_ref.append(driver)
+            # recovery backoff rides the traced lr_scale too — a
+            # rollback no longer recompiles the epoch
+            epoch0 = build_epoch()
             Paug, Qaug = driver.run(
-                lambda s: one_epoch_of(build_epoch(s)), (Paug, Qaug))
+                lambda s: one_epoch_of(epoch0, scale=s), (Paug, Qaug))
             if driver.recoveries:
                 self.logger.info(
                     'resilient training: %d rollback(s), final lr scale '
@@ -443,6 +479,7 @@ class GDRecommender(MFRecommender):
         else:
             driver = ConvergenceDriver(self.min_epochs, self.max_epochs,
                                        self.min_improvement)
+            driver_ref.append(driver)
             Paug, Qaug = driver.run(one_epoch_of(build_epoch()),
                                     (Paug, Qaug))
         self.rmse_history = driver.history
@@ -834,6 +871,14 @@ class GDRecommender(MFRecommender):
             raise Error(
                 "resilience is only wired on engine='alternating' "
                 "(got %r); set engine='alternating' or resilience=0"
+                % (engine,))
+        if float(self.lr_decay) != 1.0 and engine != 'alternating':
+            # same refusal contract as resilience: a requested schedule
+            # silently ignored on another engine would train at the
+            # wrong rates
+            raise Error(
+                "lr_decay is only wired on engine='alternating' "
+                "(got %r); set engine='alternating' or lr_decay=1.0"
                 % (engine,))
         if engine == 'funk':
             self._run_funk(mode, verbose=verbose)

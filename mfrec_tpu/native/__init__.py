@@ -48,7 +48,7 @@ def get_lib():
                 np.ctypeslib.ndpointer(np.int32, flags='C'),
                 np.ctypeslib.ndpointer(np.float32, flags='C'),
                 ctypes.c_long]
-            lib.mn_counting_sort.restype = None
+            lib.mn_counting_sort.restype = ctypes.c_int
             lib.mn_counting_sort.argtypes = [
                 np.ctypeslib.ndpointer(np.int32, flags='C'),
                 ctypes.c_long, ctypes.c_long,
@@ -93,7 +93,11 @@ def counting_sort(keys, nkeys):
     if lib is None:
         return np.argsort(keys, kind='stable').astype(np.int64)
     perm = np.empty(keys.shape[0], np.int64)
-    lib.mn_counting_sort(keys, keys.shape[0], int(nkeys), perm)
+    rc = lib.mn_counting_sort(keys, keys.shape[0], int(nkeys), perm)
+    if rc != 0:
+        # counts allocation failed (huge nkeys / OOM): perm is
+        # uninitialized garbage — never consume it
+        return np.argsort(keys, kind='stable').astype(np.int64)
     return perm
 
 

@@ -143,14 +143,17 @@ long mn_parse_ratings(const char* path, int32_t* users, int32_t* items,
 }
 
 // Stable counting sort by int32 key in [0, nkeys); writes the permutation.
-void mn_counting_sort(const int32_t* keys, long n, long nkeys,
-                      int64_t* perm) {
+// Returns 0 on success, -1 if the counts allocation failed (perm is then
+// untouched — the caller must fall back, not consume it).
+int mn_counting_sort(const int32_t* keys, long n, long nkeys,
+                     int64_t* perm) {
     int64_t* counts = (int64_t*)std::calloc(nkeys + 1, sizeof(int64_t));
-    if (!counts) return;
+    if (!counts) return -1;
     for (long j = 0; j < n; ++j) ++counts[keys[j] + 1];
     for (long k = 0; k < nkeys; ++k) counts[k + 1] += counts[k];
     for (long j = 0; j < n; ++j) perm[counts[keys[j]]++] = j;
     std::free(counts);
+    return 0;
 }
 
 // CSR row pointers from sorted-or-unsorted COO keys (bincount + cumsum).

@@ -550,7 +550,8 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
             for a in arrays)
         return (c,) + padded
 
-    def half_pass_grouped(F_upd, F_fix, mu, batches, W, upd_is_user):
+    def half_pass_grouped(F_upd, F_fix, mu, batches, W, upd_is_user,
+                          lr_scale=1.0):
         '''Batch-group path: G sorted-window batches per pallas_call
         (``pallas_half_pass.half_pass_group``) — the factor matrix stays
         in HBM across the group, windows move by in-kernel DMA at
@@ -569,6 +570,7 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
             lo = jnp.pad(lo, (0, pad))
         c, rp, mp, klp = pad_to_chunk_axis1(r, m, kl)
         lrv, regv = col_vectors(F_upd.shape[1] - 2, upd_is_user)
+        lrv = lrv * lr_scale
         fix = i if upd_is_user else u
         grp = lambda a: a.reshape(-1, G, a.shape[-1]) if a.ndim == 2 \
             else a.reshape(-1, G)
@@ -649,7 +651,7 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
         return F_upd, sse + sse_b
 
     def half_pass_gather_grouped(F_upd, F_fix, mu, batches, W,
-                                 upd_is_user):
+                                 upd_is_user, lr_scale=1.0):
         '''Scan over groups of G batches with ONE fixed-side row gather
         per group (G*B rows in one op) feeding G per-batch fused kernel
         calls — amortizes the gather-op dispatch component of the
@@ -672,6 +674,7 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
             lo = jnp.pad(lo, (0, pad))
         fix = i if upd_is_user else u
         lrv, regv = col_vectors(F_upd.shape[1] - 2, upd_is_user)
+        lrv = lrv * lr_scale
         grp = lambda a: a.reshape(-1, G, a.shape[-1]) if a.ndim == 2 \
             else a.reshape(-1, G)
 
@@ -690,7 +693,8 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
             (grp(fix), grp(r), grp(m), grp(kl), grp(lo)))
         return F_upd, sse
 
-    def half_pass(F_upd, F_fix, mu, batches, W, upd_is_user):
+    def half_pass(F_upd, F_fix, mu, batches, W, upd_is_user,
+                  lr_scale=1.0):
         kdim = None
         if use_pallas_full and ff_dtype == 'bfloat16':
             # cast the fixed side ONCE per half-pass so the per-batch row
@@ -728,6 +732,7 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
             else:
                 ff = F_fix[fix_rows]
             lrv, regv = col_vectors(F_upd.shape[1] - 2, upd_is_user)
+            lrv = lrv * lr_scale
             if use_pallas_full:
                 # fully fused Pallas batch step: fu gather, prediction,
                 # gradients, aggregation and the window update all in VMEM
@@ -800,12 +805,18 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
     else:
         hp = half_pass
 
-    def epoch_fn(Paug, Qaug, mu, p_layout, q_layout):
+    def epoch_fn(Paug, Qaug, mu, p_layout, q_layout, lr_scale=1.0):
         # epoch RMSE pools BOTH half-passes so the convergence rule sees
         # a statistic no staler than half an epoch (r1 verdict: P-only
-        # RMSE made min_improvement decisions on a half-stale number)
-        Paug, sse_p = hp(Paug, Qaug, mu, p_layout, W_user, True)
-        Qaug, sse_q = hp(Qaug, Paug, mu, q_layout, W_item, False)
+        # RMSE made min_improvement decisions on a half-stale number).
+        # ``lr_scale`` is a TRACED scalar multiplying every learning
+        # rate (factor + bias columns): per-epoch decay schedules run
+        # against ONE compiled program instead of one rebuild per rate
+        # (the scaled lrv is an array operand of the kernels, so the
+        # scale never forces a recompile).
+        s = jnp.asarray(lr_scale, jnp.float32)
+        Paug, sse_p = hp(Paug, Qaug, mu, p_layout, W_user, True, s)
+        Qaug, sse_q = hp(Qaug, Paug, mu, q_layout, W_item, False, s)
         n = jnp.maximum(p_layout[3].sum() + q_layout[3].sum(), 1.0)
         return Paug, Qaug, jnp.sqrt((sse_p + sse_q) / n)
 

@@ -345,3 +345,102 @@ def test_implicit_heavy_user_exact_feedback():
                  + m.users_bias[0])
     got = m.predict_rating_implicit(3, 0)
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_alternating_lr_scale_matches_rebuild(tiny_dataset):
+    '''The traced lr_scale arg must equal a rebuild at the scaled rates
+    BIT-EXACTLY (all lrv columns scale: factors + learned biases) — the
+    schedule/backoff path must not drift from the constant-rate path.'''
+    u, i, v = _coo(tiny_dataset)
+    U, I = int(u.max()) + 1, int(i.max()) + 1
+    pl_ = sgd_mf.sorted_pass_layout(u, i, v, 256, axis='user',
+                                    max_window=16)
+    ql_ = sgd_mf.sorted_pass_layout(u, i, v, 256, axis='item',
+                                    max_window=16)
+    W_user, W_item = pl_[-1], ql_[-1]
+    p_layout = tuple(jnp.asarray(x) for x in pl_[:-1])
+    q_layout = tuple(jnp.asarray(x) for x in ql_[:-1])
+    st = sgd_mf.init_state(U + W_user, I + W_item, 8, feature_init=0.1)
+    Paug, Qaug = sgd_mf.augment_factors(st.P, st.Q, st.bu, st.bi)
+    mu = jnp.float32(v.mean())
+    kw = dict(bias_mode='learned', chunk=256, inner_steps=3,
+              donate=False)
+    ep_a = sgd_mf.make_alternating_epoch(W_user, W_item, lr=0.2, K=0.02,
+                                         lr_bu=0.05, lr_bi=0.05, **kw)
+    ep_b = sgd_mf.make_alternating_epoch(W_user, W_item, lr=0.1, K=0.02,
+                                         lr_bu=0.025, lr_bi=0.025, **kw)
+    P1, Q1, r1 = ep_a(Paug, Qaug, mu, p_layout, q_layout,
+                      jnp.float32(0.5))
+    P2, Q2, r2 = ep_b(Paug, Qaug, mu, p_layout, q_layout)
+    np.testing.assert_array_equal(np.asarray(P1), np.asarray(P2))
+    np.testing.assert_array_equal(np.asarray(Q1), np.asarray(Q2))
+    assert float(r1) == float(r2)
+    # scale=1.0 (traced) == no scale arg (default path)
+    P3, Q3, _ = ep_a(Paug, Qaug, mu, p_layout, q_layout)
+    P4, Q4, _ = ep_a(Paug, Qaug, mu, p_layout, q_layout,
+                     jnp.float32(1.0))
+    np.testing.assert_array_equal(np.asarray(P3), np.asarray(P4))
+    np.testing.assert_array_equal(np.asarray(Q3), np.asarray(Q4))
+
+
+def test_gd_model_lr_decay_matches_stepwise(small_dataset):
+    '''lr_decay=g on the alternating engine == training one epoch at a
+    time with learning_rate lr*g**e (warm start) — exact on CPU (lr and
+    g chosen exactly representable so baked and traced rates agree).'''
+    from mfrec_tpu.models.gd import GDRecommender
+    (u, i, v), _ = small_dataset
+    U, I = int(u.max()) + 1, int(i.max()) + 1
+    base = {'nbr_features': 8, 'regularization_model': 0.02,
+            'engine': 'alternating', 'batch_size': 1024}
+    m = GDRecommender(U, I, dict(base, min_epochs=3, max_epochs=3,
+                                 learning_rate=0.25, lr_decay=0.5))
+    m.set_ratings(u, i, v)
+    m.train(handle_bias=True)
+
+    s = GDRecommender(U, I, dict(base, min_epochs=1, max_epochs=1,
+                                 learning_rate=0.25))
+    s.set_ratings(u, i, v)
+    s.train(handle_bias=True)
+    for e in (1, 2):
+        s.set_parameters({'learning_rate': 0.25 * 0.5 ** e})
+        s.feature_training(initialize_model=False, handle_bias=True)
+    np.testing.assert_array_equal(m.P, s.P)
+    np.testing.assert_array_equal(m.Q, s.Q)
+
+
+def test_gd_model_lr_decay_validation(small_dataset):
+    from mfrec_tpu.models.base import Error
+    from mfrec_tpu.models.gd import GDRecommender
+    (u, i, v), _ = small_dataset
+    U, I = int(u.max()) + 1, int(i.max()) + 1
+    m = GDRecommender(U, I, {'min_epochs': 1, 'max_epochs': 1,
+                             'nbr_features': 4, 'engine': 'fused',
+                             'lr_decay': 0.9, 'batch_size': 1024})
+    m.set_ratings(u, i, v)
+    with pytest.raises(Error):           # refused off the wired engine
+        m.train()
+    m2 = GDRecommender(U, I, {'min_epochs': 1, 'max_epochs': 1,
+                              'nbr_features': 4, 'engine': 'alternating',
+                              'lr_decay': 1.5, 'batch_size': 1024})
+    m2.set_ratings(u, i, v)
+    with pytest.raises(Error):           # out of (0, 1]
+        m2.train()
+
+
+def test_gd_model_lr_decay_with_resilience(small_dataset):
+    '''Decay composes with the resilient driver (backoff scale x decay
+    exponent both ride the traced lr_scale; no epoch rebuilds).'''
+    from mfrec_tpu.models.gd import GDRecommender
+    (u, i, v), _ = small_dataset
+    U, I = int(u.max()) + 1, int(i.max()) + 1
+    m = GDRecommender(U, I, {'min_epochs': 4, 'max_epochs': 4,
+                             'nbr_features': 8, 'learning_rate': 0.2,
+                             'regularization_model': 0.02,
+                             'engine': 'alternating', 'batch_size': 1024,
+                             'lr_decay': 0.8, 'resilience': 1})
+    m.seed(0)
+    m.set_ratings(u, i, v)
+    m.train(handle_bias=True)
+    hist = m.get_rmse_history()
+    assert len(hist) == 4 and hist[-1] < hist[0]
+    assert np.isfinite(m.P).all()

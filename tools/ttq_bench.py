@@ -112,18 +112,30 @@ def main():
     max_ep = int(os.environ.get('TTQ_MAX_EP', 48))
     stop_imp = float(os.environ.get('TTQ_STOP_IMP', 5e-5))
 
-    def explicit(T, *, netflix=False):
+    def explicit(T, *, netflix=False, gamma=None):
         # AB=t256 / netflix_t128tloop configs: tloop, chunk=B, bf16 ff,
-        # all2d; dot is keepdims-sum at k=64, matvec at k=130
+        # all2d; dot is keepdims-sum at k=64, matvec at k=130.
+        # ``gamma``: per-epoch multiplicative lr decay via the traced
+        # lr_scale arg (ops.sgd_mf lr_scale; model param lr_decay) — the
+        # epoch counter rides the device state tuple so the trajectory
+        # warm/reset protocol resets it with the factors.
         def bf():
             ep, st, pl, ql = abm.build(
                 128, 1 << 14, False, T, 1 << 14, False, 'bfloat16',
                 False, True, 0, not netflix, False, None, 0, True)
             mu = jnp.float32(abm.vals.mean())
+            if gamma is None:
+                def step(s):
+                    Pa, Qa, r = ep(s[0], s[1], mu, pl, ql)
+                    return (Pa, Qa), r
+                return step, st
+            g = jnp.float32(gamma)
+
             def step(s):
-                Pa, Qa, r = ep(s[0], s[1], mu, pl, ql)
-                return (Pa, Qa), r
-            return step, st
+                Pa, Qa, e = s
+                Pa, Qa, r = ep(Pa, Qa, mu, pl, ql, g ** e)
+                return (Pa, Qa, e + 1.0), r
+            return step, st + (jnp.zeros((), jnp.float32),)
         return bf
 
     def kmf(T):
@@ -156,6 +168,31 @@ def main():
             'TTQ_TARGETS',
             '0.34,0.32,0.31,0.30,0.295,0.293,0.291,0.290,0.289,0.288'
         ).split(',')]
+    elif mode == 'decay':
+        # lr-decay ladder at the shipped ML-10M config (T from TTQ_T,
+        # default 128): constant-rate SGD plateaus at its step-noise
+        # floor (~0.2888 on this data) — the question is whether a
+        # geometric schedule reaches the shared targets sooner AND how
+        # far below the constant floor it lands.  g=1 is the control +
+        # drift bracket.
+        T = int(os.environ.get('TTQ_T', '128'))
+        gs = [float(x) for x in
+              os.environ.get('TTQ_G', '1.0,0.97,0.93,0.88').split(',')]
+        cfgs = [('g=%g' % g,
+                 explicit(T, gamma=(None if g == 1.0 else g)))
+                for g in gs]
+        targets = [float(x) for x in os.environ.get(
+            'TTQ_TARGETS',
+            '0.30,0.295,0.291,0.289,0.288,0.287,0.286,0.285,0.284,0.282'
+        ).split(',')]
+        trajs = [(lb, trajectory(bf, lb, max_ep, stop_imp))
+                 for lb, bf in cfgs]
+        rows2 = trajectory(cfgs[0][1], cfgs[0][0] + ' (re-run)',
+                           max_ep, stop_imp)
+        e1 = trajs[0][1][-1][0] / len(trajs[0][1])
+        e2 = rows2[-1][0] / len(rows2)
+        report(trajs, targets, (cfgs[0][0], e2 / e1))
+        return
     elif mode == 'netflix':
         # T=256 is NOT in the default list: AB=netflix_t256 crashed the
         # TPU worker and the rung is projection-rejected; the decision
