@@ -102,7 +102,11 @@ def synthetic_ratings(nbr_users=500, nbr_items=300, nbr_ratings=8000,
 
     key = users.astype(np.int64) * nbr_items + items
     _, first = np.unique(key, return_index=True)
-    first = first[:nbr_ratings]
+    # a RANDOM subset of the unique pairs: np.unique returns indices in
+    # key order, so truncating directly would keep only the smallest
+    # (user, item) keys — silently dropping every high-id user from the
+    # dataset (a "300-user" draw kept ~207 rated users)
+    first = rng.permutation(first)[:nbr_ratings]
     users, items = users[first], items[first]
 
     mu = (min_rating + max_rating) / 2.0

@@ -37,7 +37,8 @@ class KMFRecommender(MFRecommender):
                         'nbr_features': 'dimensionality',
                         'batch_size': 'batch_size',
                         'engine': 'engine',
-                        'inner_steps': 'inner_steps'}
+                        'inner_steps': 'inner_steps',
+                        'lr_decay': 'lr_decay'}
 
     _default_predictor_mode = 'logistic'
 
@@ -72,6 +73,10 @@ class KMFRecommender(MFRecommender):
         # identity-link headline tier.  Tuned jointly with
         # batch_size/learning_rate like GDRecommender.inner_steps.
         self.inner_steps = 64
+        # Per-epoch multiplicative lr decay on the alternating tier
+        # (1.0 = the reference's constant rate; see GDRecommender
+        # lr_decay — same traced lr_scale mechanism, no recompiles)
+        self.lr_decay = 1.0
 
         if parameters:
             self.set_parameters(parameters)
@@ -226,9 +231,19 @@ class KMFRecommender(MFRecommender):
             # interpret-mode Pallas on CPU is slower than XLA, so gate
             # like the GD flagship (gd.py)
             use_pallas_full=jax.default_backend() != 'cpu')
+        decay = float(self.lr_decay)
+        if not (0.0 < decay <= 1.0):
+            raise Error('lr_decay must be in (0, 1] (got %r)'
+                        % self.lr_decay)
         mu = jnp.float32(0.0)      # KMF has no global-mean term
         for e in range(int(self.nbr_epochs)):
-            Paug, Qaug, rmse = epoch(Paug, Qaug, mu, p_layout, q_layout)
+            if decay == 1.0:
+                Paug, Qaug, rmse = epoch(Paug, Qaug, mu, p_layout,
+                                         q_layout)
+            else:
+                Paug, Qaug, rmse = epoch(Paug, Qaug, mu, p_layout,
+                                         q_layout,
+                                         jnp.float32(decay ** e))
             if verbose:
                 self.logger.info('EPOCHS: %d RMSE: %s', e + 1,
                                  float(rmse))

@@ -152,3 +152,39 @@ def test_kmf_auto_engine_is_alternating(small_dataset):
     m.train()              # engine='auto' -> alternating, row-mean lr
     assert np.isfinite(m.P).all()
     assert np.abs(m.users_bias).max() > 0
+
+
+def test_kmf_lr_decay_matches_stepwise(small_dataset):
+    '''KMF lr_decay == manual per-epoch scaled training (exact lr/gamma
+    so baked and traced rates agree bit-for-bit on CPU).'''
+    import numpy as np
+    from mfrec_tpu.models.base import Error
+    from mfrec_tpu.models.kmf import KMFRecommender
+    (u, i, v), _ = small_dataset
+    U, I = int(u.max()) + 1, int(i.max()) + 1
+    base = {'nbr_features': 6, 'engine': 'alternating',
+            'batch_size': 1024, 'learning_rate': 0.25}
+    m = KMFRecommender(U, I, dict(base, nbr_epochs=3, lr_decay=0.5))
+    m.seed(0)                    # train() random-normal-inits factors
+    m.set_ratings(u, i, v)
+    m.train()
+
+    s = KMFRecommender(U, I, dict(base, nbr_epochs=1))
+    s.seed(0)
+    s.set_ratings(u, i, v)
+    s.train()
+    for e in (1, 2):
+        # train() re-zeroes the learned biases on every call (reference
+        # kmf.py:208-211 semantics), so the stepwise twin continues via
+        # the engine directly to keep them
+        s.set_parameters({'learning_rate': 0.25 * 0.5 ** e})
+        s._train_alternating('logistic', False)
+    np.testing.assert_array_equal(m.P, s.P)
+    np.testing.assert_array_equal(m.Q, s.Q)
+    np.testing.assert_array_equal(m.users_bias, s.users_bias)
+
+    bad = KMFRecommender(U, I, dict(base, nbr_epochs=1, lr_decay=0.0))
+    bad.set_ratings(u, i, v)
+    import pytest
+    with pytest.raises(Error):
+        bad.train()
