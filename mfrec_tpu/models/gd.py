@@ -62,6 +62,7 @@ class GDRecommender(MFRecommender):
                         'inner_steps': 'inner_steps',
                         'inner_steps_implicit': 'inner_steps_implicit',
                         'lr_decay': 'lr_decay',
+                        'lr_plateau_decay': 'lr_plateau_decay',
                         'n_slices': 'n_slices',
                         'resilience': 'resilience',
                         'resilience_snapshot_every':
@@ -131,6 +132,16 @@ class GDRecommender(MFRecommender):
         # only pays for quality-hungry runs (see README time-to-quality
         # notes for the measured trade-off).
         self.lr_decay = 1.0
+        # Plateau-onset decay (ConvergenceDriver plateau_decay): when the
+        # reference stop rule would end training, scale the rate by this
+        # factor and continue (until the scale floors, then stop as
+        # usual).  The ONLY decay shape that measured a win at ML-10M:
+        # constant-to-plateau-then-decay breaks below the constant-rate
+        # trajectory, while decay-from-epoch-0 loses at every target
+        # (bench_logs/r4/ttq_decay_*.log).  1.0 disables (default —
+        # reference semantics; quality-hungry runs set ~0.9 with a high
+        # max_epochs).
+        self.lr_plateau_decay = 1.0
         self.n_slices = 1                # alternating_sharded: DCN slices
 
         # Failure detection / recovery (engine.trainer.ResilientDriver;
@@ -425,27 +436,36 @@ class GDRecommender(MFRecommender):
         if not (0.0 < decay <= 1.0):
             raise Error('lr_decay must be in (0, 1] (got %r)'
                         % self.lr_decay)
+        plateau = float(self.lr_plateau_decay)
+        if not (0.0 < plateau <= 1.0):
+            raise Error('lr_plateau_decay must be in (0, 1] (got %r)'
+                        % self.lr_plateau_decay)
         driver_ref = []                  # filled once the driver exists
 
-        def one_epoch_of(epoch, scale=1.0):
-            # With a schedule (decay<1) or a resilience backoff
-            # (scale<1) the per-epoch rate rides the TRACED lr_scale arg
-            # of the compiled epoch — one program for the whole
-            # schedule.  The exponent is the driver's history length, so
-            # it rewinds with ResilientDriver rollbacks and continues
-            # across crash resume.
-            plain = decay == 1.0 and scale == 1.0
+        def one_epoch_of(epoch, scale=None):
+            # With a schedule (decay<1), plateau decay, or a resilience
+            # backoff (scale<1) the per-epoch rate rides the TRACED
+            # lr_scale arg of the compiled epoch — one program for the
+            # whole schedule.  The exponent is the driver's history
+            # length, so it rewinds with ResilientDriver rollbacks and
+            # continues across crash resume.  scale=None reads the
+            # driver's own lr_scale (ConvergenceDriver plateau decay);
+            # the resilient path passes its backoff scale explicitly
+            # (its lr_scale IS that backoff — reading both would square
+            # it).
 
             def one_epoch(pq):
                 Paug, Qaug = pq
-                if plain:
+                s = (driver_ref[0].lr_scale if scale is None and driver_ref
+                     else (scale if scale is not None else 1.0))
+                if decay == 1.0 and s == 1.0:
                     Paug, Qaug, rmse = epoch(Paug, Qaug, mu, p_layout,
                                              q_layout)
                 else:
                     e = len(driver_ref[0].history) if driver_ref else 0
                     Paug, Qaug, rmse = epoch(
                         Paug, Qaug, mu, p_layout, q_layout,
-                        jnp.float32(scale * decay ** e))
+                        jnp.float32(s * decay ** e))
                 return (Paug, Qaug), rmse
             return one_epoch
 
@@ -478,10 +498,15 @@ class GDRecommender(MFRecommender):
                     '%g', driver.recoveries, driver.lr_scale)
         else:
             driver = ConvergenceDriver(self.min_epochs, self.max_epochs,
-                                       self.min_improvement)
+                                       self.min_improvement,
+                                       plateau_decay=plateau)
             driver_ref.append(driver)
             Paug, Qaug = driver.run(one_epoch_of(build_epoch()),
                                     (Paug, Qaug))
+            if plateau < 1.0 and driver.lr_scale < 1.0:
+                self.logger.info(
+                    'plateau decay engaged: final lr scale %g',
+                    driver.lr_scale)
         self.rmse_history = driver.history
         P, Q, bu, bi = sgd_mf.split_factors(Paug, Qaug)
         self.P = np.array(P)[:self.nbr_users]
@@ -880,6 +905,17 @@ class GDRecommender(MFRecommender):
                 "lr_decay is only wired on engine='alternating' "
                 "(got %r); set engine='alternating' or lr_decay=1.0"
                 % (engine,))
+        if float(self.lr_plateau_decay) != 1.0:
+            if engine != 'alternating':
+                raise Error(
+                    "lr_plateau_decay is only wired on "
+                    "engine='alternating' (got %r)" % (engine,))
+            if int(self.resilience) > 0:
+                # ResilientDriver owns lr_scale for rollback backoff;
+                # plateau decay rides ConvergenceDriver only
+                raise Error('lr_plateau_decay and resilience>0 are '
+                            'mutually exclusive (the resilient driver '
+                            'uses its lr scale for rollback backoff)')
         if engine == 'funk':
             self._run_funk(mode, verbose=verbose)
         elif engine == 'funk_fused':

@@ -84,7 +84,12 @@ class KNNUsersRecommender(BaseRecommender):
         (reference knn_users.py:138-147).'''
         if user_index is None:
             user_index = self.users.index[user_label]
-        neighbors = self.users_similarities_sorted_id[user_index][1:]
+        # the whole precomputed list is usable: _compute_users_similarities
+        # NEG-masks self out of the top-k, unlike the reference whose
+        # sorted list carries self at position 0 (hence its [1:k] slice,
+        # knn_users.py:140-141) — slicing here would drop the BEST
+        # neighbor, not self
+        neighbors = self.users_similarities_sorted_id[user_index]
         ptr, items, _ = self.ratings.csr()
         pieces = [items[ptr[u]:ptr[u + 1]] for u in neighbors]
         in_neighborhood = np.concatenate(pieces) if pieces else \

@@ -457,3 +457,23 @@ def test_direct_attribute_learning_rate_honored():
     k.learning_rate = 0.005
     assert k._alt_lr() == 0.005
     assert KMFRecommender(4, 4)._alt_lr() == 0.15
+
+
+def test_knn_users_top_neighbor_not_dropped():
+    '''The precomputed neighbor list NEG-masks self, so ALL k slots are
+    real neighbors — regression for the reference-shaped [1:] slice that
+    dropped the best neighbor (the reference slices because its own list
+    carries self at position 0).'''
+    m = KNNUsersRecommender(3, 8, {'k': 2})
+    for it in (0, 1):
+        m.set_item_by_id(0, it, 1.0)
+    for it in (0, 1, 2):
+        m.set_item_by_id(1, it, 1.0)
+    for it in (5, 6, 7):
+        m.set_item_by_id(2, it, 1.0)
+    m.train()
+    # user 0's best neighbor is user 1 (shares {0,1}); user 2 is the
+    # second neighbor.  With the best neighbor dropped, the top-3
+    # counts came only from user 2's items.
+    out, _ = m.find_recommended_items(user_index=0, nbr_recommendations=3)
+    assert [int(x) for x in out] == [0, 1, 2]

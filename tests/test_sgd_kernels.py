@@ -444,3 +444,69 @@ def test_gd_model_lr_decay_with_resilience(small_dataset):
     hist = m.get_rmse_history()
     assert len(hist) == 4 and hist[-1] < hist[0]
     assert np.isfinite(m.P).all()
+
+
+def test_convergence_driver_plateau_decay():
+    '''Driver-level: a stall decays lr_scale and continues; the floor
+    restores the reference stop rule; plateau_decay=1.0 is bit-legacy.'''
+    from mfrec_tpu.engine.trainer import ConvergenceDriver
+
+    def make_fn(seq):
+        it = iter(seq)
+
+        def fn(state):
+            return state + 1, next(it)
+        return fn
+
+    # improving, then stalled: legacy stops right after the first stall
+    seq = [1.0, 0.9, 0.9, 0.9, 0.9, 0.9, 0.9]
+    d0 = ConvergenceDriver(1, 50, 1e-3)
+    s0 = d0.run(make_fn(seq), 0)
+    assert s0 == 3 and d0.lr_scale == 1.0          # 1.0, 0.9, 0.9(stall)
+    # plateau decay keeps training through stalls, decaying each time,
+    # until the scale floors — then stops
+    d1 = ConvergenceDriver(1, 50, 1e-3, plateau_decay=0.5,
+                           min_lr_scale=0.2)
+    s1 = d1.run(make_fn(seq + [0.9] * 10), 0)
+    # decays: 0.5, 0.25, 0.2(floored) -> one extra epoch each, then stop
+    assert s1 > s0
+    assert d1.lr_scale == 0.2
+    # a post-decay improvement resumes the normal rule
+    d2 = ConvergenceDriver(1, 50, 1e-3, plateau_decay=0.5)
+    seq2 = [1.0, 0.9, 0.9, 0.5, 0.4, 0.4, 0.4]     # stall, decay, improve
+    d2.run(make_fn(seq2 + [0.4] * 20), 0)
+    assert min(d2.history) == 0.4
+
+
+def test_gd_model_plateau_decay(small_dataset):
+    '''Model-level: lr_plateau_decay engages at the stop point, trains
+    further than the plain rule, and never hurts final train RMSE.'''
+    from mfrec_tpu.models.base import Error
+    from mfrec_tpu.models.gd import GDRecommender
+    (u, i, v), _ = small_dataset
+    U, I = int(u.max()) + 1, int(i.max()) + 1
+    base = {'nbr_features': 8, 'learning_rate': 0.2,
+            'regularization_model': 0.02, 'engine': 'alternating',
+            'batch_size': 1024, 'min_epochs': 5, 'max_epochs': 60,
+            'min_improvement': 1e-3}
+    m0 = GDRecommender(U, I, base)
+    m0.set_ratings(u, i, v)
+    m0.train(handle_bias=True)
+    m1 = GDRecommender(U, I, dict(base, lr_plateau_decay=0.5))
+    m1.set_ratings(u, i, v)
+    m1.train(handle_bias=True)
+    h0, h1 = m0.get_rmse_history(), m1.get_rmse_history()
+    assert len(h1) > len(h0)             # kept training through the stall
+    assert h1[:len(h0)] == pytest.approx(h0)   # identical until the stall
+    assert h1[-1] <= h0[-1] + 1e-9
+    # refusal contracts
+    bad = GDRecommender(U, I, dict(base, lr_plateau_decay=0.5,
+                                   engine='fused'))
+    bad.set_ratings(u, i, v)
+    with pytest.raises(Error):
+        bad.train()
+    bad2 = GDRecommender(U, I, dict(base, lr_plateau_decay=0.5,
+                                    resilience=1))
+    bad2.set_ratings(u, i, v)
+    with pytest.raises(Error):
+        bad2.train()

@@ -53,7 +53,7 @@ def build(window, batch, locality_sort, inner=INNER, chunk=4096,
 
 
 def build_implicit(use_pallas, window=256, batch=1 << 15, inner=4,
-                   chunk=None):
+                   chunk=None, lr=0.15):
     '''SVD++ alternating-implicit epoch at the bench operating point
     (W=256/B=32k — the plain tier's W=128 diverges here).  chunk
     defaults to the builder's 4096 (AB_CHUNK overrides: chunk=B rides
@@ -81,7 +81,7 @@ def build_implicit(use_pallas, window=256, batch=1 << 15, inner=4,
     if chunk is not None:
         kw['chunk'] = chunk
     ep = sgd_mf.make_alternating_implicit_epoch(
-        W_user, W_item, lr=0.15, lr_y=0.05, K=0.02, K_y=0.02,
+        W_user, W_item, lr=lr, lr_y=0.05, K=0.02, K_y=0.02,
         inner_steps=inner, use_pallas_full=use_pallas, ff_dtype=None,
         donate=False, **kw)
     return ep, (Paug, Qaug, Ypad), p_layout, q_layout, nrm_rows

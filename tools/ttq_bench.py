@@ -112,13 +112,15 @@ def main():
     max_ep = int(os.environ.get('TTQ_MAX_EP', 48))
     stop_imp = float(os.environ.get('TTQ_STOP_IMP', 5e-5))
 
-    def explicit(T, *, netflix=False, gamma=None):
+    def explicit(T, *, netflix=False, gamma=None, gamma_start=0):
         # AB=t256 / netflix_t128tloop configs: tloop, chunk=B, bf16 ff,
         # all2d; dot is keepdims-sum at k=64, matvec at k=130.
         # ``gamma``: per-epoch multiplicative lr decay via the traced
         # lr_scale arg (ops.sgd_mf lr_scale; model param lr_decay) — the
         # epoch counter rides the device state tuple so the trajectory
         # warm/reset protocol resets it with the factors.
+        # ``gamma_start``: constant rate until that epoch, then decay
+        # (scale = g^max(e - start, 0)) — the plateau-decay probe.
         def bf():
             ep, st, pl, ql = abm.build(
                 128, 1 << 14, False, T, 1 << 14, False, 'bfloat16',
@@ -130,10 +132,12 @@ def main():
                     return (Pa, Qa), r
                 return step, st
             g = jnp.float32(gamma)
+            e0 = jnp.float32(gamma_start)
 
             def step(s):
                 Pa, Qa, e = s
-                Pa, Qa, r = ep(Pa, Qa, mu, pl, ql, g ** e)
+                Pa, Qa, r = ep(Pa, Qa, mu, pl, ql,
+                               g ** jnp.maximum(e - e0, 0.0))
                 return (Pa, Qa, e + 1.0), r
             return step, st + (jnp.zeros((), jnp.float32),)
         return bf
@@ -148,11 +152,11 @@ def main():
             return step, st
         return bf
 
-    def implicit(T):
+    def implicit(T, lr=0.15):
         # shipped SVD++ config: fused Pallas base, chunk 8192, ff f32
         def bf():
             ep, st, pl, ql, nrm = abm.build_implicit(True, inner=T,
-                                                     chunk=8192)
+                                                     chunk=8192, lr=lr)
             mu = jnp.float32(abm.vals.mean())
             def step(s):
                 Pa, Qa, Yp, r = ep(s[0], s[1], s[2], mu, pl, ql, nrm)
@@ -176,11 +180,18 @@ def main():
         # far below the constant floor it lands.  g=1 is the control +
         # drift bracket.
         T = int(os.environ.get('TTQ_T', '128'))
-        gs = [float(x) for x in
-              os.environ.get('TTQ_G', '1.0,0.97,0.93,0.88').split(',')]
-        cfgs = [('g=%g' % g,
-                 explicit(T, gamma=(None if g == 1.0 else g)))
-                for g in gs]
+        cfgs = []
+        # entries: '0.97' (decay from epoch 0), '0.95@45' (constant to
+        # epoch 45 then decay), '1.0' (constant control)
+        for spec in os.environ.get('TTQ_G', '1.0,0.97,0.93,0.88').split(','):
+            if '@' in spec:
+                gtxt, stxt = spec.split('@')
+                g, s0 = float(gtxt), int(stxt)
+            else:
+                g, s0 = float(spec), 0
+            lb = 'g=%g' % g if s0 == 0 else 'g=%g@%d' % (g, s0)
+            cfgs.append((lb, explicit(T, gamma=(None if g == 1.0 else g),
+                                      gamma_start=s0)))
         targets = [float(x) for x in os.environ.get(
             'TTQ_TARGETS',
             '0.30,0.295,0.291,0.289,0.288,0.287,0.286,0.285,0.284,0.282'
@@ -217,14 +228,31 @@ def main():
     elif mode == 'implicit':
         # SVD++ tier: the rate ladder closed at T=32 BY THE QUALITY
         # GATE (T=64 regresses RMSE through the Y coupling); TTQ asks
-        # whether the cheaper T=16 reaches shared targets sooner
-        ts = [int(x) for x in
-              os.environ.get('TTQ_T', '8,16,32').split(',')]
-        mk = implicit
+        # whether the cheaper T=16 reaches shared targets sooner.
+        # 'T:lr' entries re-open a rung at a reduced rate (the T=64
+        # overshoot is an lr x sweep-count product question)
+        cfgs = []
+        for spec in os.environ.get('TTQ_T', '8,16,32').split(','):
+            if ':' in spec:
+                ttxt, ltxt = spec.split(':')
+                T, lr = int(ttxt), float(ltxt)
+                lb = 'T=%d@lr%g' % (T, lr)
+            else:
+                T, lr = int(spec), 0.15
+                lb = 'T=%d' % T
+            cfgs.append((lb, implicit(T, lr=lr)))
         targets = [float(x) for x in os.environ.get(
             'TTQ_TARGETS',
             '0.45,0.40,0.36,0.34,0.33,0.322,0.318,0.314,0.311,0.309'
         ).split(',')]
+        trajs = [(lb, trajectory(bf, lb, max_ep, stop_imp))
+                 for lb, bf in cfgs]
+        rows2 = trajectory(cfgs[0][1], cfgs[0][0] + ' (re-run)',
+                           max_ep, stop_imp)
+        e1 = trajs[0][1][-1][0] / len(trajs[0][1])
+        e2 = rows2[-1][0] / len(rows2)
+        report(trajs, targets, (cfgs[0][0], e2 / e1))
+        return
     else:
         raise SystemExit('unknown TTQ mode %r' % mode)
 
