@@ -122,7 +122,8 @@ class GDRecommender(MFRecommender):
         # the Y coupling.  T=32 is the shipped default.
         self.inner_steps_implicit = 32
         # Per-epoch multiplicative learning-rate decay on the
-        # alternating engine (1.0 = constant rate, the reference's
+        # alternating engine — explicit AND implicit (SVD++) tiers
+        # (1.0 = constant rate, the reference's
         # semantics — gd_estimator.pyx has no schedule).  The effective
         # rate at epoch e is lr * lr_decay**e, applied through ONE
         # compiled epoch program (the scale is a traced scalar operand,
@@ -668,16 +669,36 @@ class GDRecommender(MFRecommender):
             # ff_dtype stays f32: bf16 rounding hurts the Y-coupled
             # convergence (ROADMAP r2 measurement, unchanged)
             use_pallas_full=jax.default_backend() != 'cpu')
+        decay = float(self.lr_decay)
+        if not (0.0 < decay <= 1.0):
+            raise Error('lr_decay must be in (0, 1] (got %r)'
+                        % self.lr_decay)
+        plateau = float(self.lr_plateau_decay)
+        if not (0.0 < plateau <= 1.0):
+            raise Error('lr_plateau_decay must be in (0, 1] (got %r)'
+                        % self.lr_plateau_decay)
         driver = ConvergenceDriver(self.min_epochs, self.max_epochs,
-                                   self.min_improvement)
+                                   self.min_improvement,
+                                   plateau_decay=plateau)
 
         def one_epoch(st):
             Pa, Qa, Yp = st
-            Pa, Qa, Yp, rmse = epoch(Pa, Qa, Yp, mu, p_layout, q_layout,
-                                     nrm_rows)
+            if decay == 1.0 and driver.lr_scale == 1.0:
+                Pa, Qa, Yp, rmse = epoch(Pa, Qa, Yp, mu, p_layout,
+                                         q_layout, nrm_rows)
+            else:
+                # schedule rides the traced lr_scale (P/Q half-passes
+                # AND the Y step scale together — one compiled program)
+                e = len(driver.history)
+                Pa, Qa, Yp, rmse = epoch(
+                    Pa, Qa, Yp, mu, p_layout, q_layout, nrm_rows,
+                    jnp.float32(driver.lr_scale * decay ** e))
             return (Pa, Qa, Yp), rmse
 
         Paug, Qaug, Ypad = driver.run(one_epoch, (Paug, Qaug, Ypad))
+        if plateau < 1.0 and driver.lr_scale < 1.0:
+            self.logger.info('plateau decay engaged: final lr scale %g',
+                             driver.lr_scale)
         self.rmse_history = driver.history
         P, Q, bu, bi = sgd_mf.split_factors(Paug, Qaug)
         self.P = np.array(P)[:self.nbr_users]
@@ -968,6 +989,14 @@ class GDRecommender(MFRecommender):
             engine = ('alternating_sharded' if len(jax.devices()) > 1
                       else 'alternating')
         if engine == 'alternating_sharded':
+            # same refusal contract as _dispatch_engine: a requested
+            # schedule silently ignored would train at the wrong rates
+            if float(self.lr_decay) != 1.0 or \
+                    float(self.lr_plateau_decay) != 1.0:
+                raise Error(
+                    'lr_decay/lr_plateau_decay are only wired on the '
+                    "single-device implicit tier (engine='alternating'); "
+                    'got engine=%r' % (engine,))
             self._run_alternating_implicit_sharded(verbose=verbose)
         else:
             self._run_alternating_implicit(verbose=verbose)

@@ -909,7 +909,11 @@ def make_alternating_implicit_epoch(W_user, W_item, lr, lr_y, K, K_y,
         tgt, _ = jax.lax.scan(step, target, layout)
         return tgt
 
-    def epoch_fn(Paug, Qaug, Ypad, mu, p_layout, q_layout, nrm_rows):
+    def epoch_fn(Paug, Qaug, Ypad, mu, p_layout, q_layout, nrm_rows,
+                 lr_scale=1.0):
+        # traced schedule scale, like the explicit tier: scales the P/Q
+        # half-pass rates (through base's lr_scale) AND the Y step
+        s = jnp.asarray(lr_scale, jnp.float32)
         k = Ypad.shape[1]
         # 1) user aggregates of Y (sum over rated items, then * nrm)
         A = jnp.zeros((Paug.shape[0], k), Paug.dtype)
@@ -919,7 +923,7 @@ def make_alternating_implicit_epoch(W_user, W_item, lr, lr_y, K, K_y,
         Apad = jnp.pad(A, ((0, 0), (0, 2)))        # zero bias/const cols
         # 2+3) standard alternating epoch on the effective factors
         Peff = Paug + Apad
-        Peff, Qaug, rmse = base(Peff, Qaug, mu, p_layout, q_layout)
+        Peff, Qaug, rmse = base(Peff, Qaug, mu, p_layout, q_layout, s)
         Paug = Peff - Apad
         # 4) error-weighted item-factor sums into user windows
         def err_q(u, i, r, m):
@@ -940,7 +944,7 @@ def make_alternating_implicit_epoch(W_user, W_item, lr, lr_y, K, K_y,
             win = jax.lax.dynamic_slice_in_dim(Y, lo, W_item, 0)
             vals = G[u] - K_y * win[kl]
             gsum = _agg_window(vals, kl, m, W_item, chunk, row_mean)
-            win = win + lr_y * gsum
+            win = win + (lr_y * s) * gsum
             return jax.lax.dynamic_update_slice_in_dim(Y, win, lo, 0), None
         Ypad2, _ = jax.lax.scan(y_step, Ypad, q_layout)
         return Paug, Qaug, Ypad2, rmse

@@ -383,6 +383,102 @@ def test_alternating_lr_scale_matches_rebuild(tiny_dataset):
     np.testing.assert_array_equal(np.asarray(Q3), np.asarray(Q4))
 
 
+def test_alternating_implicit_lr_scale_matches_rebuild(tiny_dataset):
+    '''SVD++ tier: the traced lr_scale arg must equal a rebuild at the
+    scaled rates BIT-EXACTLY — the scale rides BOTH the P/Q half-passes
+    (through the base epoch) and the Y window step (lr_y * s).'''
+    u, i, v = _coo(tiny_dataset)
+    U, I = int(u.max()) + 1, int(i.max()) + 1
+    pl_ = sgd_mf.sorted_pass_layout(u, i, v, 256, axis='user',
+                                    max_window=16)
+    ql_ = sgd_mf.sorted_pass_layout(u, i, v, 256, axis='item',
+                                    max_window=16)
+    W_user, W_item = pl_[-1], ql_[-1]
+    p_layout = tuple(jnp.asarray(x) for x in pl_[:-1])
+    q_layout = tuple(jnp.asarray(x) for x in ql_[:-1])
+    k = 8
+    st = sgd_mf.init_state(U + W_user, I + W_item, k, feature_init=0.1)
+    Paug, Qaug = sgd_mf.augment_factors(st.P, st.Q, st.bu, st.bi)
+    # nonzero Y so phase 1 (user aggregates of Y) is exercised
+    Ypad = jnp.asarray(np.random.default_rng(7).normal(
+        0, 0.05, (I + W_item, k)).astype(np.float32))
+    counts = np.bincount(u, minlength=U).astype(np.float32)
+    nrm = np.zeros(U + W_user, np.float32)
+    nrm[:U] = np.where(counts > 0, 1.0 / np.sqrt(np.maximum(counts, 1.0)),
+                       0.0)
+    nrm_rows = jnp.asarray(nrm)
+    mu = jnp.float32(v.mean())
+    kw = dict(K=0.02, K_y=0.02, chunk=256, inner_steps=2, donate=False)
+    ep_a = sgd_mf.make_alternating_implicit_epoch(W_user, W_item,
+                                                  lr=0.2, lr_y=0.2, **kw)
+    ep_b = sgd_mf.make_alternating_implicit_epoch(W_user, W_item,
+                                                  lr=0.1, lr_y=0.1, **kw)
+    P1, Q1, Y1, r1 = ep_a(Paug, Qaug, Ypad, mu, p_layout, q_layout,
+                          nrm_rows, jnp.float32(0.5))
+    P2, Q2, Y2, r2 = ep_b(Paug, Qaug, Ypad, mu, p_layout, q_layout,
+                          nrm_rows)
+    np.testing.assert_array_equal(np.asarray(P1), np.asarray(P2))
+    np.testing.assert_array_equal(np.asarray(Q1), np.asarray(Q2))
+    np.testing.assert_array_equal(np.asarray(Y1), np.asarray(Y2))
+    assert float(r1) == float(r2)
+    # scale=1.0 (traced) == no scale arg (default path)
+    P3, Q3, Y3, _ = ep_a(Paug, Qaug, Ypad, mu, p_layout, q_layout,
+                         nrm_rows)
+    P4, Q4, Y4, _ = ep_a(Paug, Qaug, Ypad, mu, p_layout, q_layout,
+                         nrm_rows, jnp.float32(1.0))
+    np.testing.assert_array_equal(np.asarray(P3), np.asarray(P4))
+    np.testing.assert_array_equal(np.asarray(Y3), np.asarray(Y4))
+
+
+def test_gd_implicit_lr_decay_and_plateau(small_dataset):
+    '''Model-level SVD++ schedules: lr_decay trains (finite, converging,
+    different trajectory from constant-rate), lr_plateau_decay keeps
+    training through the stall, and both are REFUSED on the sharded
+    implicit engine (not wired there — silent wrong rates otherwise).'''
+    from mfrec_tpu.models.base import Error
+    from mfrec_tpu.models.gd import GDRecommender
+    (u, i, v), _ = small_dataset
+    U, I = int(u.max()) + 1, int(i.max()) + 1
+    base = {'nbr_features': 6, 'learning_rate': 0.2,
+            'regularization_model': 0.02, 'engine': 'alternating',
+            'batch_size': 1024, 'inner_steps': 4,
+            'min_epochs': 8, 'max_epochs': 8}
+    m0 = GDRecommender(U, I, base)
+    m0.seed(0)
+    m0.set_ratings(u, i, v)
+    m0.feature_training_implicit()
+    m1 = GDRecommender(U, I, dict(base, lr_decay=0.7))
+    m1.seed(0)
+    m1.set_ratings(u, i, v)
+    m1.feature_training_implicit()
+    h0, h1 = m0.get_rmse_history(), m1.get_rmse_history()
+    assert np.isfinite(m1.P).all() and np.isfinite(m1.Y).all()
+    assert h1[-1] < h1[0] - 0.02                  # still converges
+    assert h1[0] == pytest.approx(h0[0])          # epoch 0: scale 0.7**0=1
+    assert h1[-1] != pytest.approx(h0[-1])        # schedule changed later
+    # plateau decay: keeps training past the plain stop point
+    stall = dict(base, min_epochs=3, max_epochs=40, min_improvement=5e-3)
+    m2 = GDRecommender(U, I, stall)
+    m2.seed(0)
+    m2.set_ratings(u, i, v)
+    m2.feature_training_implicit()
+    m3 = GDRecommender(U, I, dict(stall, lr_plateau_decay=0.5))
+    m3.seed(0)
+    m3.set_ratings(u, i, v)
+    m3.feature_training_implicit()
+    h2, h3 = m2.get_rmse_history(), m3.get_rmse_history()
+    assert len(h3) > len(h2)
+    assert h3[:len(h2)] == pytest.approx(h2)      # identical to the stall
+    assert h3[-1] <= h2[-1] + 1e-9
+    # refusal on the sharded implicit tier
+    for kw in ({'lr_decay': 0.9}, {'lr_plateau_decay': 0.9}):
+        bad = GDRecommender(U, I, dict(base, engine='alternating_sharded',
+                                       **kw))
+        bad.set_ratings(u, i, v)
+        with pytest.raises(Error):
+            bad.feature_training_implicit()
+
+
 def test_gd_model_lr_decay_matches_stepwise(small_dataset):
     '''lr_decay=g on the alternating engine == training one epoch at a
     time with learning_rate lr*g**e (warm start) — exact on CPU (lr and
