@@ -152,16 +152,29 @@ def main():
             return step, st
         return bf
 
-    def implicit(T, lr=0.15):
-        # shipped SVD++ config: fused Pallas base, chunk 8192, ff f32
+    def implicit(T, lr=0.15, gamma=None, gamma_start=0):
+        # shipped SVD++ config: fused Pallas base, chunk 8192, ff f32.
+        # ``gamma``/``gamma_start``: plateau-decay probe like explicit's
+        # — constant rate to epoch gamma_start, then scale by gamma each
+        # epoch (rides the implicit epoch's traced lr_scale)
         def bf():
             ep, st, pl, ql, nrm = abm.build_implicit(True, inner=T,
                                                      chunk=8192, lr=lr)
             mu = jnp.float32(abm.vals.mean())
+            if gamma is None:
+                def step(s):
+                    Pa, Qa, Yp, r = ep(s[0], s[1], s[2], mu, pl, ql, nrm)
+                    return (Pa, Qa, Yp), r
+                return step, st
+            g = jnp.float32(gamma)
+            e0 = jnp.float32(gamma_start)
+
             def step(s):
-                Pa, Qa, Yp, r = ep(s[0], s[1], s[2], mu, pl, ql, nrm)
-                return (Pa, Qa, Yp), r
-            return step, st
+                Pa, Qa, Yp, e = s
+                Pa, Qa, Yp, r = ep(Pa, Qa, Yp, mu, pl, ql, nrm,
+                                   g ** jnp.maximum(e - e0, 0.0))
+                return (Pa, Qa, Yp, e + 1.0), r
+            return step, st + (jnp.zeros((), jnp.float32),)
         return bf
 
     if mode == 'ml10m':
@@ -230,21 +243,32 @@ def main():
         # GATE (T=64 regresses RMSE through the Y coupling); TTQ asks
         # whether the cheaper T=16 reaches shared targets sooner.
         # 'T:lr' entries re-open a rung at a reduced rate (the T=64
-        # overshoot is an lr x sweep-count product question)
+        # overshoot is an lr x sweep-count product question); a third
+        # ':g@s' part adds plateau decay (constant to epoch s, then
+        # scale by g each epoch), e.g. '32:0.15:0.85@14'
         cfgs = []
         for spec in os.environ.get('TTQ_T', '8,16,32').split(','):
-            if ':' in spec:
-                ttxt, ltxt = spec.split(':')
-                T, lr = int(ttxt), float(ltxt)
-                lb = 'T=%d@lr%g' % (T, lr)
-            else:
-                T, lr = int(spec), 0.15
-                lb = 'T=%d' % T
-            cfgs.append((lb, implicit(T, lr=lr)))
+            parts = spec.split(':')
+            T = int(parts[0])
+            lr = float(parts[1]) if len(parts) > 1 else 0.15
+            g, s0 = None, 0
+            if len(parts) > 2:
+                gtxt, stxt = parts[2].split('@')
+                g, s0 = float(gtxt), int(stxt)
+            lb = 'T=%d' % T if lr == 0.15 else 'T=%d@lr%g' % (T, lr)
+            if g is not None:
+                lb += ' g=%g@%d' % (g, s0)
+            cfgs.append((lb, implicit(T, lr=lr, gamma=g, gamma_start=s0)))
         targets = [float(x) for x in os.environ.get(
             'TTQ_TARGETS',
             '0.45,0.40,0.36,0.34,0.33,0.322,0.318,0.314,0.311,0.309'
         ).split(',')]
+        # T=64@lr0.1's deterministic transient (epochs 5-8: .4173 .4912
+        # .4205 .4582 before the plunge to .3194) outlasts patience=3 —
+        # the default stop rule killed it at epoch 8 in
+        # bench_logs/r4/ttq_implicit_decay.log.  SVD++ probes default
+        # deeper patience; explicit TTQ_PATIENCE still overrides.
+        os.environ.setdefault('TTQ_PATIENCE', '6')
         trajs = [(lb, trajectory(bf, lb, max_ep, stop_imp))
                  for lb, bf in cfgs]
         rows2 = trajectory(cfgs[0][1], cfgs[0][0] + ' (re-run)',
