@@ -191,8 +191,11 @@ def main():
         # floor (~0.2888 on this data) — the question is whether a
         # geometric schedule reaches the shared targets sooner AND how
         # far below the constant floor it lands.  g=1 is the control +
-        # drift bracket.
+        # drift bracket.  TTQ_SHAPE=netflix re-runs the ladder at the
+        # Netflix headline shape (rank 128, 100M ratings; the __main__
+        # data build honors TTQ_SHAPE too).
         T = int(os.environ.get('TTQ_T', '128'))
+        nfx = os.environ.get('TTQ_SHAPE', 'ml10m') == 'netflix'
         cfgs = []
         # entries: '0.97' (decay from epoch 0), '0.95@45' (constant to
         # epoch 45 then decay), '1.0' (constant control)
@@ -203,7 +206,8 @@ def main():
             else:
                 g, s0 = float(spec), 0
             lb = 'g=%g' % g if s0 == 0 else 'g=%g@%d' % (g, s0)
-            cfgs.append((lb, explicit(T, gamma=(None if g == 1.0 else g),
+            cfgs.append((lb, explicit(T, netflix=nfx,
+                                      gamma=(None if g == 1.0 else g),
                                       gamma_start=s0)))
         targets = [float(x) for x in os.environ.get(
             'TTQ_TARGETS',
@@ -295,7 +299,8 @@ def main():
 if __name__ == '__main__':
     # data build inside the guard (imports must not trigger generation)
     U, I, N, K = 69878, 10677, 10_000_000, 64
-    if os.environ.get('TTQ', 'ml10m') == 'netflix':
+    if (os.environ.get('TTQ', 'ml10m') == 'netflix'
+            or os.environ.get('TTQ_SHAPE', 'ml10m') == 'netflix'):
         U, I, N, K = 480_189, 17_770, 100_000_000, 128
     # smoke-scale overrides (CPU sanity runs), same names as bench.py
     U = int(os.environ.get('BENCH_U', U))
