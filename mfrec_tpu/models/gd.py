@@ -63,6 +63,7 @@ class GDRecommender(MFRecommender):
                         'inner_steps_implicit': 'inner_steps_implicit',
                         'lr_decay': 'lr_decay',
                         'lr_plateau_decay': 'lr_plateau_decay',
+                        'init_mode': 'init_mode',
                         'n_slices': 'n_slices',
                         'resilience': 'resilience',
                         'resilience_snapshot_every':
@@ -143,6 +144,25 @@ class GDRecommender(MFRecommender):
         # reference semantics; quality-hungry runs set ~0.9 with a high
         # max_epochs).
         self.lr_plateau_decay = 1.0
+        # Factor init for the JOINTLY-trained engines (alternating*/
+        # fused/dsgd/implicit).  The reference's constant
+        # np.full(feature_init) init (gradient_descent.py:523-525) is
+        # correct ONLY for its feature-SEQUENTIAL Funk loop, where
+        # features differentiate by training against the residual of
+        # earlier ones.  Under JOINT training, a constant init is a
+        # fixed point of the column-permutation symmetry: every factor
+        # column receives the identical gradient forever and the model
+        # collapses to rank 1 regardless of nbr_features (measured end
+        # to end at the ML-10M bench shape: train RMSE stalls at 0.692,
+        # a hair under the 0.703 bias floor, vs 0.29 with the symmetry
+        # broken — bench_logs/r4/plateau_e2e_rank1_repro.log).  Same
+        # latent-defect class as the reference's constant WRMF init
+        # (models/wrmf.py init_mode notes).  'auto' (default):
+        # N(0, feature_init) via self.rng for joint engines, the
+        # reference-exact constant fill for the sequential tiers
+        # ('funk'/'funk_fused', whose cached estimators also assume it
+        # through the trailing term).  'normal'/'constant' force either.
+        self.init_mode = 'auto'
         self.n_slices = 1                # alternating_sharded: DCN slices
 
         # Failure detection / recovery (engine.trainer.ResilientDriver;
@@ -183,17 +203,43 @@ class GDRecommender(MFRecommender):
         '''Funk training returning the per-epoch rmse trace (reference
         gradient_descent.py:577-599 -> estimator_loop with rmse_hist
         out-param).'''
-        self._init_factors(initialize_model)
+        self._init_factors(initialize_model, sequential=True)
         self._run_funk('none', verbose=verbose)
         return np.asarray(self.rmse_history)
 
-    def _init_factors(self, initialize_model):
-        if initialize_model or self.P is None or self.Q is None:
-            k = self.dimensionality
+    # feature-sequential tiers: the reference constant init is both
+    # correct and load-bearing there (trailing-term estimates)
+    _SEQUENTIAL_ENGINES = ('funk', 'funk_fused')
+
+    def _init_factors(self, initialize_model, sequential=None):
+        '''Factor init.  ``sequential`` overrides the engine-derived
+        choice for entry points that hardwire a tier (e.g.
+        ``feature_training_dev`` always runs the funk loop regardless of
+        ``self.engine``).  See the ``init_mode`` notes in ``__init__``:
+        constant init under joint training collapses the model to
+        rank 1.'''
+        if not (initialize_model or self.P is None or self.Q is None):
+            return
+        k = self.dimensionality
+        mode = getattr(self, 'init_mode', 'auto')
+        if mode not in ('auto', 'constant', 'normal'):
+            raise Error("init_mode must be 'auto', 'constant' or "
+                        "'normal' (got %r)" % (mode,))
+        if mode == 'auto':
+            seq = (sequential if sequential is not None
+                   else self.engine in self._SEQUENTIAL_ENGINES)
+            mode = 'constant' if seq else 'normal'
+        if mode == 'constant':
             self.P = np.full((self.nbr_users, k), self.feature_init,
                              np.float32)
             self.Q = np.full((self.nbr_items, k), self.feature_init,
                              np.float32)
+        else:
+            scale = abs(float(self.feature_init))
+            self.P = self.rng.normal(0.0, scale, (self.nbr_users, k)) \
+                .astype(np.float32)
+            self.Q = self.rng.normal(0.0, scale, (self.nbr_items, k)) \
+                .astype(np.float32)
 
     def _zero_biases(self):
         return (np.zeros(self.nbr_users, np.float32),
@@ -977,7 +1023,7 @@ class GDRecommender(MFRecommender):
         ops-level kernel variant).  The reference's serial loop is
         defective (SURVEY.md §2.6) so there is no order-faithful oracle
         to honor.'''
-        self._init_factors(initialize_model)
+        self._init_factors(initialize_model, sequential=False)  # joint
         self.compute_overall_avg()
         self.compute_items_bias_bk()
         self.compute_users_bias_bk()
@@ -1004,7 +1050,7 @@ class GDRecommender(MFRecommender):
     def feature_training2(self, initialize_model=True, verbose=False):
         '''Caller-controlled funk subloops (reference
         gradient_descent.py:299-328) — same semantics as engine='funk'.'''
-        self._init_factors(initialize_model)
+        self._init_factors(initialize_model, sequential=True)
         self._run_funk('none', verbose=verbose)
 
     def feature_training_folding(self, initialize_model=False,
@@ -1024,7 +1070,7 @@ class GDRecommender(MFRecommender):
         nbr_batchs = max(n // batch_size, 1)
         bounds = np.linspace(0, n, nbr_batchs + 1).astype(int)
         rmse_probe = np.zeros(nbr_batchs)
-        self._init_factors(True)
+        self._init_factors(True, sequential=False)   # fused = joint
         for b in range(nbr_batchs):
             chunk = (idx[bounds[b]:bounds[b + 1], 0],
                      idx[bounds[b]:bounds[b + 1], 1],
@@ -1041,7 +1087,7 @@ class GDRecommender(MFRecommender):
                                           verbose=False):
         '''Online training on an explicit rating-chunk (reference
         gradient_descent.py:358-409) — funk engine on the given chunk.'''
-        self._init_factors(initialize_model)
+        self._init_factors(initialize_model, sequential=True)
         chunk = (ratings_index[:, 0].astype(np.int32),
                  ratings_index[:, 1].astype(np.int32),
                  np.asarray(ratings, np.float32))
@@ -1070,7 +1116,7 @@ class GDRecommender(MFRecommender):
         idx, vals = self.get_ratings(randomize_order=False)
         n = idx.shape[0]
         cuts = np.linspace(0, n, nbr_batch + 1).astype(int)
-        self._init_factors(True)
+        self._init_factors(True, sequential=True)    # funk per shard
         k = self.dimensionality
         shards_P = []
         shards_Q = []

@@ -91,8 +91,11 @@ def test_biased_sgd_rmse_floor(u1):
     rmse = test_predict_rating(m, test, nbr_samples=20000,
                                predictor='predict_rating_with_bias',
                                quiet=True)[0]
-    # bias-only floor on this split measures 0.953; SGD reaches 0.932
-    assert rmse <= 0.94, rmse      # measured 0.932
+    # bias-only floor on this split measures 0.953; rank-1-collapsed
+    # constant init reached 0.932 (the pre-init_mode state), the
+    # symmetry-broken default reaches 0.728 (r4 init fix — see
+    # tests/test_init_symmetry.py)
+    assert rmse <= 0.76, rmse      # measured 0.7278
 
     # explicit bias-only comparison (no hardcoded floor drift)
     mu = v.mean()
