@@ -442,7 +442,7 @@ def main():
                                               seed=0)
         ub, ib = jnp.asarray(ub), jnp.asarray(ib)
         rb, mb = jnp.asarray(rb), jnp.asarray(mb)
-        state = sgd_mf.init_state(U, I, K)
+        state = sgd_mf.init_state(U, I, K, mode='normal')
         state = state._replace(mu=jnp.float32(vals.mean()),
                                bu=jnp.asarray(bu_fit),
                                bi=jnp.asarray(bi_fit))

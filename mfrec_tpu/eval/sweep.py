@@ -86,7 +86,8 @@ def optimize_dim(factory, train_kwargs, u_test, dims=range(10, 50, 2),
 
 def optimize_regularization_vmapped(users, items, values, u_test, regs,
                                     rank=16, epochs=30, lr=0.01,
-                                    batch_size=8192, feature_init=0.1):
+                                    batch_size=8192, feature_init=0.1,
+                                    seed=0):
     '''Train one model PER regularization value simultaneously — factors
     stacked on a sweep axis, the whole sweep is a single vmapped device
     program (TPU-native replacement for the reference's sequential
@@ -113,8 +114,18 @@ def optimize_regularization_vmapped(users, items, values, u_test, regs,
 
     ub, ib, rb, mb = sgd_mf.batch_ratings(users, items, values, batch_size,
                                           seed=0)
-    Ps = jnp.full((S, U, rank), feature_init, jnp.float32)
-    Qs = jnp.full((S, I, rank), feature_init, jnp.float32)
+    # One random init SHARED across the sweep axis: the per-sample epoch
+    # trains all features jointly, and a constant fill is a fixed point
+    # of the column symmetry (rank-1 collapse — see
+    # tests/test_init_symmetry.py); identical draws per candidate keep
+    # the regularization comparison init-controlled.
+    rng = np.random.default_rng(seed)
+    P0 = rng.normal(0.0, abs(float(feature_init)),
+                    (U, rank)).astype(np.float32)
+    Q0 = rng.normal(0.0, abs(float(feature_init)),
+                    (I, rank)).astype(np.float32)
+    Ps = jnp.tile(jnp.asarray(P0)[None], (S, 1, 1))
+    Qs = jnp.tile(jnp.asarray(Q0)[None], (S, 1, 1))
     Ks = jnp.asarray(np.asarray(regs, np.float32))
     epoch = sgd_mf.make_multi_reg_epoch(lr, bias_mode='fixed')
     args = tuple(jnp.asarray(x) for x in (ub, ib, rb, mb))
