@@ -62,6 +62,76 @@ def bias_floor_rmse(users, items, vals, U, I):
     return float(np.sqrt(((vals - pred) ** 2).mean())), bu, bi
 
 
+def bench_model(U, I, K, users, items, vals, floor, blocks=3, span=5):
+    '''HEADLINE attestation through the PUBLIC API (VERDICT r4 #1c):
+    trains ``GDRecommender.train(handle_bias=True)`` — the documented
+    quick-start path, reference ``gradient_descent.py:41-45,545`` — at
+    shipped defaults (engine auto→alternating, batch 16384, T=128, the
+    row-mean lr 0.15) on the planted-structure ML-10M data.
+
+    The marginal epoch is measured as a difference quotient of two
+    train() calls per block (``(t[2+span] - t[2]) / span``), so every
+    per-train fixed cost — factor init, BellKor bias fit, the (cached)
+    layout probe, driver setup — cancels out of ``epoch_s`` and is
+    reported separately as ``fixed_train_s``.  The r5 epoch-builder memo
+    + ratings-version layout cache make repeated train() calls reuse the
+    compiled epoch program and the device-resident layouts; without them
+    every call re-paid a remote recompile plus an O(nnz) host sort (the
+    r4 model-vs-ops gap).'''
+    import jax
+    from mfrec_tpu.models.gd import GDRecommender
+
+    model = GDRecommender(U, I, {
+        'nbr_features': K,
+        'feature_init': 0.05,
+        'regularization_model': 0.02,
+        'min_improvement': -1.0,     # epoch count pinned by min=max
+    })
+    model.set_ratings(users, items, vals)
+
+    def train_timed(epochs):
+        model.min_epochs = epochs
+        model.max_epochs = epochs
+        t0 = time.perf_counter()
+        model.train(handle_bias=True)
+        return time.perf_counter() - t0, float(model.rmse_history[-1])
+
+    t_warm, _ = train_timed(1)       # compile + layout build, once
+    marg, fixed = [], []
+    rmse = float('nan')
+    for _ in range(blocks):
+        t_s, _ = train_timed(2)
+        t_l, rmse = train_timed(2 + span)
+        m_ep = (t_l - t_s) / span
+        marg.append(m_ep)
+        fixed.append(t_s - 2 * m_ep)
+    epoch_s = float(np.median(marg))
+    inner = int(model.inner_steps)
+    updates_per_s = len(vals) * K * inner / epoch_s
+    baseline = 3.7e7
+    print(json.dumps({
+        'metric': 'ml10m_rank64_model_train_updates_per_s',
+        'value': round(updates_per_s, 1),
+        'unit': 'updates/s/chip (public GDRecommender.train path)',
+        'vs_baseline': round(updates_per_s / baseline, 2),
+        'epoch_s': round(epoch_s, 4),
+        'fixed_train_s': round(float(np.median(fixed)), 3),
+        'warmup_train_s': round(t_warm, 1),
+        'inner_steps': inner,
+        'batch': int(model.batch_size),
+        'engine': model.engine,
+        'final_train_rmse': round(rmse, 4),
+        'bias_floor_rmse': round(floor, 4),
+        'beats_floor': bool(rmse < floor),
+        'device': str(jax.devices()[0]),
+        'mode': 'model',
+        # true by construction: nothing tuned is overridden — engine,
+        # batch_size, inner_steps, and the lr default are the shipped
+        # GDRecommender values
+        'engine_defaults_match': True,
+    }))
+
+
 def bench_als(U, I, users, items, K=64, epochs=3):
     '''Secondary metric: implicit WRMF ALS epoch (user+item half-sweeps,
     batched normal equations + Cholesky) at ML-10M shape, rank 64.
@@ -259,6 +329,12 @@ def main():
         return bench_als(U, I, users, items)
 
     floor, bu_fit, bi_fit = bias_floor_rmse(users, items, vals, U, I)
+
+    if mode == 'model':
+        # headline through the public API: see bench_model
+        return bench_model(U, I, K, users, items, vals, floor,
+                           blocks=blocks,
+                           span=int(os.environ.get('BENCH_SPAN', 5)))
     # T ladder climbed r4 by interleaved A/B at every rung
     # (AB=t16/t32/t64/t128): ML-10M rank 64 on the tloop kernel runs
     # T=128 at 2.138 s/epoch = 3.83e10 = 1035× (+5.9% over T=64) with

@@ -112,8 +112,11 @@ def optimize_regularization_vmapped(users, items, values, u_test, regs,
                   np.bincount(users, weights=resid, minlength=U)
                   / np.maximum(cnt_u, 1), 0.0).astype(np.float32)
 
+    # seed controls the batch shuffle AND the init draw below, so callers
+    # varying it for variance estimation get genuinely independent runs
+    # (ADVICE r4: a hardcoded shuffle seed made 'seeds' share batches)
     ub, ib, rb, mb = sgd_mf.batch_ratings(users, items, values, batch_size,
-                                          seed=0)
+                                          seed=int(seed))
     # One random init SHARED across the sweep axis: the per-sample epoch
     # trains all features jointly, and a constant fill is a fixed point
     # of the column symmetry (rank-1 collapse — see

@@ -236,6 +236,15 @@ class GDRecommender(MFRecommender):
                              np.float32)
         else:
             scale = abs(float(self.feature_init))
+            if scale == 0.0:
+                # an all-zero init is itself a training fixed point for
+                # joint engines (zero factor gradients with fixed biases)
+                # — the same silent-collapse class init_mode='auto' is
+                # meant to prevent (ADVICE r4)
+                raise Error(
+                    "feature_init must be non-zero for init_mode="
+                    "'normal' (an all-zero init freezes joint training; "
+                    "set feature_init, e.g. 0.05)")
             self.P = self.rng.normal(0.0, scale, (self.nbr_users, k)) \
                 .astype(np.float32)
             self.Q = self.rng.normal(0.0, scale, (self.nbr_items, k)) \
@@ -429,12 +438,14 @@ class GDRecommender(MFRecommender):
             if chosen('learning_rate_items') else lr
         return lr, lr_bu, lr_bi
 
+    # _alternating_layouts (the version-keyed layout cache) is inherited
+    # from MFRecommender — shared with the KMF alternating engine.
+
     # ------------------------------------------------- alternating engine
     def _run_alternating(self, bias_mode, verbose=False):
         '''Scatter-free sorted-window epochs
         (``ops.sgd_mf.make_alternating_epoch``) — the fastest single-chip
         path; blockwise-alternating update order.'''
-        uidx, iidx, vals = self.ratings.coo()
         # chunk = the whole batch: the r4 interleaved A/B measured the
         # (T, 1) grid at chunk=B 26% faster than chunk=8192 (one grid
         # step per sweep, ff never re-streamed) — and the default Pallas
@@ -447,13 +458,7 @@ class GDRecommender(MFRecommender):
         # 0.398 vs 0.433/0.401 s per 4-sweep epoch) and converges better
         # per epoch than wider windows
         mw = min(128, max(self.nbr_users, self.nbr_items))
-        pl_ = sgd_mf.sorted_pass_layout(uidx, iidx, vals, self.batch_size,
-                                        axis='user', max_window=mw)
-        ql_ = sgd_mf.sorted_pass_layout(uidx, iidx, vals, self.batch_size,
-                                        axis='item', max_window=mw)
-        W_user, W_item = pl_[-1], ql_[-1]
-        p_layout = tuple(jnp.asarray(x) for x in pl_[:-1])
-        q_layout = tuple(jnp.asarray(x) for x in ql_[:-1])
+        p_layout, q_layout, W_user, W_item = self._alternating_layouts(mw)
         state = self._state(with_bias=(bias_mode != 'none'))
         Paug, Qaug = sgd_mf.augment_factors(
             jnp.pad(state.P, ((0, W_user), (0, 0))),
@@ -672,20 +677,13 @@ class GDRecommender(MFRecommender):
         '''SVD++ at sorted-window speed: every phase (Y aggregation, both
         half-passes, error aggregation, Y update) is scatter-free window
         work (``ops.sgd_mf.make_alternating_implicit_epoch``).'''
-        uidx, iidx, vals = self.ratings.coo()
         chunk = min(8192, self.batch_size)
         lr, _, _ = self._alt_lrs()
         # NOT the plain tier's W=128 optimum: the Y-aggregation phases
         # couple rows across the batch, and narrow windows diverge at
         # bench-scale learning rates (measured: train RMSE 2.20 > floor
         # at W=128/batch=16k vs 0.652 at W=512/32k)
-        pl_ = sgd_mf.sorted_pass_layout(uidx, iidx, vals, self.batch_size,
-                                        axis='user')
-        ql_ = sgd_mf.sorted_pass_layout(uidx, iidx, vals, self.batch_size,
-                                        axis='item')
-        W_user, W_item = pl_[-1], ql_[-1]
-        p_layout = tuple(jnp.asarray(x) for x in pl_[:-1])
-        q_layout = tuple(jnp.asarray(x) for x in ql_[:-1])
+        p_layout, q_layout, W_user, W_item = self._alternating_layouts(512)
         k = self.dimensionality
         state = self._state(with_bias=True)
         Paug, Qaug = sgd_mf.augment_factors(

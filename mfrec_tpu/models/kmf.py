@@ -199,17 +199,10 @@ class KMFRecommender(MFRecommender):
         biases riding the augmented factor columns.  Update order
         differs from the serial reference (kmf_train.pyx:103-193), so
         parity is final-RMSE tolerance like every order-changing tier.'''
-        uidx, iidx, vals = self.ratings.coo()
         chunk = min(8192, self.batch_size)
         lr = self._alt_lr()
         mw = min(128, max(self.nbr_users, self.nbr_items))
-        pl_ = sgd_mf.sorted_pass_layout(uidx, iidx, vals, self.batch_size,
-                                        axis='user', max_window=mw)
-        ql_ = sgd_mf.sorted_pass_layout(uidx, iidx, vals, self.batch_size,
-                                        axis='item', max_window=mw)
-        W_user, W_item = pl_[-1], ql_[-1]
-        p_layout = tuple(jnp.asarray(x) for x in pl_[:-1])
-        q_layout = tuple(jnp.asarray(x) for x in ql_[:-1])
+        p_layout, q_layout, W_user, W_item = self._alternating_layouts(mw)
         Paug, Qaug = sgd_mf.augment_factors(
             jnp.pad(jnp.asarray(self.P, jnp.float32),
                     ((0, W_user), (0, 0))),

@@ -33,6 +33,35 @@ class MFRecommender(BaseRecommender):
         self.neighborhood = 500
 
     # ------------------------------------------------------------- helpers
+    def _alternating_layouts(self, max_window):
+        '''Device-resident sorted-pass layouts for the alternating tiers,
+        cached on the ratings snapshot ``version`` (+ batch/window).
+
+        The layout build is O(nnz) host work (two counting sorts + window
+        assignment, ~4 s at ML-10M) followed by an O(nnz) device upload
+        through the relay; without the cache every ``train()`` call —
+        sweeps, retrains, the plateau-decay e2e drive — re-paid both even
+        though the ratings had not changed (the per-train fixed-cost half
+        of the r4 model-vs-ops gap, VERDICT r4 #1).  Shared by the GD and
+        KMF alternating engines.'''
+        from mfrec_tpu.ops import sgd_mf
+        key = (self.ratings.version, self.ratings.nnz, self.batch_size,
+               max_window)
+        cached = getattr(self, '_alt_layout_cache', None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        uidx, iidx, vals = self.ratings.coo()
+        pl_ = sgd_mf.sorted_pass_layout(uidx, iidx, vals, self.batch_size,
+                                        axis='user', max_window=max_window)
+        ql_ = sgd_mf.sorted_pass_layout(uidx, iidx, vals, self.batch_size,
+                                        axis='item', max_window=max_window)
+        W_user, W_item = pl_[-1], ql_[-1]
+        p_layout = tuple(jnp.asarray(x) for x in pl_[:-1])
+        q_layout = tuple(jnp.asarray(x) for x in ql_[:-1])
+        out = (p_layout, q_layout, W_user, W_item)
+        self._alt_layout_cache = (key, out)
+        return out
+
     def clamping(self, value, min=1.0, max=5.0):
         '''Clamp to [min, max].  (The reference hardcodes [1, 5] and ignores
         its arguments — mf.py:44-53, a latent defect not replicated.)'''

@@ -138,20 +138,13 @@ def make_fn_epoch(lr, lr_bu, lr_bi, K, K_bu, K_bi, K_y=None, lo=1.0,
 def padded_user_lists(ratings, cap=None):
     '''Host-side [U, L] padded (ids, values, mask) per-user rated lists —
     vectorized grid fill.'''
+    from mfrec_tpu.data.ratings import padded_segment_gather
     ptr, items, vals = ratings.csr()
     counts = np.diff(ptr)
-    cmax = int(counts.max()) if counts.size else 1
-    L = max(cmax, 1)
+    # L policy: batch-max rated count, optionally capped
+    L = max(int(counts.max()) if counts.size else 1, 1)
     if cap is not None:
         L = min(L, int(cap))
-    cnts = np.minimum(counts, L)[:, None]
-    offs = np.arange(L, dtype=np.int64)[None, :]
-    mask = offs < cnts
-    grid = ptr[:-1][:, None] + np.minimum(offs, np.maximum(cnts - 1, 0))
-    grid = np.minimum(grid, max(items.shape[0] - 1, 0))
-    if items.shape[0] == 0:
-        z = np.zeros(mask.shape, np.float32)
-        return np.zeros(mask.shape, np.int32), z, z
-    fl = (items[grid] * mask).astype(np.int32)
-    fv = (vals[grid] * mask).astype(np.float32)
-    return fl, fv, mask.astype(np.float32)
+    rows = np.arange(ptr.shape[0] - 1, dtype=np.int64)
+    fl, fv, mask = padded_segment_gather(ptr, rows, L, items, vals)
+    return fl, fv, mask

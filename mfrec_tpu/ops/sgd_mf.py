@@ -44,6 +44,41 @@ class MFState(NamedTuple):
     Y: jax.Array
 
 
+def _memo_epoch_builder(fn, _maxsize=64):
+    '''Memoize an epoch-builder on its (hashable) config args.
+
+    Every builder arg is a static scalar/string baked into the returned
+    jitted closure, so identical configs yield interchangeable epoch
+    functions — but a FRESH closure per call defeats jax.jit's
+    function-identity cache, and through the remote-compile relay each
+    recompile of a large epoch program costs minutes.  The model layer
+    rebuilds its epoch on every ``train()`` call (sweeps, retrains,
+    fold-in refreshes), so without this memo the public API pays a full
+    recompile per call where the ops-level bench pays one per process
+    (the r4 model-vs-ops gap, VERDICT r4 #1).  Unhashable args (probe
+    hooks) bypass the memo.
+    '''
+    cache = {}
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        key = (args, tuple(sorted(kwargs.items())))
+        try:
+            hash(key)
+        except TypeError:
+            return fn(*args, **kwargs)
+        if key not in cache:
+            if len(cache) >= _maxsize:
+                cache.clear()
+            cache[key] = fn(*args, **kwargs)
+        return cache[key]
+
+    wrapper.cache_clear = cache.clear
+    return wrapper
+
+
+
+
 def init_state(nbr_users, nbr_items, k, feature_init=0.1, mode='constant',
                seed=0, dtype=jnp.float32):
     '''`constant` = reference SGD init (``gradient_descent.py:523-525``);
@@ -150,6 +185,7 @@ def update_cache(pf, qf, cache, uidx, iidx, mu, bu, bi, bias_mode='none',
 # Fused tier — mini-batch all-features epoch (the TPU performance path)
 # --------------------------------------------------------------------------
 
+@_memo_epoch_builder
 def make_fused_epoch(batch_size, lr, K, lr_bu=0.0, lr_bi=0.0, K_bu=0.0,
                      K_bi=0.0, bias_mode='fixed', clamp_pred=True, lo=1.0,
                      hi=5.0, implicit=False, donate=True):
@@ -223,6 +259,7 @@ def make_fused_epoch(batch_size, lr, K, lr_bu=0.0, lr_bi=0.0, K_bu=0.0,
 # Vmapped hyperparameter sweep — train S models simultaneously
 # --------------------------------------------------------------------------
 
+@_memo_epoch_builder
 def make_multi_reg_epoch(lr, bias_mode='fixed', clamp_pred=True, lo=1.0,
                          hi=5.0):
     '''Train S models with different regularization strengths in ONE
@@ -270,6 +307,7 @@ def make_multi_reg_epoch(lr, bias_mode='fixed', clamp_pred=True, lo=1.0,
 # Funk-fused tier — feature-by-feature schedule at mini-batch speed
 # --------------------------------------------------------------------------
 
+@_memo_epoch_builder
 def make_funk_fused_feature_epoch(lr, K, bias_mode='none', lo=1.0, hi=5.0,
                                   donate=False):
     '''One mini-batch epoch of *single-feature* Funk training.
@@ -311,6 +349,7 @@ def make_funk_fused_feature_epoch(lr, K, bias_mode='none', lo=1.0, hi=5.0,
     return jax.jit(epoch_fn, donate_argnums=(0, 1) if donate else ())
 
 
+@_memo_epoch_builder
 def make_funk_fused_learned_epoch(lr, lr_bu, lr_bi, K, K_bu, K_bi,
                                   lo=1.0, hi=5.0, donate=False):
     '''Mini-batch epoch of single-feature Funk training with LEARNED
@@ -448,6 +487,7 @@ def split_factors(Paug, Qaug):
     return Paug[:, :k], Qaug[:, :k], Paug[:, k], Qaug[:, k + 1]
 
 
+@_memo_epoch_builder
 def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
                            K_bu=0.0, K_bi=0.0, bias_mode='fixed',
                            clamp_pred=True, lo_r=1.0, hi_r=5.0, chunk=4096,
@@ -848,6 +888,7 @@ def _agg_window(g, kl, m, W, chunk, row_mean):
     return gsum
 
 
+@_memo_epoch_builder
 def make_alternating_implicit_epoch(W_user, W_item, lr, lr_y, K, K_y,
                                     clamp_pred=True, lo_r=1.0, hi_r=5.0,
                                     chunk=4096, row_mean=True,

@@ -81,13 +81,15 @@ def pad_rated_lists(ratings, user_indices, cap=None, pad_to=None):
     vectorized grid fill (no per-user python loop).  ``pad_to`` pads the
     list width UP to a fixed value (serving: one compiled shape across
     all batch compositions instead of one per batch-max rated count).'''
+    from mfrec_tpu.data.ratings import padded_segment_gather
     ptr, items, _ = ratings.csr()
     users = np.asarray(user_indices, np.int64)
     counts = ptr[users + 1] - ptr[users]
     L = int(max(counts.max() if counts.size else 0, 1))
-    # round up to a power of two: downstream kernels are jitted on L, so
-    # shape-stable pads avoid a recompile per novel batch composition
-    # (a serving-path requirement; compile costs minutes on the relay)
+    # L policy: round up to a power of two — downstream kernels are
+    # jitted on L, so shape-stable pads avoid a recompile per novel
+    # batch composition (a serving-path requirement; compile costs
+    # minutes on the relay)
     L = 1 << (L - 1).bit_length()
     if cap is not None:
         L = min(L, int(cap))
@@ -95,13 +97,5 @@ def pad_rated_lists(ratings, user_indices, cap=None, pad_to=None):
         # pad_to AFTER cap: the fixed serving width is a shape contract
         # (one compiled program); a cap must never silently undercut it
         L = max(L, int(pad_to))
-    cnts = np.minimum(counts, L)[:, None]               # [B, 1]
-    offs = np.arange(L, dtype=np.int64)[None, :]        # [1, L]
-    mask = offs < cnts
-    grid = ptr[users][:, None] + np.minimum(offs, np.maximum(cnts - 1, 0))
-    # zero-rating users' grid slots may point past the end; clamp (mask 0)
-    grid = np.minimum(grid, max(items.shape[0] - 1, 0))
-    if items.shape[0] == 0:
-        return (np.zeros(mask.shape, np.int32), mask.astype(np.float32))
-    idx = (items[grid] * mask).astype(np.int32)
-    return idx, mask.astype(np.float32)
+    idx, mask = padded_segment_gather(ptr, users, L, items)
+    return idx, mask

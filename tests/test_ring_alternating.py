@@ -53,7 +53,7 @@ def test_ring_alternating_trains(mesh8):
     users, items, vals = synthetic_ratings(240, 160, 5000, rank=5, seed=21)
     U, I = 240, 160
     D = 8
-    st = sgd_mf.init_state(U, I, 6, feature_init=0.1)
+    st = sgd_mf.init_state(U, I, 6, feature_init=0.1, mode='normal')
     Paug0, Qaug0 = sgd_mf.augment_factors(
         np.asarray(st.P), np.asarray(st.Q),
         np.asarray(st.bu), np.asarray(st.bi))
@@ -82,8 +82,14 @@ def test_ring_alternating_trains(mesh8):
                            alt.make_sharded_alternating_epoch)
     assert np.isfinite(P_r).all() and np.isfinite(Q_r).all()
     assert hist_r[-1] < hist_r[0] - 0.05
-    # same-trajectory agreement with the all_gather engine
-    assert abs(hist_r[-1] - hist_g[-1]) < 0.02, (hist_r[-1], hist_g[-1])
+    # Both engines must converge.  They do NOT share a trajectory under
+    # symmetry-broken init (the old <0.02 agreement here was an artifact
+    # of the constant-init rank-1 collapse, ADVICE r4): ring's D
+    # conflict-free rotation rounds see progressively fresher factors
+    # WITHIN an epoch, so it converges at least as fast per epoch as the
+    # all_gather engine, whose half-passes read a stale full replica.
+    assert hist_g[-1] < hist_g[0] - 0.02
+    assert hist_r[-1] <= hist_g[-1] + 0.02, (hist_r[-1], hist_g[-1])
 
 
 def test_ring_alternating_deterministic(mesh8):
@@ -95,7 +101,7 @@ def test_ring_alternating_deterministic(mesh8):
     p_layout, q_layout, (Ushard, Ishard, W) = \
         ring.build_ring_alternating_layout(users, items, vals, D, U, I,
                                            batch_size=256, max_window=32)
-    st = sgd_mf.init_state(U, I, 4, feature_init=0.1)
+    st = sgd_mf.init_state(U, I, 4, feature_init=0.1, mode='normal')
     Paug, Qaug = sgd_mf.augment_factors(np.asarray(st.P), np.asarray(st.Q),
                                         np.asarray(st.bu), np.asarray(st.bi))
     Paug = jnp.asarray(alt.pad_factors_sharded(Paug, Ushard, W, D))

@@ -134,7 +134,7 @@ def test_alternating_any_batch_size(small_dataset):
     p_layout = tuple(jnp.asarray(x) for x in pl_[:-1])
     q_layout = tuple(jnp.asarray(x) for x in ql_[:-1])
     U, I = int(u.max()) + 1, int(i.max()) + 1
-    st = sgd_mf.init_state(U + W_user, I + W_item, 6)
+    st = sgd_mf.init_state(U + W_user, I + W_item, 6, mode='normal')
     Paug, Qaug = sgd_mf.augment_factors(st.P, st.Q, st.bu, st.bi)
     epoch = sgd_mf.make_alternating_epoch(W_user, W_item, lr=0.2, K=0.02,
                                           bias_mode='fixed', chunk=512,
