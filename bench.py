@@ -405,6 +405,55 @@ def main():
                                   nrm_rows)
             return (Pa, Qa, Yp), rmse
         config = config + '_svdpp'
+    elif mode == 'fn':
+        # Factorized-neighborhood (Koren KDD'08 §4 — the model the
+        # reference only declares, fn.py:75,90) on the sorted-window
+        # alternating tier (ops.fn.make_fn_alternating_epoch, VERDICT r4
+        # #2).  Shares the implicit tier's W=512/B=32k layout defaults
+        # (its profile-aggregation phases couple rows the same way).
+        from mfrec_tpu.ops import fn as fn_ops
+        W = int(os.environ.get('BENCH_WINDOW', 512))
+        batch = int(os.environ.get('BENCH_BATCH', 1 << 15))
+        inner = int(os.environ.get('BENCH_INNER', 32))
+        pl_ = sgd_mf.sorted_pass_layout(users, items, vals, batch,
+                                        axis='user', max_window=W)
+        ql_ = sgd_mf.sorted_pass_layout(users, items, vals, batch,
+                                        axis='item', max_window=W)
+        W_user, W_item = pl_[-1], ql_[-1]
+        p_layout = tuple(jnp.asarray(x) for x in pl_[:-1])
+        q_layout = tuple(jnp.asarray(x) for x in ql_[:-1])
+        rng = np.random.default_rng(7)
+        f = 0.05
+        Paug, Qaug = sgd_mf.augment_factors(
+            jnp.zeros((U + W_user, K), jnp.float32),   # derived profiles
+            jnp.asarray(rng.normal(0, f, (I + W_item, K)), jnp.float32),
+            jnp.asarray(np.pad(bu_fit, (0, W_user))),
+            jnp.asarray(np.pad(bi_fit, (0, W_item))))
+        Xpad = jnp.asarray(rng.normal(0, f, (I + W_item, K)), jnp.float32)
+        Ypad = jnp.asarray(rng.normal(0, f, (I + W_item, K)), jnp.float32)
+        counts = np.bincount(users, minlength=U).astype(np.float32)
+        nrm = np.zeros(U + W_user, np.float32)
+        nrm[:U] = np.where(counts > 0,
+                           1.0 / np.sqrt(np.maximum(counts, 1.0)), 0.0)
+        nrm_rows = jnp.asarray(nrm)
+        mu = jnp.float32(vals.mean())
+        ep = fn_ops.make_fn_alternating_epoch(
+            W_user, W_item, lr=float(os.environ.get('BENCH_LR', 0.15)),
+            lr_bu=0.05, lr_bi=0.05, lr_xy=0.15,
+            K=0.02, K_bu=0.02, K_bi=0.02, K_x=0.02, K_y=0.02,
+            inner_steps=inner,
+            chunk=int(os.environ.get('BENCH_CHUNK', 8192)),
+            use_pallas_full=(
+                os.environ.get('BENCH_FN_PALLAS', '1') == '1'
+                and jax.default_backend() != 'cpu'))
+        state = (Paug, Qaug, Xpad, Ypad)
+
+        def epoch(s):
+            Pa, Qa, Xp, Yp = s
+            Pa, Qa, Xp, Yp, rmse = ep(Pa, Qa, Xp, Yp, mu, p_layout,
+                                      q_layout, nrm_rows)
+            return (Pa, Qa, Xp, Yp), rmse
+        config = config + '_fn'
     elif mode == 'kmf':
         # Kernel MF (logistic link, Rendle) on the same alternating tier
         # — the link runs IN the fused Pallas kernel (r3), so this
@@ -597,7 +646,8 @@ def main():
     # gradient passes as the alternating/kmf tiers' (each re-iterates
     # every window row against every rating in the batch); Y updates
     # stay once-per-epoch
-    sweeps = inner if mode in ('alternating', 'kmf', 'implicit') else 1
+    sweeps = inner if mode in ('alternating', 'kmf', 'implicit',
+                               'fn') else 1
     updates_per_s = N * K * sweeps / epoch_s
     baseline = 3.7e7          # reference single-feature updates/s (BASELINE.md)
     print(json.dumps({

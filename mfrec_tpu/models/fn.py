@@ -35,6 +35,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from mfrec_tpu.models.base import DefaultRate, Error
 from mfrec_tpu.models.mf import MFRecommender
 from mfrec_tpu.ops import fn as fn_ops
 from mfrec_tpu.ops import sgd_mf
@@ -54,7 +55,9 @@ class FNRecommender(MFRecommender):
                         'regularization_items': 'K_items',
                         'regularization_bias': 'K_bias',
                         'nbr_features': 'dimensionality',
-                        'batch_size': 'batch_size'}
+                        'batch_size': 'batch_size',
+                        'engine': 'engine',
+                        'inner_steps': 'inner_steps'}
 
     _default_predictor_mode = 'bias'
 
@@ -62,18 +65,30 @@ class FNRecommender(MFRecommender):
                  filename=False):
         MFRecommender.__init__(self, nbr_users, nbr_items, None)
 
-        # Reference FN defaults (fn.py:44-53)
+        # Reference FN defaults (fn.py:44-53).  The rates are DefaultRate
+        # sentinels (numerically the reference 0.01, distinguishable from
+        # a user assigning 0.01): the alternating engine applies row-MEAN
+        # window steps and substitutes the benchmarked 0.15 when the user
+        # has not chosen a rate — same contract as GDRecommender._alt_lrs.
         self.nbr_epochs = 200
         self.min_improvement = 0.0001
         self.feature_init = 0.1
-        self.learning_rate = 0.01
-        self.learning_rate_users = 0.01
-        self.learning_rate_items = 0.01
+        self.learning_rate = DefaultRate(0.01)
+        self.learning_rate_users = DefaultRate(0.01)
+        self.learning_rate_items = DefaultRate(0.01)
         self.K_users = 0.1
         self.K_items = 0.1
         self.K_bias = 0.007
         self.dimensionality = 40
-        self.batch_size = 8192
+        self.batch_size = 16384
+        # 'auto' = the sorted-window alternating tier (the benchmarked
+        # fast path, VERDICT r4 #2); 'fused' keeps the per-batch
+        # scatter-add tier (the oracle-parity tier) reachable.
+        self.engine = 'auto'
+        # in-VMEM gradient sweeps per window batch on the alternating
+        # tier (the T ladder); profile/X/Y aggregation phases stay
+        # once-per-epoch like the implicit tier's Y machinery
+        self.inner_steps = 32
 
         if parameters:
             self.set_parameters(parameters)
@@ -89,38 +104,78 @@ class FNRecommender(MFRecommender):
 
     # ------------------------------------------------------------- training
     def train(self, initialize_model=True, verbose=False):
-        '''Mini-batch SGD on the factorized-neighborhood objective.
+        '''Train the factorized-neighborhood objective.
 
-        K regularization note: q and x are regularized by K_items, y by
-        K_users (see module docstring for the reference-defect mapping).
+        engine='auto' (default) runs the sorted-window alternating tier
+        (``ops.fn.make_fn_alternating_epoch`` — the benchmarked fast
+        path); 'fused' the per-batch scatter-add tier (the oracle-parity
+        tier).  K regularization note: q and x are regularized by
+        K_items, y by K_users (see module docstring for the
+        reference-defect mapping).
         '''
-        uidx, iidx, vals = self.ratings.shuffled(
-            int(self.rng.integers(2 ** 31)))
-        self.compute_overall_avg()
+        engine = 'alternating' if self.engine == 'auto' else self.engine
+        if engine == 'alternating':
+            self._train_alternating(initialize_model, verbose)
+        elif engine == 'fused':
+            self._train_fused(initialize_model, verbose)
+        else:
+            raise Error('unknown engine %r' % (self.engine,))
+
+    def _fn_lrs(self, default):
+        '''Engine rates: any plain-float assignment (even of the
+        reference default 0.01) counts as a user choice; unset rates get
+        the row-mean 0.15 on the alternating tier and the reference 0.01
+        on the fused tier (per-sample semantics).'''
+        def val(attr):
+            v = getattr(self, attr)
+            return default if isinstance(v, DefaultRate) else float(v)
+        return (val('learning_rate'), val('learning_rate_users'),
+                val('learning_rate_items'))
+
+    def _init_or_resume(self, initialize_model):
         k = self.dimensionality
         if initialize_model or self.Q is None or self.X is None:
-            state = fn_ops.init_fn_state(
+            return fn_ops.init_fn_state(
                 self.nbr_users, self.nbr_items, k,
                 feature_init=self.feature_init,
                 seed=int(self.rng.integers(2 ** 31)),
                 mu=self.overall_bias or 0.0)
-        else:
-            state = fn_ops.FNState(
-                Q=jnp.asarray(self.Q, jnp.float32),
-                X=jnp.asarray(self.X, jnp.float32),
-                Y=jnp.asarray(self.Y, jnp.float32),
-                bu=jnp.asarray(self.users_bias, jnp.float32),
-                bi=jnp.asarray(self.items_bias, jnp.float32),
-                mu=jnp.float32(self.overall_bias or 0.0))
+        return fn_ops.FNState(
+            Q=jnp.asarray(self.Q, jnp.float32),
+            X=jnp.asarray(self.X, jnp.float32),
+            Y=jnp.asarray(self.Y, jnp.float32),
+            bu=jnp.asarray(self.users_bias, jnp.float32),
+            bi=jnp.asarray(self.items_bias, jnp.float32),
+            mu=jnp.float32(self.overall_bias or 0.0))
+
+    def _materialize(self, state):
+        '''Post-train: materialize user profiles a_u into self.P so every
+        MF serving kernel works on an FN model unchanged.'''
+        fl, fv, fm = fn_ops.padded_user_lists(self.ratings)
+        profiles = fn_ops.user_aggregates(
+            state, jnp.asarray(fl), jnp.asarray(fv), jnp.asarray(fm))
+        self.P = np.array(profiles)
+        self.Q = np.array(state.Q)
+        self.X = np.array(state.X)
+        self.Y = np.array(state.Y)
+        self.users_bias = np.array(state.bu)
+        self.items_bias = np.array(state.bi)
+
+    def _train_fused(self, initialize_model=True, verbose=False):
+        '''Per-batch scatter-add tier (``ops.fn.make_fn_epoch``).'''
+        uidx, iidx, vals = self.ratings.shuffled(
+            int(self.rng.integers(2 ** 31)))
+        self.compute_overall_avg()
+        state = self._init_or_resume(initialize_model)
         fl, fv, fm = fn_ops.padded_user_lists(self.ratings)
         fl, fv, fm = jnp.asarray(fl), jnp.asarray(fv), jnp.asarray(fm)
         ub, ib, rb, mb = sgd_mf.batch_ratings(uidx, iidx, vals,
                                               self.batch_size)
         ub, ib = jnp.asarray(ub), jnp.asarray(ib)
         rb, mb = jnp.asarray(rb), jnp.asarray(mb)
+        lr, lr_bu, lr_bi = self._fn_lrs(0.01)   # reference per-sample rates
         epoch = fn_ops.make_fn_epoch(
-            self.learning_rate, self.learning_rate_users,
-            self.learning_rate_items, self.K_items,
+            lr, lr_bu, lr_bi, self.K_items,
             self.K_bias, self.K_bias, K_y=self.K_users,
             lo=self.min_rating, hi=self.max_rating)
         driver = ConvergenceDriver(1, self.nbr_epochs, self.min_improvement)
@@ -130,14 +185,65 @@ class FNRecommender(MFRecommender):
         if verbose:
             for e, r in enumerate(driver.history):
                 self.logger.info('epoch %d rmse %.5f', e, r)
-        # materialize user profiles so MF serving kernels work unchanged
-        profiles = fn_ops.user_aggregates(state, fl, fv, fm)
-        self.P = np.array(profiles)
-        self.Q = np.array(state.Q)
-        self.X = np.array(state.X)
-        self.Y = np.array(state.Y)
-        self.users_bias = np.array(state.bu)
-        self.items_bias = np.array(state.bi)
+        self._materialize(state)
+
+    def _train_alternating(self, initialize_model=True, verbose=False):
+        '''Sorted-window alternating tier
+        (``ops.fn.make_fn_alternating_epoch``): profile aggregation,
+        both half-passes and the X/Y steps are all scatter-free window
+        work riding the fused Pallas kernels on TPU.'''
+        import jax
+        self.compute_overall_avg()
+        k = self.dimensionality
+        st = self._init_or_resume(initialize_model)
+        # NOT the plain GD tier's W=128: like the SVD++ tier, the
+        # profile-aggregation phases couple rows across the batch —
+        # share the implicit tier's W=512 layout default
+        p_layout, q_layout, W_user, W_item = self._alternating_layouts(512)
+        lr, lr_bu, lr_bi = self._fn_lrs(0.15)   # row-mean window steps
+        Paug, Qaug = sgd_mf.augment_factors(
+            jnp.zeros((self.nbr_users + W_user, k), jnp.float32),
+            jnp.pad(st.Q, ((0, W_item), (0, 0))),
+            jnp.pad(st.bu, (0, W_user)),
+            jnp.pad(st.bi, (0, W_item)))
+        Xpad = jnp.pad(st.X, ((0, W_item), (0, 0)))
+        Ypad = jnp.pad(st.Y, ((0, W_item), (0, 0)))
+        counts = self.ratings.user_counts().astype(np.float32)
+        nrm = np.zeros(self.nbr_users + W_user, np.float32)
+        nrm[:self.nbr_users] = np.where(
+            counts > 0, 1.0 / np.sqrt(np.maximum(counts, 1.0)), 0.0)
+        nrm_rows = jnp.asarray(nrm)
+        mu = jnp.float32(self.overall_bias or 0.0)
+        epoch = fn_ops.make_fn_alternating_epoch(
+            W_user, W_item, lr, lr_bu, lr_bi, lr,
+            K=self.K_items, K_bu=self.K_bias, K_bi=self.K_bias,
+            K_x=self.K_items, K_y=self.K_users,
+            lo=self.min_rating, hi=self.max_rating,
+            chunk=min(8192, self.batch_size),
+            inner_steps=self.inner_steps,
+            use_pallas_full=jax.default_backend() != 'cpu')
+        driver = ConvergenceDriver(1, self.nbr_epochs, self.min_improvement)
+
+        def one_epoch(s):
+            Pa, Qa, Xp, Yp = s
+            Pa, Qa, Xp, Yp, rmse = epoch(Pa, Qa, Xp, Yp, mu, p_layout,
+                                         q_layout, nrm_rows)
+            return (Pa, Qa, Xp, Yp), rmse
+
+        Paug, Qaug, Xpad, Ypad = driver.run(one_epoch,
+                                            (Paug, Qaug, Xpad, Ypad))
+        self.rmse_history = driver.history
+        if verbose:
+            for e, r in enumerate(driver.history):
+                self.logger.info('epoch %d rmse %.5f', e, r)
+        final = fn_ops.FNState(
+            Q=Qaug[:self.nbr_items, :k],
+            X=Xpad[:self.nbr_items],
+            Y=Ypad[:self.nbr_items],
+            bu=Paug[:self.nbr_users, k],
+            bi=Qaug[:self.nbr_items, k + 1],
+            mu=mu)
+        self._materialize(final)
 
     def get_rmse_history(self):
         return np.asarray(self.rmse_history)

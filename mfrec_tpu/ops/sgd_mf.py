@@ -499,7 +499,7 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
                            pallas_group=0, pallas_group_resident=False,
                            pallas_dot_sum=None, pallas_gather_group=0,
                            pallas_interpret=False, probe_ff=None,
-                           pallas_tloop=None):
+                           pallas_tloop=None, freeze_user_factors=False):
     '''Build a jitted scatter-free epoch over *augmented* factors: a P
     half-pass over the user-sorted stream (Q fixed), then a Q half-pass
     over the item-sorted stream (P fixed) — blockwise-alternating SGD.
@@ -575,6 +575,11 @@ def make_alternating_epoch(W_user, W_item, lr, K, lr_bu=0.0, lr_bi=0.0,
         lrv[const_col] = 0.0
         regv[own_bias_col] = K_bu if upd_is_user else K_bi
         regv[const_col] = 0.0
+        if freeze_user_factors and upd_is_user:
+            # FN tier: the user-side factor columns hold DERIVED
+            # aggregates a_u (rebuilt each epoch from X/Y), not free
+            # parameters — the user half-pass trains only b_u
+            lrv[:kdim] = 0.0
         return jnp.asarray(lrv), jnp.asarray(regv)
 
     def pad_to_chunk(B, *arrays):
@@ -888,6 +893,21 @@ def _agg_window(g, kl, m, W, chunk, row_mean):
     return gsum
 
 
+def _scan_window_agg(target, layout, source_fn, W, chunk, mean):
+    '''Accumulate ``source_fn(u, i, r, m)`` rows into ``target`` windows
+    over a sorted-pass layout — the scatter-free profile-aggregation
+    phase shared by the implicit (SVD++) and FN alternating tiers.'''
+    def step(tgt, batch):
+        u, i, r, m, kl, lo = batch
+        vals = source_fn(u, i, r, m)
+        gsum = _agg_window(vals, kl, m, W, chunk, mean)
+        win = jax.lax.dynamic_slice_in_dim(tgt, lo, W, 0)
+        tgt = jax.lax.dynamic_update_slice_in_dim(tgt, win + gsum, lo, 0)
+        return tgt, None
+    tgt, _ = jax.lax.scan(step, target, layout)
+    return tgt
+
+
 @_memo_epoch_builder
 def make_alternating_implicit_epoch(W_user, W_item, lr, lr_y, K, K_y,
                                     clamp_pred=True, lo_r=1.0, hi_r=5.0,
@@ -938,17 +958,7 @@ def make_alternating_implicit_epoch(W_user, W_item, lr, lr_y, K, K_y,
                                   ff_dtype=ff_dtype)
 
     def scan_agg(target, layout, source_fn, W, mean):
-        '''Accumulate source_fn(batch) rows into `target` windows.'''
-        def step(tgt, batch):
-            u, i, r, m, kl, lo = batch
-            vals = source_fn(u, i, r, m)
-            gsum = _agg_window(vals, kl, m, W, chunk, mean)
-            win = jax.lax.dynamic_slice_in_dim(tgt, lo, W, 0)
-            tgt = jax.lax.dynamic_update_slice_in_dim(tgt, win + gsum,
-                                                      lo, 0)
-            return tgt, None
-        tgt, _ = jax.lax.scan(step, target, layout)
-        return tgt
+        return _scan_window_agg(target, layout, source_fn, W, chunk, mean)
 
     def epoch_fn(Paug, Qaug, Ypad, mu, p_layout, q_layout, nrm_rows,
                  lr_scale=1.0):

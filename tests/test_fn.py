@@ -85,7 +85,11 @@ def test_fn_beats_bias_baseline(small_dataset):
                              'learning_rate_items': 0.01,
                              'regularization_items': 0.02,
                              'regularization_users': 0.02,
-                             'feature_init': 0.05, 'batch_size': 1024})
+                             'feature_init': 0.05, 'batch_size': 1024,
+                             # these rates are tuned for the per-sample
+                             # fused tier; the alternating default is
+                             # covered by its own test below
+                             'engine': 'fused'})
     m.seed(0)
     m.set_ratings(u, i, v)
     m.train()
@@ -162,3 +166,76 @@ def test_fn_save_load_roundtrip(tmp_path, small_dataset):
     # fold-in works on the restored model
     new_id = m2.add_user('fresh', [1, 2], [5.0, 4.0])
     assert np.isfinite(m2.predict(4, new_id))
+
+
+def test_fn_alternating_beats_bias_baseline(small_dataset):
+    '''The DEFAULT engine (sorted-window alternating, VERDICT r4 #2) at
+    default rates: held-out RMSE beats the bias-only baseline.'''
+    from mfrec_tpu.eval.metrics import test_predict_rating
+    (u, i, v), test = small_dataset
+    U, I = int(u.max()) + 1, int(i.max()) + 1
+    m = FNRecommender(U, I, {'nbr_epochs': 30, 'nbr_features': 8,
+                             'regularization_items': 0.02,
+                             'regularization_users': 0.02,
+                             'feature_init': 0.05,
+                             'min_improvement': 1e-5})
+    m.seed(0)
+    m.set_ratings(u, i, v)
+    m.train()
+    rmse_fn = test_predict_rating(m, test, nbr_samples=len(test),
+                                  predictor='predict', quiet=True)[0]
+    mu = float(v.mean())
+    tu = test[:, 0].astype(int)
+    ti = test[:, 1].astype(int)
+    pred = np.clip(mu + m.users_bias[tu] + m.items_bias[ti], 1.0, 5.0)
+    rmse_bias = float(np.sqrt(((test[:, 2] - pred) ** 2).mean()))
+    assert rmse_fn < rmse_bias - 0.02, (rmse_fn, rmse_bias)
+    hist = m.get_rmse_history()
+    assert hist[-1] < hist[0]
+
+
+def test_fn_alternating_at_least_fused_quality(small_dataset):
+    '''Order-changing tier parity, directional: the alternating engine
+    (T in-VMEM sweeps at the row-mean default rate) must converge AT
+    LEAST as deep as the fused tier at its tuned per-sample rates —
+    measured CPU-side: 0.250 vs 0.441 after 40 epochs (it converges far
+    deeper; an equality band would be the wrong shape of assertion).'''
+    (u, i, v), _ = small_dataset
+    U, I = int(u.max()) + 1, int(i.max()) + 1
+
+    def run(engine, **extra):
+        params = {'nbr_epochs': 40, 'nbr_features': 8,
+                  'regularization_items': 0.02,
+                  'regularization_users': 0.02,
+                  'feature_init': 0.05, 'min_improvement': 1e-6,
+                  'engine': engine}
+        params.update(extra)
+        m = FNRecommender(U, I, params)
+        m.seed(0)
+        m.set_ratings(u, i, v)
+        m.train()
+        return m.get_rmse_history()[-1]
+
+    r_alt = run('alternating')
+    # fused tier at its tuned per-sample rates
+    r_fused = run('fused', learning_rate=0.02, learning_rate_users=0.01,
+                  learning_rate_items=0.01, batch_size=1024)
+    assert r_alt <= r_fused + 0.02, (r_alt, r_fused)
+
+
+def test_fn_inner_steps_improve_per_epoch_quality(small_dataset):
+    '''More in-VMEM sweeps must not hurt per-epoch convergence (the
+    ladder's quality direction).'''
+    (u, i, v), _ = small_dataset
+    U, I = int(u.max()) + 1, int(i.max()) + 1
+    out = {}
+    for T in (1, 8):
+        m = FNRecommender(U, I, {'nbr_epochs': 6, 'nbr_features': 6,
+                                 'feature_init': 0.05,
+                                 'min_improvement': -1.0,
+                                 'inner_steps': T})
+        m.seed(0)
+        m.set_ratings(u, i, v)
+        m.train()
+        out[T] = m.get_rmse_history()[-1]
+    assert out[8] <= out[1] + 1e-6, out
