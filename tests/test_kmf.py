@@ -188,3 +188,76 @@ def test_kmf_lr_decay_matches_stepwise(small_dataset):
     import pytest
     with pytest.raises(Error):
         bad.train()
+
+
+def _kmf(u, i, v, **over):
+    from mfrec_tpu.models.kmf import KMFRecommender
+    U, I = int(u.max()) + 1, int(i.max()) + 1
+    params = {'nbr_epochs': 12, 'nbr_features': 6, 'inner_steps': 4,
+              'batch_size': 1024}
+    params.update(over)
+    m = KMFRecommender(U, I, params)
+    m.seed(0)
+    m.set_ratings(u, i, v)
+    return m
+
+
+def test_kmf_min_improvement_stops_early(small_dataset):
+    '''VERDICT r4 #6: min_improvement was an exposed-but-dead parameter
+    (faithful to the reference's identical defect); it now stops every
+    KMF engine early through ConvergenceDriver.'''
+    (u, i, v), _ = small_dataset
+    for engine in ('alternating', 'fused'):
+        m = _kmf(u, i, v, nbr_epochs=60, min_improvement=0.05,
+                 engine=engine)
+        m.train()
+        assert 1 <= len(m.rmse_history) < 60, (engine, len(m.rmse_history))
+
+
+def test_kmf_default_runs_exactly_nbr_epochs(small_dataset):
+    '''min_improvement=None (the default) reproduces the reference's
+    fixed-epoch semantics: exactly nbr_epochs epochs, no early stop.'''
+    (u, i, v), _ = small_dataset
+    m = _kmf(u, i, v, nbr_epochs=7)
+    m.train()
+    assert len(m.rmse_history) == 7
+
+
+def test_kmf_driver_modes_trajectory_identical(small_dataset):
+    '''The fixed-epoch driver mode (min_improvement=None) and an
+    always-continue improvement rule must produce bit-identical
+    factors — the driver adds no numeric change of its own.'''
+    (u, i, v), _ = small_dataset
+    m1 = _kmf(u, i, v, nbr_epochs=6)
+    m1.train()
+    m2 = _kmf(u, i, v, nbr_epochs=6, min_improvement=-1e9)
+    m2.train()
+    np.testing.assert_array_equal(m1.P, m2.P)
+    np.testing.assert_array_equal(m1.Q, m2.Q)
+    assert m1.rmse_history == m2.rmse_history
+
+
+def test_kmf_plateau_decay_engages(small_dataset):
+    '''Decay-on-stall extends training past the constant stop point.'''
+    (u, i, v), _ = small_dataset
+    m0 = _kmf(u, i, v, nbr_epochs=80, min_improvement=0.02)
+    m0.train()
+    stop0 = len(m0.rmse_history)
+    m = _kmf(u, i, v, nbr_epochs=80, min_improvement=0.02,
+             lr_plateau_decay=0.7)
+    m.train()
+    assert len(m.rmse_history) > stop0
+    # pre-stall prefix is bit-identical (decay engages only at the stall)
+    assert m.rmse_history[:stop0] == m0.rmse_history
+
+
+def test_kmf_plateau_refusals(small_dataset):
+    from mfrec_tpu.models.base import Error
+    (u, i, v), _ = small_dataset
+    m = _kmf(u, i, v, engine='fused', lr_plateau_decay=0.9,
+             min_improvement=0.01)
+    with pytest.raises(Error):
+        m.train()
+    m2 = _kmf(u, i, v, lr_plateau_decay=0.9)    # no min_improvement
+    with pytest.raises(Error):
+        m2.train()
