@@ -86,9 +86,12 @@ class FNRecommender(MFRecommender):
         # scatter-add tier (the oracle-parity tier) reachable.
         self.engine = 'auto'
         # in-VMEM gradient sweeps per window batch on the alternating
-        # tier (the T ladder); profile/X/Y aggregation phases stay
-        # once-per-epoch like the implicit tier's Y machinery
-        self.inner_steps = 32
+        # tier; profile/X/Y aggregation phases stay once-per-epoch like
+        # the implicit tier's Y machinery.  T ladder climbed on-chip r5
+        # (tools/ab_fn.py, interleaved): T=64 +31.4% sweep rate over
+        # T=32 at BETTER per-epoch RMSE (0.4083 vs 0.4417) —
+        # bench_logs/r5_ab_fn_t64.log.
+        self.inner_steps = 64
 
         if parameters:
             self.set_parameters(parameters)

@@ -37,7 +37,9 @@ from mfrec_tpu.ops.sgd_mf import _agg_window as _chunked_agg
 
 def make_sharded_implicit_epoch(mesh, W, lr, lr_y, K, K_y, clamp_pred=True,
                                 lo_r=1.0, hi_r=5.0, chunk=4096,
-                                row_mean=True, axis='dp', inner_steps=1):
+                                row_mean=True, axis='dp', inner_steps=1,
+                                use_pallas_half=False,
+                                pallas_interpret=None):
     '''Jitted multi-chip SVD++ epoch:
 
         (Paug, Qaug, Ypad, mu, nrm, p_layout..., q_layout...)
@@ -55,6 +57,9 @@ def make_sharded_implicit_epoch(mesh, W, lr, lr_y, K, K_y, clamp_pred=True,
                           (kl, og, rb, mb))
         return kl, og, rb, mb, lo.reshape(lo.shape[-1:])
 
+    if pallas_interpret is None:
+        pallas_interpret = jax.default_backend() == 'cpu'
+
     def half_pass(F_upd, F_full, mu, kl, og, rb, mb, lo):
         '''Fixed-bias sorted-window half-pass (local rows only).'''
         def step(carry, batch):
@@ -69,6 +74,27 @@ def make_sharded_implicit_epoch(mesh, W, lr, lr_y, K, K_y, clamp_pred=True,
                 kli = jnp.pad(kli, (0, pad))
                 m = jnp.pad(m, (0, pad))
                 r = jnp.pad(r, (0, pad))
+            if use_pallas_half:
+                # fused single-chip kernel per local batch (VERDICT r4
+                # #7; see alternating_sharded — same flag, same
+                # interpret-mode parity contract).  The frozen bias/const
+                # columns ride a per-column lr of 0, like the single-chip
+                # fixed-bias tier.
+                from mfrec_tpu.ops.pallas_half_pass import half_pass_batch
+                k2 = F_upd.shape[1]
+                lrv = jnp.asarray(np.r_[np.full(k2 - 2, lr, np.float32),
+                                        0.0, 0.0])
+                regv = jnp.full((k2,), K, jnp.float32)
+                win = jax.lax.dynamic_slice_in_dim(F_upd, lo_b, W, 0)
+                win, sse_b = half_pass_batch(
+                    win, ff, r, m, kli, lrv, regv, mu, W, chunk=ch,
+                    clamp_pred=clamp_pred, lo_r=lo_r, hi_r=hi_r,
+                    row_mean=row_mean, interpret=pallas_interpret,
+                    inner_steps=inner_steps, all2d=True,
+                    dot_sum=k2 <= 128)
+                F_upd = jax.lax.dynamic_update_slice_in_dim(
+                    F_upd, win, lo_b, 0)
+                return (F_upd, sse + sse_b), None
             B = kli.shape[0]
             kc = kli.reshape(B // ch, ch)
             onehot = (kc[:, :, None] ==

@@ -207,6 +207,142 @@ def test_knn_svd_mode_none_retrieval_matches_loop(data, monkeypatch):
     assert idx.shape == (2, 5)
 
 
+# --------------------------------------- Pallas half-pass under shard_map
+@pytest.fixture(scope='module')
+def mesh8():
+    import jax
+    from mfrec_tpu.parallel.mesh import make_mesh
+    if len(jax.devices()) < 8:
+        pytest.skip('needs the 8-device virtual mesh')
+    return make_mesh(8)
+
+
+def test_sharded_alternating_pallas_half_parity(mesh8):
+    '''VERDICT r4 #7: the fused Pallas half-pass base inside shard_map
+    (interpret mode on the virtual mesh) must track the XLA base at
+    RMSE tolerance, so real multi-chip hardware can flip the flag
+    without an untested swap.'''
+    import jax.numpy as jnp
+    from mfrec_tpu.parallel import alternating_sharded as alt
+    u, i, v = synthetic_ratings(240, 160, 5000, rank=5, seed=21)
+    U, I, D = 240, 160, 8
+    p_layout, q_layout, (Ushard, Ishard, W) = \
+        alt.build_sharded_alternating_layout(u, i, v, D, U, I,
+                                             batch_size=512, max_window=32)
+    st = sgd_mf.init_state(U, I, 6, feature_init=0.1, mode='normal')
+    Paug0, Qaug0 = sgd_mf.augment_factors(
+        np.asarray(st.P), np.asarray(st.Q),
+        np.asarray(st.bu), np.asarray(st.bi))
+    pl = tuple(jnp.asarray(x) for x in p_layout)
+    ql = tuple(jnp.asarray(x) for x in q_layout)
+    mu = jnp.float32(v.mean())
+
+    def run(use_pallas):
+        Paug = jnp.asarray(alt.pad_factors_sharded(Paug0, Ushard, W, D))
+        Qaug = jnp.asarray(alt.pad_factors_sharded(Qaug0, Ishard, W, D))
+        ep = alt.make_sharded_alternating_epoch(
+            mesh8, W, lr=0.2, K=0.02, bias_mode='fixed', chunk=512,
+            inner_steps=2, use_pallas_half=use_pallas)
+        hist = []
+        for _ in range(6):
+            Paug, Qaug, rmse = ep(Paug, Qaug, mu, *pl, *ql)
+            hist.append(float(rmse))
+        return hist
+
+    h_xla = run(False)
+    h_pal = run(True)
+    assert abs(h_xla[-1] - h_pal[-1]) < 0.02, (h_xla[-1], h_pal[-1])
+    assert h_pal[-1] < h_pal[0]
+
+
+def test_sharded_implicit_pallas_half_parity(mesh8):
+    import jax.numpy as jnp
+    from mfrec_tpu.parallel import alternating_sharded as alt
+    from mfrec_tpu.parallel import implicit_sharded as imp
+    u, i, v = synthetic_ratings(160, 120, 4000, rank=4, seed=9)
+    U, I, D = 160, 120, 8
+    p_layout, q_layout, (Ushard, Ishard, W) = \
+        alt.build_sharded_alternating_layout(u, i, v, D, U, I,
+                                             batch_size=512, max_window=32)
+    st = sgd_mf.init_state(U, I, 4, feature_init=0.1, mode='normal')
+    Paug0, Qaug0 = sgd_mf.augment_factors(
+        np.asarray(st.P), np.asarray(st.Q),
+        np.asarray(st.bu), np.asarray(st.bi))
+    pl = tuple(jnp.asarray(x) for x in p_layout)
+    ql = tuple(jnp.asarray(x) for x in q_layout)
+    mu = jnp.float32(v.mean())
+    counts = np.bincount(u, minlength=U).astype(np.float32)
+    nrm_host = np.where(counts > 0,
+                        1.0 / np.sqrt(np.maximum(counts, 1.0)), 0.0)
+    nrm = jnp.asarray(alt.pad_factors_sharded(
+        nrm_host[:, None], Ushard, W, D)[:, 0])
+
+    def run(use_pallas):
+        Paug = jnp.asarray(alt.pad_factors_sharded(Paug0, Ushard, W, D))
+        Qaug = jnp.asarray(alt.pad_factors_sharded(Qaug0, Ishard, W, D))
+        Ypad = jnp.zeros((Qaug.shape[0], 4), jnp.float32)
+        ep = imp.make_sharded_implicit_epoch(
+            mesh8, W, lr=0.1, lr_y=0.05, K=0.02, K_y=0.02, chunk=512,
+            inner_steps=2, use_pallas_half=use_pallas)
+        hist = []
+        for _ in range(6):
+            Paug, Qaug, Ypad, rmse = ep(Paug, Qaug, Ypad, mu, nrm,
+                                        *pl, *ql)
+            hist.append(float(rmse))
+        return hist
+
+    h_xla = run(False)
+    h_pal = run(True)
+    assert abs(h_xla[-1] - h_pal[-1]) < 0.02, (h_xla[-1], h_pal[-1])
+    assert h_pal[-1] < h_pal[0]
+
+
+# ---------------------------------------------- file-if-present loaders
+def test_load_mldat_parses_and_caches(tmp_path):
+    '''ML-1M/10M ratings.dat ("::" separators), 0-indexed + compacted
+    (VERDICT r4 #8).'''
+    from mfrec_tpu.data.movielens import load_mldat_if_present
+    p = tmp_path / 'ratings.dat'
+    p.write_text('1::122::5::838985046\n'
+                 '1::185::3.5::838983525\n'
+                 '7::122::4::838983392\n'
+                 '9::9000::2::838983392\n')
+    u, i, v = load_mldat_if_present(search_dirs=[str(tmp_path)])
+    np.testing.assert_array_equal(u, [0, 0, 1, 2])     # compacted users
+    np.testing.assert_array_equal(i, [0, 1, 0, 2])     # compacted items
+    np.testing.assert_allclose(v, [5.0, 3.5, 4.0, 2.0])
+    assert (tmp_path / 'ratings.dat.npz').exists()     # cache written
+    u2, i2, v2 = load_mldat_if_present(search_dirs=[str(tmp_path)])
+    np.testing.assert_array_equal(u, u2)
+    np.testing.assert_allclose(v, v2)
+
+
+def test_load_mldat_absent_returns_none(tmp_path):
+    from mfrec_tpu.data.movielens import load_mldat_if_present
+    assert load_mldat_if_present(search_dirs=[str(tmp_path)]) is None
+
+
+def test_load_netflix_parses_and_caches(tmp_path):
+    from mfrec_tpu.data.movielens import load_netflix_if_present
+    p = tmp_path / 'combined_data_1.txt'
+    p.write_text('1:\n'
+                 '1488844,3,2005-09-06\n'
+                 '822109,5,2005-05-13\n'
+                 '2:\n'
+                 '822109,4,2005-01-02\n'
+                 '30878,4,2005-12-19\n')
+    u, i, v = load_netflix_if_present(search_dirs=[str(tmp_path)])
+    assert u.shape == (4,)
+    # items compacted: movie 1 -> 0, movie 2 -> 1
+    np.testing.assert_array_equal(i, [0, 0, 1, 1])
+    np.testing.assert_allclose(v, [3, 5, 4, 4])
+    # user 822109 appears under both movies with the same compact id
+    assert u[1] == u[2]
+    assert (tmp_path / 'netflix_cache.npz').exists()
+    u2, _, _ = load_netflix_if_present(search_dirs=[str(tmp_path)])
+    np.testing.assert_array_equal(u, u2)
+
+
 # ------------------------------------------------------------- ADVICE r4
 def test_feature_init_zero_raises(data):
     u, i, v = data
