@@ -532,9 +532,9 @@ def main():
         from mfrec_tpu.ops import fn as fn_ops
         W = int(os.environ.get('BENCH_WINDOW', 512))
         batch = int(os.environ.get('BENCH_BATCH', 1 << 14))
-        # T=64 adopted r5 (tools/ab_fn.py: +31.4% over T=32 interleaved
-        # at better per-epoch RMSE)
-        inner = int(os.environ.get('BENCH_INNER', 64))
+        # T ladder climbed r5 (tools/ab_fn.py, interleaved): T=64
+        # +31.4% over 32, T=128 +18.7%, T=256 +10.3%, RMSE monotone
+        inner = int(os.environ.get('BENCH_INNER', 256))
         pl_ = sgd_mf.sorted_pass_layout(users, items, vals, batch,
                                         axis='user', max_window=W)
         ql_ = sgd_mf.sorted_pass_layout(users, items, vals, batch,

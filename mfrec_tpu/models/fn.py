@@ -89,9 +89,10 @@ class FNRecommender(MFRecommender):
         # tier; profile/X/Y aggregation phases stay once-per-epoch like
         # the implicit tier's Y machinery.  T ladder climbed on-chip r5
         # (tools/ab_fn.py, interleaved): T=64 +31.4% sweep rate over
-        # T=32 at BETTER per-epoch RMSE (0.4083 vs 0.4417) —
-        # bench_logs/r5_ab_fn_t64.log.
-        self.inner_steps = 64
+        # T=32, T=128 +18.7%, T=256 +10.3% — per-epoch RMSE improving
+        # monotonically at every rung (0.4417 -> 0.4083 -> 0.3981 ->
+        # 0.3940); bench_logs/r5_ab_fn_t*.log.
+        self.inner_steps = 256
 
         if parameters:
             self.set_parameters(parameters)

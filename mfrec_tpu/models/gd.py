@@ -68,7 +68,8 @@ class GDRecommender(MFRecommender):
                         'resilience': 'resilience',
                         'resilience_snapshot_every':
                             'resilience_snapshot_every',
-                        'resilience_dir': 'resilience_dir'}
+                        'resilience_dir': 'resilience_dir',
+                        'sharded_pallas_half': 'sharded_pallas_half'}
 
     _default_predictor_mode = 'dot_plus_one'
 
@@ -164,6 +165,11 @@ class GDRecommender(MFRecommender):
         # through the trailing term).  'normal'/'constant' force either.
         self.init_mode = 'auto'
         self.n_slices = 1                # alternating_sharded: DCN slices
+        # Fused Pallas half-pass base INSIDE the sharded tiers'
+        # shard_map (interpret-mode parity pinned on the virtual mesh —
+        # tests/test_round5_fixes.py).  Default off: the swap is
+        # unmeasurable on one chip; flip on real multi-chip hardware.
+        self.sharded_pallas_half = 0
 
         # Failure detection / recovery (engine.trainer.ResilientDriver;
         # a subsystem the reference lacks — SURVEY §5).  resilience = max
@@ -648,7 +654,12 @@ class GDRecommender(MFRecommender):
                 K_bu=self.K2, K_bi=self.K3,
                 lo_r=self.min_rating, hi_r=self.max_rating,
                 chunk=min(8192, self.batch_size),
-                inner_steps=self.inner_steps, slice_axis=slice_axis)
+                inner_steps=self.inner_steps, slice_axis=slice_axis,
+                # gated flag (VERDICT r4 #7): the fused Pallas half-pass
+                # base inside shard_map — interpret-parity tested on the
+                # virtual mesh, default off until real multi-chip
+                # hardware can measure it
+                use_pallas_half=bool(int(self.sharded_pallas_half)))
         driver = ConvergenceDriver(self.min_epochs, self.max_epochs,
                                    self.min_improvement)
 
@@ -794,7 +805,8 @@ class GDRecommender(MFRecommender):
             mesh, W, lr=lr, lr_y=lr, K=self.K, K_y=self.K,
             lo_r=self.min_rating, hi_r=self.max_rating,
             chunk=min(8192, self.batch_size),
-            inner_steps=self.inner_steps_implicit)
+            inner_steps=self.inner_steps_implicit,
+            use_pallas_half=bool(int(self.sharded_pallas_half)))
         p_dev = tuple(jnp.asarray(x) for x in p_layout)
         q_dev = tuple(jnp.asarray(x) for x in q_layout)
         driver = ConvergenceDriver(self.min_epochs, self.max_epochs,

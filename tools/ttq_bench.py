@@ -177,7 +177,72 @@ def main():
             return step, st + (jnp.zeros((), jnp.float32),)
         return bf
 
-    if mode == 'ml10m':
+    _fn_cache = {}
+
+    def fn_tier(T):
+        '''FN alternating tier at the bench operating point
+        (W=512/B=16k, the FNRecommender defaults) — VERDICT r4 #2's
+        "add a TTQ run".'''
+        def bf():
+            from mfrec_tpu.ops import fn as fn_ops
+            from mfrec_tpu.ops import sgd_mf
+            import jax
+            if 'layout' not in _fn_cache:
+                W, batch = 512, 1 << 14
+                pl_ = sgd_mf.sorted_pass_layout(
+                    abm.users, abm.items, abm.vals, batch, axis='user',
+                    max_window=W)
+                ql_ = sgd_mf.sorted_pass_layout(
+                    abm.users, abm.items, abm.vals, batch, axis='item',
+                    max_window=W)
+                W_user, W_item = pl_[-1], ql_[-1]
+                pl = tuple(jnp.asarray(x) for x in pl_[:-1])
+                ql = tuple(jnp.asarray(x) for x in ql_[:-1])
+                counts = np.bincount(abm.users,
+                                     minlength=abm.U).astype(np.float32)
+                nrm = np.zeros(abm.U + W_user, np.float32)
+                nrm[:abm.U] = np.where(
+                    counts > 0, 1.0 / np.sqrt(np.maximum(counts, 1.0)),
+                    0.0)
+                _fn_cache['layout'] = (pl, ql, W_user, W_item,
+                                       jnp.asarray(nrm))
+            pl, ql, W_user, W_item, nrm_rows = _fn_cache['layout']
+            ep = fn_ops.make_fn_alternating_epoch(
+                W_user, W_item, lr=0.15, lr_bu=0.05, lr_bi=0.05,
+                lr_xy=0.15, K=0.02, K_bu=0.02, K_bi=0.02, K_x=0.02,
+                K_y=0.02, inner_steps=T, chunk=8192, donate=False,
+                use_pallas_full=jax.default_backend() != 'cpu')
+            rng = np.random.default_rng(7)
+            f = 0.05
+            Paug, Qaug = sgd_mf.augment_factors(
+                jnp.zeros((abm.U + W_user, abm.K), jnp.float32),
+                jnp.asarray(rng.normal(0, f, (abm.I + W_item, abm.K)),
+                            jnp.float32),
+                jnp.asarray(np.pad(abm.bu_fit, (0, W_user))),
+                jnp.asarray(np.pad(abm.bi_fit, (0, W_item))))
+            Xpad = jnp.asarray(rng.normal(0, f, (abm.I + W_item, abm.K)),
+                               jnp.float32)
+            Ypad = jnp.asarray(rng.normal(0, f, (abm.I + W_item, abm.K)),
+                               jnp.float32)
+            mu = jnp.float32(abm.vals.mean())
+
+            def step(s):
+                Pa, Qa, Xp, Yp = s
+                Pa, Qa, Xp, Yp, r = ep(Pa, Qa, Xp, Yp, mu, pl, ql,
+                                       nrm_rows)
+                return (Pa, Qa, Xp, Yp), r
+            return step, (Paug, Qaug, Xpad, Ypad)
+        return bf
+
+    if mode == 'fn':
+        ts = [int(x) for x in os.environ.get('TTQ_T', '32,64,128')
+              .split(',')]
+        mk = fn_tier
+        targets = [float(x) for x in os.environ.get(
+            'TTQ_TARGETS',
+            '0.55,0.50,0.46,0.44,0.43,0.42,0.41,0.405,0.40,0.395'
+        ).split(',')]
+    elif mode == 'ml10m':
         ts = [int(x) for x in
               os.environ.get('TTQ_T', '64,128,256').split(',')]
         mk = explicit
