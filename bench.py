@@ -532,9 +532,11 @@ def main():
         from mfrec_tpu.ops import fn as fn_ops
         W = int(os.environ.get('BENCH_WINDOW', 512))
         batch = int(os.environ.get('BENCH_BATCH', 1 << 14))
-        # T ladder climbed r5 (tools/ab_fn.py, interleaved): T=64
-        # +31.4% over 32, T=128 +18.7%, T=256 +10.3%, RMSE monotone
-        inner = int(os.environ.get('BENCH_INNER', 256))
+        # T=64 = the TTQ optimum (r5_ttq_fn*.log: wins every target
+        # <=0.44; the sweeps/s rate ladder climbs to 256 but FN quality
+        # rides the once-per-epoch X/Y update, so higher T loses
+        # wall-clock-to-quality at EVERY target) — defaults==benchmarked
+        inner = int(os.environ.get('BENCH_INNER', 64))
         pl_ = sgd_mf.sorted_pass_layout(users, items, vals, batch,
                                         axis='user', max_window=W)
         ql_ = sgd_mf.sorted_pass_layout(users, items, vals, batch,

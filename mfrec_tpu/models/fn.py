@@ -87,12 +87,15 @@ class FNRecommender(MFRecommender):
         self.engine = 'auto'
         # in-VMEM gradient sweeps per window batch on the alternating
         # tier; profile/X/Y aggregation phases stay once-per-epoch like
-        # the implicit tier's Y machinery.  T ladder climbed on-chip r5
-        # (tools/ab_fn.py, interleaved): T=64 +31.4% sweep rate over
-        # T=32, T=128 +18.7%, T=256 +10.3% — per-epoch RMSE improving
-        # monotonically at every rung (0.4417 -> 0.4083 -> 0.3981 ->
-        # 0.3940); bench_logs/r5_ab_fn_t*.log.
-        self.inner_steps = 256
+        # the implicit tier's Y machinery.  The rate ladder climbs to
+        # +10.3% sweeps/s at T=256 (tools/ab_fn.py, interleaved,
+        # bench_logs/r5_ab_fn_t*.log) — but time-to-quality REVERSES it
+        # (r5_ttq_fn*.log, brackets 0.993-1.001): FN's per-epoch quality
+        # driver is the once-per-epoch X/Y update, not the half-pass
+        # sweeps, so T=64 reaches every target RMSE <= 0.44 first
+        # (T=128/256/512 lose at EVERY target; T=32 wins only the
+        # shallow first seconds).  The default follows the TTQ evidence.
+        self.inner_steps = 64
 
         if parameters:
             self.set_parameters(parameters)
