@@ -236,7 +236,12 @@ def bench_als(U, I, N, K=64, epochs=3):
     # BENCH_ALS_PCG: 'auto' (default; pallas resident-M CG on TPU),
     # 'xla'/'pallas' force either (ops/pallas_cg.py)
     pcg_impl = os.environ.get('BENCH_ALS_PCG', 'auto')
-    users, items, test_u, test_i = make_implicit_data(U, I, N)
+    # 2.3x raw draws ~= N unique (u, i) pairs after the store's
+    # last-write-wins dedup (the clustered propensities concentrate
+    # interactions, so raw draws collide often) — keeps the benched nnz
+    # at the ML-10M operating point for cross-round comparability
+    users, items, test_u, test_i = make_implicit_data(U, I,
+                                                      int(N * 2.3))
     r = ratings_from_arrays(users, items, np.ones(users.shape[0],
                                                   np.float32), U, I)
     ub = als_ops.device_buckets(r.padded_rows(axis='user'))
