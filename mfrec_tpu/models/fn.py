@@ -120,9 +120,15 @@ class FNRecommender(MFRecommender):
         K_items, y by K_users (see module docstring for the
         reference-defect mapping).
         '''
-        engine = 'alternating' if self.engine == 'auto' else self.engine
+        engine = self.engine
+        if engine == 'auto':
+            import jax
+            engine = ('alternating_sharded' if len(jax.devices()) > 1
+                      else 'alternating')
         if engine == 'alternating':
             self._train_alternating(initialize_model, verbose)
+        elif engine == 'alternating_sharded':
+            self._train_alternating_sharded(initialize_model, verbose)
         elif engine == 'fused':
             self._train_fused(initialize_model, verbose)
         else:
@@ -249,6 +255,84 @@ class FNRecommender(MFRecommender):
             Y=Ypad[:self.nbr_items],
             bu=Paug[:self.nbr_users, k],
             bi=Qaug[:self.nbr_items, k + 1],
+            mu=mu)
+        self._materialize(final)
+
+    def _train_alternating_sharded(self, initialize_model=True,
+                                   verbose=False, n_devices=None):
+        '''FN over the device mesh (``parallel.fn_sharded``): the six
+        windowed phases of the single-chip tier, users/items
+        range-partitioned like the other sharded engines, 5 ICI
+        all_gathers per epoch (X, Y, Q, P, G+bu).  BEYOND the reference
+        (it never implements FN at all).'''
+        import jax
+        from mfrec_tpu.parallel import alternating_sharded as alt
+        from mfrec_tpu.parallel import fn_sharded as fns
+        from mfrec_tpu.parallel.mesh import make_mesh
+        self.compute_overall_avg()
+        k = self.dimensionality
+        st = self._init_or_resume(initialize_model)
+        D = n_devices or len(jax.devices())
+        mesh = make_mesh(D)
+        uidx, iidx, vals = self.ratings.coo()
+        max_window = min(512, max(self.nbr_users, self.nbr_items))
+        p_layout, q_layout, (Ushard, Ishard, W) = \
+            alt.build_sharded_alternating_layout(
+                uidx, iidx, vals, D, self.nbr_users, self.nbr_items,
+                batch_size=self.batch_size, max_window=max_window)
+        lr, lr_bu, lr_bi = self._fn_lrs(0.15)
+        Paug, Qaug = sgd_mf.augment_factors(
+            np.zeros((self.nbr_users, k), np.float32),
+            np.array(st.Q), np.array(st.bu), np.array(st.bi))
+        Paug = jnp.asarray(alt.pad_factors_sharded(Paug, Ushard, W, D))
+        Qaug = jnp.asarray(alt.pad_factors_sharded(Qaug, Ishard, W, D))
+        Xpad = jnp.asarray(alt.pad_factors_sharded(
+            np.array(st.X), Ishard, W, D))
+        Ypad = jnp.asarray(alt.pad_factors_sharded(
+            np.array(st.Y), Ishard, W, D))
+        counts = self.ratings.user_counts().astype(np.float32)
+        nrm_host = np.where(counts > 0,
+                            1.0 / np.sqrt(np.maximum(counts, 1.0)),
+                            0.0).astype(np.float32)
+        nrm = jnp.asarray(alt.pad_factors_sharded(
+            nrm_host[:, None], Ushard, W, D)[:, 0])
+        mu = jnp.float32(self.overall_bias or 0.0)
+        epoch = fns.make_sharded_fn_epoch(
+            mesh, W, lr=lr, lr_bu=lr_bu, lr_bi=lr_bi, lr_xy=lr,
+            K=self.K_items, K_bu=self.K_bias, K_bi=self.K_bias,
+            K_x=self.K_items, K_y=self.K_users,
+            lo_r=self.min_rating, hi_r=self.max_rating,
+            chunk=min(8192, self.batch_size),
+            inner_steps=self.inner_steps)
+        p_dev = tuple(jnp.asarray(x) for x in p_layout)
+        q_dev = tuple(jnp.asarray(x) for x in q_layout)
+        driver = ConvergenceDriver(1, self.nbr_epochs,
+                                   self.min_improvement)
+
+        def one_epoch(s):
+            Pa, Qa, Xp, Yp = s
+            Pa, Qa, Xp, Yp, rmse = epoch(Pa, Qa, Xp, Yp, mu, nrm,
+                                         *p_dev, *q_dev)
+            return (Pa, Qa, Xp, Yp), rmse
+
+        Paug, Qaug, Xpad, Ypad = driver.run(one_epoch,
+                                            (Paug, Qaug, Xpad, Ypad))
+        self.rmse_history = driver.history
+        if verbose:
+            for e, r in enumerate(driver.history):
+                self.logger.info('epoch %d rmse %.5f', e, r)
+        Pa = alt.unpad_factors_sharded(np.asarray(Paug), Ushard, W, D,
+                                       self.nbr_users)
+        Qa = alt.unpad_factors_sharded(np.asarray(Qaug), Ishard, W, D,
+                                       self.nbr_items)
+        final = fn_ops.FNState(
+            Q=jnp.asarray(Qa[:, :k]),
+            X=jnp.asarray(alt.unpad_factors_sharded(
+                np.asarray(Xpad), Ishard, W, D, self.nbr_items)),
+            Y=jnp.asarray(alt.unpad_factors_sharded(
+                np.asarray(Ypad), Ishard, W, D, self.nbr_items)),
+            bu=jnp.asarray(Pa[:, k]),
+            bi=jnp.asarray(Qa[:, k + 1]),
             mu=mu)
         self._materialize(final)
 

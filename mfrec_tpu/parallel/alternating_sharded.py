@@ -126,6 +126,85 @@ def unpad_factors_sharded(Fp, rows_per_shard, W, D, n):
     return out
 
 
+def sharded_half_pass(F_upd, F_full, mu, layout, lrv, regv, *, W, chunk,
+                      row_mean=True, clamp_pred=True, lo_r=1.0, hi_r=5.0,
+                      bias_none=False, inner_steps=1,
+                      use_pallas_half=False, pallas_interpret=False):
+    '''One sorted-window half-pass over LOCAL shard rows — the shared
+    core of the sharded alternating / implicit / FN epochs (single
+    source of truth; a numerics fix here applies to every sharded
+    tier).  ``layout`` = (kl, og, rb, mb, lo) already stripped to local
+    shapes; ``lrv``/``regv`` are the per-column learning-rate /
+    regularization vectors (the fixed/learned/frozen-factor modes are
+    all just column patterns).  ``use_pallas_half`` swaps the inline
+    XLA sweeps for the single-chip fused kernel per batch (VERDICT r4
+    #7; interpret-mode parity pinned on the virtual mesh).'''
+    kl, og, rb, mb, lo = layout
+
+    def step(carry, batch):
+        F_upd, sse = carry
+        kli, ogi, r, m, lo_b = batch
+        ff = F_full[ogi]
+        # zero-pad to a chunk multiple so any batch_size works
+        # (mask-0 rows contribute nothing to the aggregation)
+        ch = min(chunk, kli.shape[0])
+        pad = -kli.shape[0] % ch
+        if pad:
+            ff = jnp.pad(ff, ((0, pad), (0, 0)))
+            kli = jnp.pad(kli, (0, pad))
+            m = jnp.pad(m, (0, pad))
+            r = jnp.pad(r, (0, pad))
+        if use_pallas_half:
+            from mfrec_tpu.ops.pallas_half_pass import half_pass_batch
+            win = jax.lax.dynamic_slice_in_dim(F_upd, lo_b, W, 0)
+            win, sse_b = half_pass_batch(
+                win, ff, r, m, kli, lrv, regv, mu, W, chunk=ch,
+                clamp_pred=clamp_pred, lo_r=lo_r, hi_r=hi_r,
+                row_mean=row_mean, bias_none=bias_none,
+                interpret=pallas_interpret, inner_steps=inner_steps,
+                all2d=True, dot_sum=F_upd.shape[1] <= 128)
+            F_upd = jax.lax.dynamic_update_slice_in_dim(
+                F_upd, win, lo_b, 0)
+            return (F_upd, sse + sse_b), None
+        B = kli.shape[0]
+        kc = kli.reshape(B // ch, ch)
+        onehot = (kc[:, :, None] ==
+                  jnp.arange(W)[None, None, :]).astype(jnp.bfloat16)
+        if row_mean:
+            mc = m.reshape(B // ch, ch).astype(jnp.bfloat16)
+            cnt = jnp.einsum('nc,ncw->w', mc, onehot,
+                             preferred_element_type=jnp.float32)
+            cnt = jnp.maximum(cnt, 1.0)[:, None]
+        win = jax.lax.dynamic_slice_in_dim(F_upd, lo_b, W, 0)
+
+        # fori_loop, not python range: the shipped inner_steps
+        # default (128) would explode the traced graph unrolled
+        def sweep(t, carry):
+            win, sse = carry
+            fu = win[kli]
+            dot = (fu * ff).sum(-1)
+            pred = (1.0 + dot) if bias_none else (mu + dot)
+            if clamp_pred:
+                pred = clamp(pred, lo_r, hi_r)
+            err = (r - pred) * m
+            sse = jnp.where(t == 0, sse + (err * err).sum(), sse)
+            g = err[:, None] * ff - regv[None, :] * fu * m[:, None]
+            gc = g.reshape(B // ch, ch, -1).astype(jnp.bfloat16)
+            gsum = jnp.einsum('nck,ncw->wk', gc, onehot,
+                              preferred_element_type=jnp.float32)
+            if row_mean:
+                gsum = gsum / cnt
+            return win + lrv[None, :] * gsum, sse
+        win, sse = jax.lax.fori_loop(0, inner_steps, sweep, (win, sse))
+        F_upd = jax.lax.dynamic_update_slice_in_dim(F_upd, win, lo_b, 0)
+        return (F_upd, sse), None
+
+    (F_upd, sse), _ = jax.lax.scan(
+        step, (F_upd, jnp.zeros((), F_upd.dtype)),
+        (kl, og, rb, mb, lo))
+    return F_upd, sse
+
+
 def make_sharded_alternating_epoch(mesh, W, lr, K, bias_mode='fixed',
                                    clamp_pred=True, lo_r=1.0, hi_r=5.0,
                                    chunk=4096, row_mean=True, axis='dp',
@@ -182,77 +261,13 @@ def make_sharded_alternating_epoch(mesh, W, lr, K, bias_mode='fixed',
         kl, og, rb, mb = (x.reshape(x.shape[-2:]) for x in
                           (kl, og, rb, mb))
         lo = lo.reshape(lo.shape[-1:])
-
-        def step(carry, batch):
-            F_upd, sse = carry
-            kli, ogi, r, m, lo_b = batch
-            ff = F_full[ogi]
-            lrv, regv = col_vectors(ff.shape[1] - 2, upd_is_user)
-            # zero-pad to a chunk multiple so any batch_size works
-            # (mask-0 rows contribute nothing to the aggregation)
-            ch = min(chunk, kli.shape[0])
-            pad = -kli.shape[0] % ch
-            if pad:
-                ff = jnp.pad(ff, ((0, pad), (0, 0)))
-                kli = jnp.pad(kli, (0, pad))
-                m = jnp.pad(m, (0, pad))
-                r = jnp.pad(r, (0, pad))
-            if use_pallas_half:
-                # the single-chip fused kernel, per local batch inside
-                # shard_map (VERDICT r4 #7: interpret-mode parity on the
-                # virtual mesh pins the numerics so real multi-chip
-                # hardware can flip this flag without an untested swap).
-                # Numerics differ from the XLA path only by the kernel's
-                # accepted bf16 window-read deviation -> RMSE-tolerance
-                # parity, like the single-chip tiers.
-                from mfrec_tpu.ops.pallas_half_pass import half_pass_batch
-                win = jax.lax.dynamic_slice_in_dim(F_upd, lo_b, W, 0)
-                win, sse_b = half_pass_batch(
-                    win, ff, r, m, kli, lrv, regv, mu, W, chunk=ch,
-                    clamp_pred=clamp_pred, lo_r=lo_r, hi_r=hi_r,
-                    row_mean=row_mean, bias_none=(bias_mode == 'none'),
-                    interpret=pallas_interpret, inner_steps=inner_steps,
-                    all2d=True, dot_sum=F_upd.shape[1] <= 128)
-                F_upd = jax.lax.dynamic_update_slice_in_dim(
-                    F_upd, win, lo_b, 0)
-                return (F_upd, sse + sse_b), None
-            B = kli.shape[0]
-            kc = kli.reshape(B // ch, ch)
-            onehot = (kc[:, :, None] ==
-                      jnp.arange(W)[None, None, :]).astype(jnp.bfloat16)
-            if row_mean:
-                mc = m.reshape(B // ch, ch).astype(jnp.bfloat16)
-                cnt = jnp.einsum('nc,ncw->w', mc, onehot,
-                                 preferred_element_type=jnp.float32)
-                cnt = jnp.maximum(cnt, 1.0)[:, None]
-            win = jax.lax.dynamic_slice_in_dim(F_upd, lo_b, W, 0)
-
-            # fori_loop, not python range: the shipped inner_steps
-            # default (128) would explode the traced graph unrolled
-            def sweep(t, carry):
-                win, sse = carry
-                fu = win[kli]
-                dot = (fu * ff).sum(-1)
-                pred = (1.0 + dot) if bias_mode == 'none' else (mu + dot)
-                if clamp_pred:
-                    pred = clamp(pred, lo_r, hi_r)
-                err = (r - pred) * m
-                sse = jnp.where(t == 0, sse + (err * err).sum(), sse)
-                g = err[:, None] * ff - regv[None, :] * fu * m[:, None]
-                gc = g.reshape(B // ch, ch, -1).astype(jnp.bfloat16)
-                gsum = jnp.einsum('nck,ncw->wk', gc, onehot,
-                                  preferred_element_type=jnp.float32)
-                if row_mean:
-                    gsum = gsum / cnt
-                return win + lrv[None, :] * gsum, sse
-            win, sse = jax.lax.fori_loop(0, inner_steps, sweep, (win, sse))
-            F_upd = jax.lax.dynamic_update_slice_in_dim(F_upd, win, lo_b, 0)
-            return (F_upd, sse), None
-
-        (F_upd, sse), _ = jax.lax.scan(
-            step, (F_upd, jnp.zeros((), F_upd.dtype)),
-            (kl, og, rb, mb, lo))
-        return F_upd, sse
+        lrv, regv = col_vectors(F_upd.shape[1] - 2, upd_is_user)
+        return sharded_half_pass(
+            F_upd, F_full, mu, (kl, og, rb, mb, lo), lrv, regv,
+            W=W, chunk=chunk, row_mean=row_mean, clamp_pred=clamp_pred,
+            lo_r=lo_r, hi_r=hi_r, bias_none=(bias_mode == 'none'),
+            inner_steps=inner_steps, use_pallas_half=use_pallas_half,
+            pallas_interpret=pallas_interpret)
 
     def device_fn(Paug, Qaug, mu, pkl, pog, prb, pmb, plo,
                   qkl, qog, qrb, qmb, qlo):
