@@ -11,6 +11,13 @@ Demonstrates the round-2 surface on a MovieLens-100K-shaped dataset:
 Runs anywhere (CPU included); uses the synthetic MovieLens-shaped
 generator since the image has no network access.
 '''
+import os as _os
+import sys as _sys
+# runnable as `python examples/example3_fn_serving.py` from the repo
+# root (sys.path[0] is examples/)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
 import logging
 
 import numpy as np

@@ -98,7 +98,11 @@ def main():
         import jax as _jax
         Pa = _jax.device_put(P_host)
         Qa = _jax.device_put(Q_host)
-        float(Pa[0, 0]), float(Qa[0, 0])        # upload done before t0
+        # sum-fetch forces the FULL upload to complete before t0 (a
+        # single-element fetch can return while the 42 MB transfer is
+        # still in flight through the relay, inflating the first
+        # timed epoch)
+        float(Pa.sum()), float(Qa.sum())        # upload done before t0
         t0 = time.perf_counter()
         rmse = None
         for _ in range(epochs):

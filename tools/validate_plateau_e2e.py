@@ -73,7 +73,11 @@ def model_vs_ops_control(model, blocks=2, span=3):
 
     def ops_timed(epochs):
         Pa, Qa = jax.device_put(P_host), jax.device_put(Q_host)
-        float(Pa[0, 0]), float(Qa[0, 0])
+        # sum-fetch forces the FULL upload to complete before t0 (a
+        # single-element fetch can return while the 42 MB transfer is
+        # still in flight through the relay, inflating the first
+        # timed epoch)
+        float(Pa.sum()), float(Qa.sum())
         t0 = time.perf_counter()
         rmse = None
         for _ in range(epochs):
