@@ -569,6 +569,11 @@ def main():
                            1.0 / np.sqrt(np.maximum(counts, 1.0)), 0.0)
         nrm_rows = jnp.asarray(nrm)
         mu = jnp.float32(vals.mean())
+        # NOTE: the tier bench drives bias rates at 0.05 against the
+        # pre-fitted BellKor biases; FNRecommender's unset bias rates
+        # default to the row-mean 0.15 (biases learned from zero there)
+        # — set learning_rate_users/items=0.05 on the model to reproduce
+        # this exact operating point
         ep = fn_ops.make_fn_alternating_epoch(
             W_user, W_item, lr=float(os.environ.get('BENCH_LR', 0.15)),
             lr_bu=0.05, lr_bi=0.05, lr_xy=0.15,
