@@ -62,7 +62,8 @@ def bias_floor_rmse(users, items, vals, U, I):
     return float(np.sqrt(((vals - pred) ** 2).mean())), bu, bi
 
 
-def bench_model(U, I, K, users, items, vals, floor, blocks=3, span=5):
+def bench_model(U, I, K, users, items, vals, floor, blocks=3, span=5,
+                config='ml10m'):
     '''HEADLINE attestation through the PUBLIC API (VERDICT r4 #1c):
     trains ``GDRecommender.train(handle_bias=True)`` — the documented
     quick-start path, reference ``gradient_descent.py:41-45,545`` — at
@@ -110,7 +111,7 @@ def bench_model(U, I, K, users, items, vals, floor, blocks=3, span=5):
     updates_per_s = len(vals) * K * inner / epoch_s
     baseline = 3.7e7
     print(json.dumps({
-        'metric': 'ml10m_rank64_model_train_updates_per_s',
+        'metric': config + '_model_train_updates_per_s',
         'value': round(updates_per_s, 1),
         'unit': 'updates/s/chip (public GDRecommender.train path)',
         'vs_baseline': round(updates_per_s / baseline, 2),
@@ -414,6 +415,15 @@ def main():
     if full_train:
         mode = 'alternating'
     config = 'ml10m'
+    if mode == 'netflix_model':
+        # public-path attestation at the SECOND headline shape
+        # (BENCH_U/I/N/K smoke overrides still win, like every mode)
+        U = int(os.environ.get('BENCH_U', 480_189))
+        I = int(os.environ.get('BENCH_I', 17_770))
+        N = int(os.environ.get('BENCH_N', 100_000_000))
+        K = int(os.environ.get('BENCH_K', 128))
+        config = 'netflix100m_rank128'
+        mode = 'model'
     if mode == 'netflix':
         # Netflix-prize scale (BASELINE config 5) on one chip:
         # 480k users x 17.8k items, 100M ratings, rank 128
@@ -460,7 +470,8 @@ def main():
         # headline through the public API: see bench_model
         return bench_model(U, I, K, users, items, vals, floor,
                            blocks=blocks,
-                           span=int(os.environ.get('BENCH_SPAN', 5)))
+                           span=int(os.environ.get('BENCH_SPAN', 5)),
+                           config=config)
     # T ladder climbed r4 by interleaved A/B at every rung
     # (AB=t16/t32/t64/t128): ML-10M rank 64 on the tloop kernel runs
     # T=128 at 2.138 s/epoch = 3.83e10 = 1035× (+5.9% over T=64) with
