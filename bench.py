@@ -44,6 +44,44 @@ def make_data(U, I, N, seed=0, rank=16):
     return users, items, vals
 
 
+def make_data_unique(U, I, N, seed=0, rank=16):
+    """make_data with DUPLICATE-FREE (user, item) pairs: the model path
+    stores ratings in the deduplicating store (last-write-wins, like the
+    reference's lil_matrix), so on the raw popularity stream it would
+    train ~40% fewer rows than the ops benches process — and an
+    updates/s computed with the raw N would be nnz-inflated.  Draws
+    oversampled pairs, keeps a RANDOM N-subset of the unique ones (the
+    dims/popularity/low-rank law of make_data)."""
+    rng = np.random.default_rng(seed)
+    ranks = np.arange(1, I + 1, dtype=np.float64)
+    pop = 1.0 / ranks ** 1.1
+    pop /= pop.sum()
+    if N > U * I:
+        raise ValueError('N=%d exceeds the %dx%d cell space' % (N, U, I))
+    mult = 2.6
+    while True:
+        n_draw = int(N * mult)
+        users = rng.integers(0, U, n_draw).astype(np.int32)
+        items = rng.choice(I, n_draw, p=pop).astype(np.int32)
+        key = users.astype(np.int64) * I + items
+        _, first = np.unique(key, return_index=True)
+        if first.size >= N:
+            break
+        # dense smoke shapes collide harder than the headline dims
+        mult *= 2.0
+    first = rng.permutation(first)[:N]
+    users, items = users[first], items[first]
+    P = rng.normal(0, 1.0, (U, rank))
+    Q = rng.normal(0, 1.0, (I, rank))
+    bu = rng.normal(0, 0.4, U)
+    bi = rng.normal(0, 0.6, I)
+    raw = np.einsum('nk,nk->n', P[users], Q[items]) / np.sqrt(rank)
+    vals = 3.0 + 0.667 * (raw + bu[users] + bi[items]) \
+        + rng.normal(0, 0.3, N)
+    vals = np.clip(np.round(vals * 2) / 2, 1.0, 5.0).astype(np.float32)
+    return users, items, vals
+
+
 def bias_floor_rmse(users, items, vals, U, I):
     '''Training RMSE of the best mu + b_i + b_u predictor (one bincount
     pass each) — the floor a structure-blind model cannot beat.
@@ -108,14 +146,18 @@ def bench_model(U, I, K, users, items, vals, floor, blocks=3, span=5,
         fixed.append(t_s - 2 * m_ep)
     epoch_s = float(np.median(marg))
     inner = int(model.inner_steps)
-    updates_per_s = len(vals) * K * inner / epoch_s
+    nnz = int(model.ratings.nnz)          # what train() actually sweeps
+    updates_per_s = nnz * K * inner / epoch_s
     baseline = 3.7e7
+    mname = config if 'rank' in config else '%s_rank%d' % (config, K)
     print(json.dumps({
-        'metric': config + '_model_train_updates_per_s',
+        'metric': mname + '_model_train_updates_per_s',
         'value': round(updates_per_s, 1),
         'unit': 'updates/s/chip (public GDRecommender.train path)',
         'vs_baseline': round(updates_per_s / baseline, 2),
         'epoch_s': round(epoch_s, 4),
+        'nnz': nnz,
+        'raw_stream_rows': len(vals),
         'fixed_train_s': round(float(np.median(fixed)), 3),
         'warmup_train_s': round(t_warm, 1),
         'inner_steps': inner,
@@ -462,7 +504,15 @@ def main():
             print(json.dumps({'note': 'using real %s dataset' % config,
                               'U': U, 'I': I, 'nnz': N}), file=sys.stderr)
     if users is None:
-        users, items, vals = make_data(U, I, N)
+        if mode == 'model':
+            # the model path trains the DEDUPLICATED store — bench it on
+            # a duplicate-free stream so nnz == N and updates/s is
+            # honest (see make_data_unique; the ops modes keep the raw
+            # stream for cross-round continuity — their kernels really
+            # process every raw sample)
+            users, items, vals = make_data_unique(U, I, N)
+        else:
+            users, items, vals = make_data(U, I, N)
 
     floor, bu_fit, bi_fit = bias_floor_rmse(users, items, vals, U, I)
 
